@@ -1,0 +1,261 @@
+"""Deterministic fixture corpus (FIXTURES.md families) + page synthesis.
+
+Fixture payloads are modeled on the reference's shared sample corpora
+(`turtle/src/test.rs:4-81` NT/NQ/GNQ samples; Turtle/TriG families added
+with the Turtle parser).  Expected outputs are hand-derived golden quads
+in canonical N-Triples encoding with raw blank-node labels; tests
+skolemize them per url before comparison.
+
+Everything is seeded/deterministic — no external data (north rule).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+from dataclasses import dataclass, field
+from typing import List, Optional, Tuple
+
+import pandas as pd
+
+from ..sources.html_extract import synthesize_html
+from ..sources.ntparser import _skolemize_enc
+
+Quad = Tuple[str, str, str, Optional[str]]
+
+
+@dataclass(frozen=True)
+class FixtureCase:
+    name: str
+    fmt: str  # nt | nq | ttl | trig | gnq | jsonld | rdfxml
+    payload: str
+    expected: Optional[List[Quad]] = None  # canonical quads, raw bnode labels
+    error_lines: int = 0  # expected quarantined lines
+    generalized: bool = False
+
+
+def _t(s: str, p: str, o: str, g: Optional[str] = None) -> Quad:
+    return (s, p, o, g)
+
+
+# --- F1: N-Triples line cases (turtle/src/test.rs:4-24) --------------------
+
+F1_NT: List[FixtureCase] = [
+    FixtureCase("nt_empty", "nt", "", []),
+    FixtureCase("nt_comment", "nt", "# a comment", []),
+    FixtureCase("nt_version", "nt", 'VERSION "1.2"', []),
+    FixtureCase("nt_iii", "nt", "<x:s> <x:p> <x:o>.", [_t("<x:s>", "<x:p>", "<x:o>")]),
+    FixtureCase("nt_bii", "nt", "_:s   <x:p> <x:o>.", [_t("_:s", "<x:p>", "<x:o>")]),
+    FixtureCase("nt_iib", "nt", "<x:s> <x:p> _:o.", [_t("<x:s>", "<x:p>", "_:o")]),
+    FixtureCase("nt_bib", "nt", "_:s   <x:p> _:o.", [_t("_:s", "<x:p>", "_:o")]),
+    FixtureCase("nt_iil", "nt", '<x:s> <x:p> "o".', [_t("<x:s>", "<x:p>", '"o"')]),
+    FixtureCase("nt_bil", "nt", '_:s   <x:p> "o".', [_t("_:s", "<x:p>", '"o"')]),
+    FixtureCase(
+        "nt_iild", "nt", '<x:s> <x:p> "o"^^<x:d>.', [_t("<x:s>", "<x:p>", '"o"^^<x:d>')]
+    ),
+    FixtureCase(
+        "nt_bild", "nt", '_:s   <x:p> "o"^^<x:d>.', [_t("_:s", "<x:p>", '"o"^^<x:d>')]
+    ),
+    FixtureCase(
+        "nt_iill", "nt", '<x:s> <x:p> "o"@en-UK.', [_t("<x:s>", "<x:p>", '"o"@en-uk')]
+    ),
+    FixtureCase(
+        "nt_bill", "nt", '_:s   <x:p> "o"@en-UK.', [_t("_:s", "<x:p>", '"o"@en-uk')]
+    ),
+    FixtureCase(
+        "nt_iilb",
+        "nt",
+        '<x:s> <x:p> "o"@en-UK--ltr.',
+        [_t("<x:s>", "<x:p>", '"o"@en-uk--ltr')],
+    ),
+    FixtureCase(
+        "nt_bilb",
+        "nt",
+        '_:s   <x:p> "o"@en-UK--rtl.',
+        [_t("_:s", "<x:p>", '"o"@en-uk--rtl')],
+    ),
+    FixtureCase(
+        "nt_iit",
+        "nt",
+        '<x:s> <x:p> <<(_:a <x:b> "c")>>.',
+        [_t("<x:s>", "<x:p>", '<<( _:a <x:b> "c" )>>')],
+    ),
+    FixtureCase(
+        "nt_bit",
+        "nt",
+        '_:s   <x:p> <<(_:a <x:b> "c")>>.',
+        [_t("_:s", "<x:p>", '<<( _:a <x:b> "c" )>>')],
+    ),
+    FixtureCase(
+        "nt_escape_useless",
+        "nt",
+        '<x:s> <x:p> "\\u006f".',
+        [_t("<x:s>", "<x:p>", '"o"')],
+    ),
+    FixtureCase(
+        "nt_escape_torture",
+        "nt",
+        '<x:s> <x:p> "\\u0001\\t\\n\\r\\"\\\\".',
+        [_t("<x:s>", "<x:p>", '"\\u0001\\t\\n\\r\\"\\\\"')],
+    ),
+    # error fixtures (turtle/src/parser/nt.rs:221-232): quarantined, 0 triples
+    FixtureCase("nt_err_nodot", "nt", "<x:s> <x:p> <x:o>", [], error_lines=1),
+    FixtureCase("nt_err_litpred", "nt", '<x:s> "p" <x:o>.', [], error_lines=1),
+    FixtureCase("nt_err_extra", "nt", "<x:s> <x:p> <x:o> <x:g>.", [], error_lines=1),
+    FixtureCase(
+        "nt_mixed_err",
+        "nt",
+        "<x:s> <x:p> <x:o>.\nbad line\n<x:s2> <x:p> <x:o>.",
+        [_t("<x:s>", "<x:p>", "<x:o>"), _t("<x:s2>", "<x:p>", "<x:o>")],
+        error_lines=1,
+    ),
+]
+
+# --- F2: N-Quads (turtle/src/test.rs:27-57) --------------------------------
+
+_NQ_OBJECTS = [
+    ("i", "<x:o>", "<x:o>"),
+    ("b", "_:o", "_:o"),
+    ("l", '"o"', '"o"'),
+    ("ld", '"o"^^<x:d>', '"o"^^<x:d>'),
+    ("ll", '"o"@en-UK', '"o"@en-uk'),
+    ("lb", '"o"@en-UK--ltr', '"o"@en-uk--ltr'),
+    ("t", '<<(_:a <x:b> "c")>>', '<<( _:a <x:b> "c" )>>'),
+]
+
+F2_NQ: List[FixtureCase] = []
+for _skind, _sraw, _senc in [("i", "<x:s>", "<x:s>"), ("b", "_:s", "_:s")]:
+    for _okind, _oraw, _oenc in _NQ_OBJECTS:
+        for _gkind, _graw, _genc in [
+            ("i", "<x:g>", "<x:g>"),
+            ("b", "_:g", "_:g"),
+            ("d", None, None),
+        ]:
+            line = (
+                f"{_sraw} <x:p> {_oraw} {_graw}." if _graw else f"{_sraw} <x:p> {_oraw}."
+            )
+            F2_NQ.append(
+                FixtureCase(
+                    f"nq_{_skind}_{_okind}_{_gkind}",
+                    "nq",
+                    line,
+                    [_t(_senc, "<x:p>", _oenc, _genc)],
+                )
+            )
+
+# --- F5: generalized N-Quads (turtle/src/test.rs:58-81) --------------------
+
+F5_GNQ: List[FixtureCase] = [
+    FixtureCase(
+        "gnq_bnodes", "gnq", "_:s _:p _:o.", [_t("_:s", "_:p", "_:o")], generalized=True
+    ),
+    FixtureCase(
+        "gnq_literals",
+        "gnq",
+        '"s" "p" "o".',
+        [_t('"s"', '"p"', '"o"')],
+        generalized=True,
+    ),
+    FixtureCase(
+        "gnq_tripleterms",
+        "gnq",
+        '<<(<x:s> <x:p> <x:o>)>> <<(_:s _:p _:o)>> <<("s" "p" "o")>>.',
+        [
+            _t(
+                "<<( <x:s> <x:p> <x:o> )>>",
+                "<<( _:s _:p _:o )>>",
+                '<<( "s" "p" "o" )>>',
+            )
+        ],
+        generalized=True,
+    ),
+    FixtureCase(
+        "gnq_vars", "gnq", "?s ?p ?o.", [_t("?s", "?p", "?o")], generalized=True
+    ),
+    FixtureCase(
+        "gnq_quad_vars",
+        "gnq",
+        "?s ?p ?o ?g.",
+        [_t("?s", "?p", "?o", "?g")],
+        generalized=True,
+    ),
+]
+
+ALL_CASES: List[FixtureCase] = F1_NT + F2_NQ + F5_GNQ
+
+
+def expected_skolemized(case: FixtureCase, url: str) -> List[Quad]:
+    """The case's golden quads with bnode labels skolemized for ``url``."""
+    assert case.expected is not None
+    return [
+        (
+            _skolemize_enc(s, url),
+            _skolemize_enc(p, url),
+            _skolemize_enc(o, url),
+            _skolemize_enc(g, url) if g is not None else None,
+        )
+        for (s, p, o, g) in case.expected
+    ]
+
+
+# ---------------------------------------------------------------------------
+# Page synthesis
+# ---------------------------------------------------------------------------
+
+_LANGS = ["en", "en-UK", "fr", "de", ""]
+_EPOCH = _dt.datetime(2026, 1, 1, tzinfo=_dt.timezone.utc)
+N_SITES = 20
+
+
+def page_url(i: int) -> str:
+    return f"https://site{i % N_SITES}.example.org/page/{i}"
+
+
+def fixture_pages(cases: Optional[List[FixtureCase]] = None) -> pd.DataFrame:
+    """One page per fixture case → pandas frame with the pages schema
+    (url, warc_ts, html BINARY, text, lang) + side columns (case, fmt)."""
+    cases = cases if cases is not None else ALL_CASES
+    rows = []
+    for i, case in enumerate(cases):
+        url = page_url(i)
+        lang = _LANGS[i % len(_LANGS)]
+        html = synthesize_html(url, [(case.fmt, case.payload)], lang)
+        rows.append(
+            {
+                "url": url,
+                "warc_ts": _EPOCH + _dt.timedelta(seconds=i),
+                "html": html.encode("utf-8"),
+                "text": case.payload,
+                "lang": lang,
+                "case": case.name,
+                "fmt": case.fmt,
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+def tiled_pages(n: int, cases: Optional[List[FixtureCase]] = None) -> pd.DataFrame:
+    """``n`` pages cycling the fixture corpus with per-page-unique IRIs
+    (``<x:s>`` → ``<x:s/{i}>``) so joins/dedup see realistic cardinality.
+    Deterministic in ``n`` — used by bench and scale tests."""
+    cases = [c for c in (cases or ALL_CASES) if not c.error_lines and c.expected]
+    rows = []
+    for i in range(n):
+        case = cases[i % len(cases)]
+        url = page_url(i)
+        payload = case.payload.replace("<x:s>", f"<x:s/{i}>").replace(
+            "<x:o>", f"<x:o/{i % 97}>"
+        )
+        lang = _LANGS[i % len(_LANGS)]
+        html = synthesize_html(url, [(case.fmt, payload)], lang)
+        rows.append(
+            {
+                "url": url,
+                "warc_ts": _EPOCH + _dt.timedelta(seconds=i),
+                "html": html.encode("utf-8"),
+                "text": payload,
+                "lang": lang,
+                "case": case.name,
+                "fmt": case.fmt,
+            }
+        )
+    return pd.DataFrame(rows)
