@@ -1,0 +1,251 @@
+#!/usr/bin/env python3
+"""Benchmark harness.
+
+Default mode: runs the headline queries at ``$SPARK_GRAFT_SF_DIR``
+(default /root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` (default
+32) and prints ONE JSON line:
+``{"metric": ..., "value": <total sec>, "unit": "sec", "queries": {...},
+"sf": ..., "throughput": {...}}``.
+
+``--scaling`` mode: runs the extraction job at local[8] and local[32]
+(same input) in fresh subprocesses and writes BENCH/BASELINE.md with
+throughput at both plus scaling efficiency — the sandbox proxy for the
+north rule's N→4N two-cluster-size criterion.
+
+Headline queries:
+- extract:     full KG pipeline (synth pages → HTML extract → NT parse →
+               skolemize → SetGraph dedup) over documents tiled ×TILE
+- dm_lineitem: direct-map lineitem → triples → predicate counts (the
+               heavy-shuffle relational path, ~4.2M triples at sf0.1)
+- bgp3:        5-pattern BGP self-join chain (customer→nation→region)
+- minhash:     3-gram shingle MinHash signatures + LSH candidate pairs
+- knn:         brute-force cosine top-5 over embeddings
+- components:  owl:sameAs-style connected components + rewrite
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+TILE = int(os.environ.get("SPARK_GRAFT_TILE", "100"))
+
+
+def make_spark(cpus: int):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("sophia-rs-spark-bench")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.driver.memory", "16g")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+
+
+def tiled_doc_pages(spark, sf_dir: str, tile: int):
+    """documents × tile → pages (deterministic; text salted per tile so
+    content-level ops see distinct documents)."""
+    from pyspark.sql import functions as F
+
+    from sophia_rs_spark.sources.doc2rdf import doc_pages
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tiles = spark.range(tile).select(F.col("id").alias("tile"))
+    tiled = docs.crossJoin(tiles).select(
+        (F.col("doc_id") + F.col("tile") * 10_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tile"), F.col("tile").cast("string")).alias(
+            "text"
+        ),
+        "lang",
+        "source",
+        (F.col("n_chars") + 6).alias("n_chars"),
+    )
+    return doc_pages(tiled).repartition(CPUS * 2)
+
+
+def bench_extract(spark, sf_dir: str, tile: int):
+    from sophia_rs_spark.plans.extract import extract_quads, graph_table, split_quarantine
+
+    pages = tiled_doc_pages(spark, sf_dir, tile)
+    good, _ = split_quarantine(extract_quads(pages, from_html=True))
+    g = graph_table(good, set_graph=True)
+    return g.count()
+
+
+def bench_dm_lineitem(spark, sf_dir: str):
+    from pyspark.sql import functions as F
+
+    from sophia_rs_spark.sources.direct_mapping import ColumnMap, TableMap, VOC, table_triples
+
+    tm = TableMap(
+        "lineitem",
+        "l_orderkey",  # not unique; subject = order entity (intentional reuse)
+        "order",
+        "Order",
+        [
+            ColumnMap("l_partkey", VOC + "part", "link", "http://example.org/part/"),
+            ColumnMap("l_suppkey", VOC + "supplier", "link", "http://example.org/supplier/"),
+            ColumnMap("l_quantity", VOC + "quantity", "integer"),
+            ColumnMap("l_returnflag", VOC + "returnflag"),
+            ColumnMap("l_linestatus", VOC + "linestatus"),
+        ],
+    )
+    df = spark.read.parquet(f"{sf_dir}/lineitem.parquet").withColumn(
+        "l_quantity", F.col("l_quantity").cast("bigint")
+    )
+    t = table_triples(df, tm)
+    out = t.groupBy("p").count().collect()
+    return sum(r["count"] for r in out)
+
+
+def bench_bgp3(spark, sf_dir: str):
+    import __spark_entry__ as e
+
+    return e.queries()["dm_bgp3"](spark, sf_dir).count()
+
+
+def bench_minhash(spark, sf_dir: str):
+    import __spark_entry__ as e
+
+    sig = e.queries()["doc_minhash"](spark, sf_dir).count()
+    pairs = e.queries()["doc_lsh_pairs"](spark, sf_dir).count()
+    return sig + pairs
+
+
+def bench_knn(spark, sf_dir: str):
+    import __spark_entry__ as e
+
+    return e.queries()["emb_knn"](spark, sf_dir).count()
+
+
+def bench_components(spark, sf_dir: str):
+    import __spark_entry__ as e
+
+    return e.queries()["link_canonicalized"](spark, sf_dir).count()
+
+
+def run_all(spark, sf_dir: str, tile: int):
+    results = {}
+    counts = {}
+    jobs = [
+        ("extract", lambda: bench_extract(spark, sf_dir, tile)),
+        ("dm_lineitem", lambda: bench_dm_lineitem(spark, sf_dir)),
+        ("bgp3", lambda: bench_bgp3(spark, sf_dir)),
+        ("minhash", lambda: bench_minhash(spark, sf_dir)),
+        ("knn", lambda: bench_knn(spark, sf_dir)),
+        ("components", lambda: bench_components(spark, sf_dir)),
+    ]
+    for name, fn in jobs:
+        t0 = time.time()
+        counts[name] = fn()
+        results[name] = round(time.time() - t0, 3)
+    return results, counts
+
+
+def single_extract_run(cpus: int):
+    """One extraction throughput measurement (triples/sec) at a given
+    parallelism — used by --scaling via subprocess (fresh JVM)."""
+    spark = make_spark(cpus)
+    try:
+        # warm-up (JVM/codegen) on a small slice
+        bench_extract(spark, SF_DIR, 2)
+        t0 = time.time()
+        n = bench_extract(spark, SF_DIR, TILE)
+        dt = time.time() - t0
+        print(json.dumps({"cpus": cpus, "triples": n, "sec": round(dt, 3)}))
+    finally:
+        spark.stop()
+
+
+def scaling_mode():
+    runs = {}
+    for cpus in (8, 32):
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--single-extract", str(cpus)],
+            capture_output=True,
+            text=True,
+            check=True,
+            cwd=REPO,
+        )
+        line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+        runs[cpus] = json.loads(line)
+    thr8 = runs[8]["triples"] / runs[8]["sec"]
+    thr32 = runs[32]["triples"] / runs[32]["sec"]
+    eff = thr32 / (4 * thr8)
+    md = f"""# BENCH / BASELINE — measured results
+
+## Scaling (north rule: throughput efficiency ≥ 0.8 from N to 4N)
+
+Sandbox proxy for two cluster sizes: the same extraction job
+(synth pages → HTML extract → NT parse → skolemize → dedup) on the same
+input (documents ×{TILE} tiles at {SF_DIR}) at local[8] vs local[32].
+
+| parallelism | triples | wall sec | throughput (triples/sec) |
+|---|---|---|---|
+| local[8] (N)   | {runs[8]['triples']} | {runs[8]['sec']} | {thr8:,.0f} |
+| local[32] (4N) | {runs[32]['triples']} | {runs[32]['sec']} | {thr32:,.0f} |
+
+**Scaling efficiency N→4N = thr(4N) / (4 · thr(N)) = {eff:.3f}**
+(target ≥ 0.8)
+
+Determinism across parallelism levels is covered by
+`tests/test_extract_pipeline.py::test_parallelism_invariance` (same
+output at 1 vs 7 partitions) and the lineage checksum test.
+"""
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        f.write(md)
+    print(json.dumps({"scaling_efficiency": round(eff, 3), "thr8": thr8, "thr32": thr32}))
+
+
+def main():
+    if len(sys.argv) > 1 and sys.argv[1] == "--single-extract":
+        single_extract_run(int(sys.argv[2]))
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--scaling":
+        scaling_mode()
+        return
+
+    spark = make_spark(CPUS)
+    try:
+        t0 = time.time()
+        results, counts = run_all(spark, SF_DIR, TILE)
+        total = round(time.time() - t0, 3)
+        extract_thr = (
+            round(counts["extract"] / results["extract"], 1)
+            if results.get("extract")
+            else None
+        )
+        print(
+            json.dumps(
+                {
+                    "metric": "kg_construct_headline_total",
+                    "value": total,
+                    "unit": "sec",
+                    "queries": results,
+                    "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
+                    "counts": counts,
+                    "throughput": {"extract_triples_per_sec": extract_thr},
+                    "cpus": CPUS,
+                }
+            )
+        )
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -31,6 +31,7 @@ class FixtureCase:
     expected: Optional[List[Quad]] = None  # canonical quads, raw bnode labels
     error_lines: int = 0  # expected quarantined lines
     generalized: bool = False
+    expected_count: Optional[int] = None  # count-only golden (bnode-heavy)
 
 
 def _t(s: str, p: str, o: str, g: Optional[str] = None) -> Quad:
@@ -180,7 +181,105 @@ F5_GNQ: List[FixtureCase] = [
     ),
 ]
 
-ALL_CASES: List[FixtureCase] = F1_NT + F2_NQ + F5_GNQ
+# --- F3: Turtle documents (turtle/src/test.rs:88-183) ----------------------
+
+_TTL_PREFIXES = (
+    "PREFIX rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#>\n"
+    "PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>\n"
+    "PREFIX : <http://example.org/ns/>\n"
+)
+_NS = "http://example.org/ns/"
+_XSD = "http://www.w3.org/2001/XMLSchema#"
+_RDFNS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+
+F3_TTL: List[FixtureCase] = [
+    FixtureCase(
+        "ttl_factorized",
+        "ttl",
+        _TTL_PREFIXES
+        + ':alice a :Person; :name "Alice"; :age 42.\n'
+        + ':bob a :Person, :Man; :nick "bob"@fr, "bobby"@en; :admin true.',
+        [
+            _t(f"<{_NS}alice>", f"<{_RDFNS}type>", f"<{_NS}Person>"),
+            _t(f"<{_NS}alice>", f"<{_NS}name>", '"Alice"'),
+            _t(f"<{_NS}alice>", f"<{_NS}age>", f'"42"^^<{_XSD}integer>'),
+            _t(f"<{_NS}bob>", f"<{_RDFNS}type>", f"<{_NS}Person>"),
+            _t(f"<{_NS}bob>", f"<{_RDFNS}type>", f"<{_NS}Man>"),
+            _t(f"<{_NS}bob>", f"<{_NS}nick>", '"bob"@fr'),
+            _t(f"<{_NS}bob>", f"<{_NS}nick>", '"bobby"@en'),
+            _t(f"<{_NS}bob>", f"<{_NS}admin>", f'"true"^^<{_XSD}boolean>'),
+        ],
+    ),
+    FixtureCase(
+        "ttl_unpretty_literals",
+        "ttl",
+        _TTL_PREFIXES
+        + '<x:s> <x:p> "a"^^xsd:integer, "12"^^xsd:decimal, "1.2"^^xsd:double, "1"^^xsd:boolean.',
+        [
+            _t("<x:s>", "<x:p>", f'"a"^^<{_XSD}integer>'),
+            _t("<x:s>", "<x:p>", f'"12"^^<{_XSD}decimal>'),
+            _t("<x:s>", "<x:p>", f'"1.2"^^<{_XSD}double>'),
+            _t("<x:s>", "<x:p>", f'"1"^^<{_XSD}boolean>'),
+        ],
+    ),
+    FixtureCase(
+        "ttl_lists",
+        "ttl",
+        _TTL_PREFIXES + "<x:alice> <x:likes> ( 1 2 ( 3 4 ) 5 6 ), (\"a\" \"b\").",
+        None,
+        expected_count=20,
+    ),
+    FixtureCase(
+        "ttl_bnode_cycles",
+        "ttl",
+        _TTL_PREFIXES
+        + '_:a :n "a"; :p [ :q [ :r _:a ]].\n_:b :n "b"; :s [ :s _:b ].\n_:c :b "c"; :t _:c.',
+        None,
+        expected_count=9,
+    ),
+    FixtureCase(
+        "ttl_annotation",
+        "ttl",
+        _TTL_PREFIXES + ":s :p :o {| :a :b, :c; :d :e |}.",
+        None,
+        expected_count=5,
+    ),
+    FixtureCase(
+        "ttl_reified_nested",
+        "ttl",
+        _TTL_PREFIXES + "<< << :a :b :c >> :d << :e :f :g >> >> :h :i.",
+        None,
+        expected_count=4,
+    ),
+]
+
+# --- F4: TriG documents (turtle/src/test.rs:185-262) -----------------------
+
+F4_TRIG: List[FixtureCase] = [
+    FixtureCase(
+        "trig_implicit_graph",
+        "trig",
+        _TTL_PREFIXES + "<x:g> { :s :p :o }",
+        [_t(f"<{_NS}s>", f"<{_NS}p>", f"<{_NS}o>", "<x:g>")],
+    ),
+    FixtureCase(
+        "trig_explicit_graph",
+        "trig",
+        _TTL_PREFIXES + "GRAPH :g { :s :p :o }",
+        [_t(f"<{_NS}s>", f"<{_NS}p>", f"<{_NS}o>", f"<{_NS}g>")],
+    ),
+    FixtureCase(
+        "trig_alternating",
+        "trig",
+        _TTL_PREFIXES
+        + ":s :p :o1.\nGRAPH :g1 { :s :p :o2 }\nGRAPH :g2 { :s :p :o3 }\n"
+        + "GRAPH :g1 { :s :p :o4 }\n<< :s :p :o ~ :r >>.\nGRAPH :g1 { :r :p :o5 }",
+        None,
+        expected_count=6,
+    ),
+]
+
+ALL_CASES: List[FixtureCase] = F1_NT + F2_NQ + F5_GNQ + F3_TTL + F4_TRIG
 
 
 def expected_skolemized(case: FixtureCase, url: str) -> List[Quad]:
