@@ -64,16 +64,23 @@ def tiled_doc_pages(spark, sf_dir: str, tile: int):
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     tiles = spark.range(tile).select(F.col("id").alias("tile"))
-    tiled = docs.crossJoin(tiles).select(
-        (F.col("doc_id") + F.col("tile") * 10_000_000).alias("doc_id"),
-        F.concat(F.col("text"), F.lit(" tile"), F.col("tile").cast("string")).alias(
-            "text"
-        ),
-        "lang",
-        "source",
-        (F.col("n_chars") + 6).alias("n_chars"),
+    npart = spark.sparkContext.defaultParallelism * 2
+    # repartition BEFORE synthesis: the parquet read is 1-2 partitions, so
+    # without this the html/md5 synthesis would run nearly serially
+    tiled = (
+        docs.crossJoin(tiles)
+        .repartition(npart)
+        .select(
+            (F.col("doc_id") + F.col("tile") * 10_000_000).alias("doc_id"),
+            F.concat(
+                F.col("text"), F.lit(" tile"), F.col("tile").cast("string")
+            ).alias("text"),
+            "lang",
+            "source",
+            (F.col("n_chars") + 6).alias("n_chars"),
+        )
     )
-    return doc_pages(tiled).repartition(CPUS * 2)
+    return doc_pages(tiled)
 
 
 def bench_extract(spark, sf_dir: str, tile: int):

@@ -279,7 +279,67 @@ F4_TRIG: List[FixtureCase] = [
     ),
 ]
 
-ALL_CASES: List[FixtureCase] = F1_NT + F2_NQ + F5_GNQ + F3_TTL + F4_TRIG
+# --- F6: JSON-LD in HTML (jsonld/src/parser.rs toRdf subset) ---------------
+
+_SCHEMA = "https://schema.org/"
+
+F6_JSONLD: List[FixtureCase] = [
+    FixtureCase(
+        "jsonld_schema_org",
+        "jsonld",
+        '{"@context": "https://schema.org", "@id": "http://ex.org/alice",'
+        ' "@type": "Person", "name": "Alice", "age": 42}',
+        [
+            _t(
+                "<http://ex.org/alice>",
+                "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>",
+                f"<{_SCHEMA}Person>",
+            ),
+            _t("<http://ex.org/alice>", f"<{_SCHEMA}name>", '"Alice"'),
+            _t(
+                "<http://ex.org/alice>",
+                f"<{_SCHEMA}age>",
+                f'"42"^^<{_XSD}integer>',
+            ),
+        ],
+    ),
+    FixtureCase(
+        "jsonld_lang_graph",
+        "jsonld",
+        '{"@context": {"@vocab": "https://schema.org/"}, "@graph": ['
+        '{"@id": "http://ex.org/a", "name": {"@value": "chat", "@language": "fr"}},'
+        '{"@id": "http://ex.org/b", "name": "B"}]}',
+        [
+            _t("<http://ex.org/a>", f"<{_SCHEMA}name>", '"chat"@fr'),
+            _t("<http://ex.org/b>", f"<{_SCHEMA}name>", '"B"'),
+        ],
+    ),
+    FixtureCase(
+        "jsonld_nested_anon",
+        "jsonld",
+        '{"@context": {"@vocab": "https://schema.org/"},'
+        ' "@id": "http://ex.org/a", "knows": {"name": "Bob"}}',
+        None,
+        expected_count=2,
+    ),
+    FixtureCase(
+        "jsonld_list",
+        "jsonld",
+        '{"@context": {"@vocab": "https://schema.org/"},'
+        ' "@id": "http://ex.org/a", "itemListElement": {"@list": ["x", "y"]}}',
+        None,
+        expected_count=5,
+    ),
+    FixtureCase(
+        "jsonld_bad_json",
+        "jsonld",
+        "{this is not json",
+        [],
+        error_lines=1,
+    ),
+]
+
+ALL_CASES: List[FixtureCase] = F1_NT + F2_NQ + F5_GNQ + F3_TTL + F4_TRIG + F6_JSONLD
 
 
 def expected_skolemized(case: FixtureCase, url: str) -> List[Quad]:

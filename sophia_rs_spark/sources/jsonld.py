@@ -1,0 +1,318 @@
+"""JSON-LD 1.1 → RDF (toRdf) for the schema.org-flavored subset.
+
+Covers the FIXTURES.md F6 surface of sophia's JSON-LD parser
+(`jsonld/src/parser.rs:42-100`, options `jsonld/src/options.rs:106-402`):
+inline ``@context`` (term maps, ``@vocab``, ``@language``), bundled
+static remote contexts (the ``StaticLoader`` model,
+`jsonld/src/loader/static_loader.rs` — executors never do HTTP),
+``@id``/anonymous nodes, ``@type``, ``@value``/``@language``/
+``@direction``, typed values (JSON-LD canonical xsd:integer/xsd:double/
+xsd:boolean forms), ``@list`` → rdf:first/rest/nil, top-level
+``@graph``, nested node objects, arrays.
+
+Documented limitations vs the full spec (SURVEY.md §7 risk item):
+no ``@reverse``, ``@container: @index/@set`` beyond plain array
+semantics, ``@nest``, ``@included``, term-scoped contexts, or JSON
+literals.  Unmapped terms are dropped (spec behavior).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+from typing import Any, Dict, List, Optional, Tuple
+
+import pandas as pd
+
+from ..terms.iri import resolve, split_iri
+from ..terms.model import RDF, XSD, escape_literal
+from ..terms.xxh64 import skolem_label
+from .ntparser import _OUT_COLS
+
+RDF_TYPE_T = f"<{RDF}type>"
+RDF_FIRST_T = f"<{RDF}first>"
+RDF_REST_T = f"<{RDF}rest>"
+RDF_NIL_T = f"<{RDF}nil>"
+
+# Bundled static contexts (offline StaticLoader model).  schema.org's real
+# context is huge; the bundled version is @vocab-based, which yields the
+# same term→IRI mapping for plain terms.
+STATIC_CONTEXTS: Dict[str, Dict[str, Any]] = {
+    "https://schema.org": {"@vocab": "https://schema.org/"},
+    "http://schema.org": {"@vocab": "http://schema.org/"},
+    "https://schema.org/": {"@vocab": "https://schema.org/"},
+}
+
+_KEYWORDS = {
+    "@context", "@id", "@type", "@value", "@language", "@direction",
+    "@list", "@graph", "@vocab", "@base",
+}
+
+
+class JsonLdError(ValueError):
+    pass
+
+
+def _canon_double(v: float) -> str:
+    """JSON-LD canonical xsd:double lexical form (XSD canonical mapping:
+    mantissa E exponent, e.g. 3.14 → '3.14E0')."""
+    if v == 0:
+        return "0.0E0" if math.copysign(1, v) > 0 else "-0.0E0"
+    s = f"{v:E}"  # e.g. 3.140000E+00
+    mant, _, exp = s.partition("E")
+    mant = mant.rstrip("0")
+    if mant.endswith("."):
+        mant += "0"
+    exp_i = int(exp)
+    return f"{mant}E{exp_i}"
+
+
+class _Ctx:
+    def __init__(self, base: str):
+        self.terms: Dict[str, Any] = {}
+        self.vocab: Optional[str] = None
+        self.base = base
+        self.language: Optional[str] = None
+
+    def clone(self) -> "_Ctx":
+        c = _Ctx(self.base)
+        c.terms = dict(self.terms)
+        c.vocab = self.vocab
+        c.language = self.language
+        return c
+
+
+class _JsonLdToRdf:
+    def __init__(self, url: str):
+        self.url = url
+        self.counter = 0
+        self.triples: List[Tuple[str, str, str, Optional[str]]] = []
+
+    def _fresh_bnode(self) -> str:
+        self.counter += 1
+        return "_:" + skolem_label(self.url, f"\x00jld{self.counter}")
+
+    # -- context ------------------------------------------------------------
+
+    def _apply_context(self, ctx: _Ctx, spec: Any) -> _Ctx:
+        out = ctx.clone()
+        if spec is None:
+            return _Ctx(self.url)
+        specs = spec if isinstance(spec, list) else [spec]
+        for s in specs:
+            if isinstance(s, str):
+                bundled = STATIC_CONTEXTS.get(s.rstrip("/")) or STATIC_CONTEXTS.get(s)
+                if bundled is None:
+                    raise JsonLdError(f"remote context not bundled: {s}")
+                out = self._apply_context(out, bundled)
+                continue
+            if not isinstance(s, dict):
+                raise JsonLdError("invalid @context entry")
+            for k, v in s.items():
+                if k == "@vocab":
+                    out.vocab = v
+                elif k == "@base":
+                    out.base = (
+                        v if split_iri(v)[0] is not None else resolve(out.base, v)
+                    )
+                elif k == "@language":
+                    out.language = v
+                else:
+                    out.terms[k] = v
+        return out
+
+    def _expand_iri(self, ctx: _Ctx, value: str, vocab: bool) -> Optional[str]:
+        if value in ctx.terms:
+            t = ctx.terms[value]
+            mapped = t if isinstance(t, str) else t.get("@id", value)
+            if mapped != value:
+                return self._expand_iri(ctx, mapped, vocab=True)
+            return mapped
+        if ":" in value:
+            prefix, _, suffix = value.partition(":")
+            if prefix in ctx.terms and not suffix.startswith("//"):
+                t = ctx.terms[prefix]
+                pfx = t if isinstance(t, str) else t.get("@id")
+                return f"{pfx}{suffix}"
+            return value  # absolute IRI (or bnode id)
+        if vocab and ctx.vocab:
+            return f"{ctx.vocab}{value}"
+        if not vocab:
+            return resolve(ctx.base, value)
+        return None  # unmapped term → dropped
+
+    def _term_def(self, ctx: _Ctx, term: str) -> Dict[str, Any]:
+        t = ctx.terms.get(term)
+        return t if isinstance(t, dict) else {}
+
+    # -- values -------------------------------------------------------------
+
+    def _literal(self, lex: str, dt: Optional[str] = None, lang: Optional[str] = None,
+                 dir_: Optional[str] = None) -> str:
+        if lang is not None:
+            tag = lang.lower()
+            if dir_ is not None:
+                return f'"{escape_literal(lex)}"@{tag}--{dir_}'
+            return f'"{escape_literal(lex)}"@{tag}'
+        if dt is None or dt == f"{XSD}string":
+            return f'"{escape_literal(lex)}"'
+        return f'"{escape_literal(lex)}"^^<{dt}>'
+
+    def _scalar_to_term(self, ctx: _Ctx, v: Any, tdef: Dict[str, Any]) -> str:
+        t_type = tdef.get("@type")
+        if isinstance(v, bool):
+            return self._literal("true" if v else "false", f"{XSD}boolean")
+        if isinstance(v, int):
+            if t_type == "@id":
+                raise JsonLdError("numeric @id")
+            return self._literal(str(v), f"{XSD}integer")
+        if isinstance(v, float):
+            if v.is_integer() and abs(v) < 1e21 and t_type != f"{XSD}double":
+                return self._literal(str(int(v)), f"{XSD}integer")
+            return self._literal(_canon_double(v), f"{XSD}double")
+        # string
+        if t_type == "@id":
+            iri = self._expand_iri(ctx, v, vocab=False)
+            return f"<{iri}>"
+        if t_type:
+            dt = self._expand_iri(ctx, t_type, vocab=True)
+            return self._literal(v, dt)
+        lang = tdef.get("@language", ctx.language)
+        return self._literal(v, lang=lang)
+
+    def _value_object(self, ctx: _Ctx, v: Dict[str, Any]) -> str:
+        val = v["@value"]
+        lang = v.get("@language")
+        dir_ = v.get("@direction")
+        if "@type" in v:
+            dt = self._expand_iri(ctx, v["@type"], vocab=True)
+            if isinstance(val, bool):
+                val = "true" if val else "false"
+            return self._literal(str(val), dt)
+        if isinstance(val, bool):
+            return self._literal("true" if val else "false", f"{XSD}boolean")
+        if isinstance(val, int):
+            return self._literal(str(val), f"{XSD}integer")
+        if isinstance(val, float):
+            if val.is_integer() and abs(val) < 1e21:
+                return self._literal(str(int(val)), f"{XSD}integer")
+            return self._literal(_canon_double(val), f"{XSD}double")
+        return self._literal(str(val), lang=lang, dir_=dir_)
+
+    # -- nodes --------------------------------------------------------------
+
+    def _node_id(self, ctx: _Ctx, node: Dict[str, Any]) -> str:
+        if "@id" in node:
+            raw = node["@id"]
+            if raw.startswith("_:"):
+                return raw
+            iri = self._expand_iri(ctx, raw, vocab=False)
+            return f"<{iri}>"
+        return self._fresh_bnode()
+
+    def process_node(self, ctx: _Ctx, node: Dict[str, Any], graph: Optional[str]) -> str:
+        if "@context" in node:
+            ctx = self._apply_context(ctx, node["@context"])
+        if "@value" in node:
+            return self._value_object(ctx, node)
+        if "@list" in node:
+            return self._process_list(ctx, node["@list"], graph)
+        subject = self._node_id(ctx, node)
+        for key, value in node.items():
+            if key == "@type":
+                for t in value if isinstance(value, list) else [value]:
+                    tiri = self._expand_iri(ctx, t, vocab=True)
+                    if tiri:
+                        self.triples.append((subject, RDF_TYPE_T, f"<{tiri}>", graph))
+                continue
+            if key == "@graph":
+                # node with @id + @graph: named graph (TriG-like)
+                gname = subject if "@id" in node else graph
+                items = value if isinstance(value, list) else [value]
+                for item in items:
+                    self.process_node(ctx, item, gname)
+                continue
+            if key in _KEYWORDS:
+                continue
+            pred = self._expand_iri(ctx, key, vocab=True)
+            if pred is None:
+                continue  # unmapped term dropped
+            tdef = self._term_def(ctx, key)
+            values = value if isinstance(value, list) else [value]
+            if tdef.get("@container") == "@list":
+                head = self._process_list(ctx, values, graph, tdef)
+                self.triples.append((subject, f"<{pred}>", head, graph))
+                continue
+            for v in values:
+                obj = self._value_to_term(ctx, v, tdef, graph)
+                if obj is not None:
+                    self.triples.append((subject, f"<{pred}>", obj, graph))
+        return subject
+
+    def _value_to_term(self, ctx: _Ctx, v: Any, tdef: Dict[str, Any],
+                       graph: Optional[str]) -> Optional[str]:
+        if v is None:
+            return None
+        if isinstance(v, dict):
+            if "@value" in v:
+                return self._value_object(ctx, v)
+            if "@list" in v:
+                return self._process_list(ctx, v["@list"], graph, tdef)
+            return self.process_node(ctx, v, graph)
+        return self._scalar_to_term(ctx, v, tdef)
+
+    def _process_list(self, ctx: _Ctx, items: List[Any], graph: Optional[str],
+                      tdef: Optional[Dict[str, Any]] = None) -> str:
+        items = items if isinstance(items, list) else [items]
+        if not items:
+            return RDF_NIL_T
+        cells = [self._fresh_bnode() for _ in items]
+        for i, (cell, item) in enumerate(zip(cells, items)):
+            obj = self._value_to_term(ctx, item, tdef or {}, graph)
+            if obj is not None:
+                self.triples.append((cell, RDF_FIRST_T, obj, graph))
+            self.triples.append(
+                (cell, RDF_REST_T, cells[i + 1] if i + 1 < len(cells) else RDF_NIL_T, graph)
+            )
+        return cells[0]
+
+    def run(self, doc: Any):
+        ctx = _Ctx(self.url)
+        if isinstance(doc, dict) and "@context" in doc:
+            ctx = self._apply_context(ctx, doc["@context"])
+        if isinstance(doc, list):
+            for node in doc:
+                self.process_node(ctx, node, None)
+        elif isinstance(doc, dict):
+            if set(doc.keys()) <= {"@context", "@graph"} and "@graph" in doc:
+                items = doc["@graph"]
+                for node in items if isinstance(items, list) else [items]:
+                    self.process_node(ctx, node, None)
+            else:
+                self.process_node(ctx, doc, None)
+        else:
+            raise JsonLdError("top-level JSON-LD must be object or array")
+
+
+def parse_jsonld_document(
+    url: str, text: str
+) -> List[Tuple[int, Optional[str], Optional[str], Optional[str], Optional[str], Optional[str]]]:
+    """Parse one JSON-LD document → rows (line, s, p, o, g, error)."""
+    try:
+        doc = json.loads(text)
+    except json.JSONDecodeError as e:
+        return [(e.lineno, None, None, None, None, f"L{e.lineno}: invalid JSON: {e.msg}")]
+    proc = _JsonLdToRdf(url)
+    try:
+        proc.run(doc)
+    except JsonLdError as e:
+        return [(0, None, None, None, None, f"jsonld: {e}")]
+    return [(0, s, p, o, g, None) for (s, p, o, g) in proc.triples]
+
+
+def parse_jsonld_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+    rows = []
+    for url, text in zip(pdf["url"], pdf["text"]):
+        for r in parse_jsonld_document(url, text or ""):
+            rows.append((url, *r))
+    return pd.DataFrame(rows, columns=_OUT_COLS)

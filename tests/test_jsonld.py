@@ -1,0 +1,226 @@
+"""JSON-LD toRdf subset tests (FIXTURES.md F6; semantics per
+`jsonld/src/parser.rs:42-100` with StaticLoader-style offline contexts)."""
+
+import pytest
+
+from sophia_rs_spark.sources.jsonld import parse_jsonld_document
+from sophia_rs_spark.terms.model import RDF, XSD
+
+U = "https://site0.example.org/page/1"
+
+
+def good(rows):
+    assert all(r[5] is None for r in rows), rows
+    return [(r[1], r[2], r[3], r[4]) for r in rows]
+
+
+class TestBasics:
+    def test_id_and_property(self):
+        t = good(
+            parse_jsonld_document(
+                U,
+                '{"@context": {"name": "http://schema.org/name"},'
+                ' "@id": "http://ex.org/x", "name": "Alice"}',
+            )
+        )
+        assert t == [("<http://ex.org/x>", "<http://schema.org/name>", '"Alice"', None)]
+
+    def test_vocab_context(self):
+        t = good(
+            parse_jsonld_document(
+                U,
+                '{"@context": {"@vocab": "http://schema.org/"},'
+                ' "@id": "http://ex.org/x", "name": "Alice"}',
+            )
+        )
+        assert t[0][1] == "<http://schema.org/name>"
+
+    def test_bundled_schema_org_context(self):
+        t = good(
+            parse_jsonld_document(
+                U,
+                '{"@context": "https://schema.org",'
+                ' "@id": "http://ex.org/x", "name": "Alice"}',
+            )
+        )
+        assert t[0][1] == "<https://schema.org/name>"
+
+    def test_type(self):
+        t = good(
+            parse_jsonld_document(
+                U,
+                '{"@context": {"@vocab": "http://schema.org/"},'
+                ' "@id": "http://ex.org/x", "@type": "Person"}',
+            )
+        )
+        assert t == [
+            ("<http://ex.org/x>", f"<{RDF}type>", "<http://schema.org/Person>", None)
+        ]
+
+    def test_anonymous_node_gets_deterministic_bnode(self):
+        doc = '{"@context": {"@vocab": "http://s.org/"}, "name": "X"}'
+        a = good(parse_jsonld_document(U, doc))
+        b = good(parse_jsonld_document(U, doc))
+        c = good(parse_jsonld_document(U + "2", doc))
+        assert a == b
+        assert a[0][0].startswith("_:h")
+        assert a[0][0] != c[0][0]
+
+    def test_nested_node(self):
+        t = good(
+            parse_jsonld_document(
+                U,
+                '{"@context": {"@vocab": "http://s.org/"},'
+                ' "@id": "http://e/x", "knows": {"name": "Bob"}}',
+            )
+        )
+        assert len(t) == 2
+        knows = [x for x in t if x[1] == "<http://s.org/knows>"][0]
+        name = [x for x in t if x[1] == "<http://s.org/name>"][0]
+        assert knows[2] == name[0]  # object bnode is the nested subject
+
+    def test_unmapped_term_dropped(self):
+        t = good(
+            parse_jsonld_document(
+                U, '{"@id": "http://e/x", "unmapped": "v"}'
+            )
+        )
+        assert t == []
+
+    def test_relative_id_resolved_against_url(self):
+        t = good(
+            parse_jsonld_document(
+                U,
+                '{"@context": {"@vocab": "http://s.org/"},'
+                ' "@id": "sub/page", "name": "v"}',
+            )
+        )
+        assert t[0][0] == "<https://site0.example.org/page/sub/page>"
+
+
+class TestValues:
+    def test_typed_values(self):
+        t = good(
+            parse_jsonld_document(
+                U,
+                '{"@context": {"@vocab": "http://s.org/"}, "@id": "http://e/x",'
+                ' "age": 42, "score": 3.14, "ok": true}',
+            )
+        )
+        objs = {x[1]: x[2] for x in t}
+        assert objs["<http://s.org/age>"] == f'"42"^^<{XSD}integer>'
+        assert objs["<http://s.org/score>"] == f'"3.14E0"^^<{XSD}double>'
+        assert objs["<http://s.org/ok>"] == f'"true"^^<{XSD}boolean>'
+
+    def test_language_value_and_direction(self):
+        t = good(
+            parse_jsonld_document(
+                U,
+                '{"@context": {"@vocab": "http://s.org/"}, "@id": "http://e/x",'
+                ' "label": {"@value": "chat", "@language": "FR"},'
+                ' "rtl": {"@value": "x", "@language": "ar", "@direction": "rtl"}}',
+            )
+        )
+        objs = {x[1]: x[2] for x in t}
+        assert objs["<http://s.org/label>"] == '"chat"@fr'
+        assert objs["<http://s.org/rtl>"] == '"x"@ar--rtl'
+
+    def test_context_default_language(self):
+        t = good(
+            parse_jsonld_document(
+                U,
+                '{"@context": {"@vocab": "http://s.org/", "@language": "en"},'
+                ' "@id": "http://e/x", "label": "hello"}',
+            )
+        )
+        assert t[0][2] == '"hello"@en'
+
+    def test_explicit_value_type(self):
+        t = good(
+            parse_jsonld_document(
+                U,
+                '{"@context": {"@vocab": "http://s.org/"}, "@id": "http://e/x",'
+                f' "d": {{"@value": "2020-01-01", "@type": "{XSD}date"}}}}',
+            )
+        )
+        assert t[0][2] == f'"2020-01-01"^^<{XSD}date>'
+
+    def test_id_typed_term(self):
+        t = good(
+            parse_jsonld_document(
+                U,
+                '{"@context": {"@vocab": "http://s.org/",'
+                ' "url": {"@id": "http://s.org/url", "@type": "@id"}},'
+                ' "@id": "http://e/x", "url": "http://other.org/"}',
+            )
+        )
+        assert t[0][2] == "<http://other.org/>"
+
+
+class TestStructures:
+    def test_array_values(self):
+        t = good(
+            parse_jsonld_document(
+                U,
+                '{"@context": {"@vocab": "http://s.org/"}, "@id": "http://e/x",'
+                ' "tag": ["a", "b", "c"]}',
+            )
+        )
+        assert len(t) == 3
+
+    def test_list(self):
+        t = good(
+            parse_jsonld_document(
+                U,
+                '{"@context": {"@vocab": "http://s.org/"}, "@id": "http://e/x",'
+                ' "steps": {"@list": [1, 2]}}',
+            )
+        )
+        preds = [x[1] for x in t]
+        assert preds.count(f"<{RDF}first>") == 2
+        assert preds.count(f"<{RDF}rest>") == 2
+        assert len(t) == 5  # 4 list cells + link
+
+    def test_top_level_graph(self):
+        t = good(
+            parse_jsonld_document(
+                U,
+                '{"@context": {"@vocab": "http://s.org/"}, "@graph": ['
+                '{"@id": "http://e/a", "name": "A"},'
+                '{"@id": "http://e/b", "name": "B"}]}',
+            )
+        )
+        assert len(t) == 2
+        assert all(x[3] is None for x in t)
+
+    def test_named_graph_node(self):
+        t = good(
+            parse_jsonld_document(
+                U,
+                '{"@context": {"@vocab": "http://s.org/"},'
+                ' "@id": "http://e/g", "@graph": [{"@id": "http://e/a", "name": "A"}]}',
+            )
+        )
+        assert t == [("<http://e/a>", "<http://s.org/name>", '"A"', "<http://e/g>")]
+
+    def test_prefix_term(self):
+        t = good(
+            parse_jsonld_document(
+                U,
+                '{"@context": {"sc": "http://schema.org/"},'
+                ' "@id": "http://e/x", "sc:name": "v"}',
+            )
+        )
+        assert t[0][1] == "<http://schema.org/name>"
+
+
+class TestErrors:
+    def test_invalid_json_quarantined(self):
+        rows = parse_jsonld_document(U, "{not json")
+        assert rows[0][5] is not None and "invalid JSON" in rows[0][5]
+
+    def test_unbundled_remote_context(self):
+        rows = parse_jsonld_document(
+            U, '{"@context": "https://unknown.example/ctx", "@id": "http://e/x"}'
+        )
+        assert rows[0][5] is not None and "not bundled" in rows[0][5]
