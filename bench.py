@@ -65,11 +65,12 @@ def tiled_doc_pages(spark, sf_dir: str, tile: int):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     tiles = spark.range(tile).select(F.col("id").alias("tile"))
     npart = spark.sparkContext.defaultParallelism * 2
-    # repartition BEFORE synthesis: the parquet read is 1-2 partitions, so
-    # without this the html/md5 synthesis would run nearly serially
+    # repartition the SMALL side first (5k rows, cheap shuffle), then
+    # broadcast-crossJoin: the x100 expansion and html/md5 synthesis stay
+    # narrow and fully parallel — no 100x-inflated shuffle, no serial map
     tiled = (
-        docs.crossJoin(tiles)
-        .repartition(npart)
+        docs.repartition(npart)
+        .crossJoin(F.broadcast(tiles))
         .select(
             (F.col("doc_id") + F.col("tile") * 10_000_000).alias("doc_id"),
             F.concat(
@@ -162,15 +163,21 @@ def run_all(spark, sf_dir: str, tile: int):
     return results, counts
 
 
+SCALE_TILE = int(os.environ.get("SPARK_GRAFT_SCALE_TILE", "600"))
+
+
 def single_extract_run(cpus: int):
     """One extraction throughput measurement (triples/sec) at a given
-    parallelism — used by --scaling via subprocess (fresh JVM)."""
+    parallelism — used by --scaling via subprocess (fresh JVM).  Uses a
+    larger tiling than the default bench so parse/shuffle compute
+    dominates fixed JVM/scheduling overhead and the scaling signal is
+    about the work, not the harness."""
     spark = make_spark(cpus)
     try:
-        # warm-up (JVM/codegen) on a small slice
-        bench_extract(spark, SF_DIR, 2)
+        # warm-up (JVM/codegen/python workers) on a small slice
+        bench_extract(spark, SF_DIR, 4)
         t0 = time.time()
-        n = bench_extract(spark, SF_DIR, TILE)
+        n = bench_extract(spark, SF_DIR, SCALE_TILE)
         dt = time.time() - t0
         print(json.dumps({"cpus": cpus, "triples": n, "sec": round(dt, 3)}))
     finally:
@@ -198,7 +205,7 @@ def scaling_mode():
 
 Sandbox proxy for two cluster sizes: the same extraction job
 (synth pages → HTML extract → NT parse → skolemize → dedup) on the same
-input (documents ×{TILE} tiles at {SF_DIR}) at local[8] vs local[32].
+input (documents ×{SCALE_TILE} tiles at {SF_DIR}) at local[8] vs local[32].
 
 | parallelism | triples | wall sec | throughput (triples/sec) |
 |---|---|---|---|

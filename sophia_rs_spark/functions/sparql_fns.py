@@ -1,0 +1,230 @@
+"""SPARQL function library as Spark Column expressions (SURVEY.md §2.8).
+
+Each helper mirrors a builtin from `sparql/src/function.rs:35-452`,
+operating on the engine's canonical term encoding (one STRING column per
+term).  Error semantics: SPARQL evaluation errors map to NULL (sophia
+propagates errors as ``None``, `sparql/src/expression.rs` — same
+poisoning behavior as SQL NULL), so every helper is total.
+
+All expressions are built-in pyspark.sql.functions compositions —
+JVM-side, codegen-friendly; no Python UDFs in this module.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from ..terms.model import RDF, XSD
+
+# --- term structure accessors ----------------------------------------------
+
+
+def kind(term: Column) -> Column:
+    """Term kind discriminant (api/src/term.rs:47-58)."""
+    return (
+        F.when(term.startswith("_:"), F.lit(0))
+        .when(term.startswith("<<("), F.lit(3))
+        .when(term.startswith("<"), F.lit(1))
+        .when(term.startswith('"'), F.lit(2))
+        .when(term.startswith("?"), F.lit(4))
+        .otherwise(F.lit(None).cast("int"))
+    )
+
+
+def is_iri(term: Column) -> Column:
+    return kind(term) == 1
+
+
+def is_blank(term: Column) -> Column:
+    return kind(term) == 0
+
+
+def is_literal(term: Column) -> Column:
+    return kind(term) == 2
+
+
+def is_triple(term: Column) -> Column:
+    return kind(term) == 3
+
+
+def str_(term: Column) -> Column:
+    """STR(): IRI text or lexical form (function.rs:41)."""
+    return (
+        F.when(is_iri(term), F.regexp_extract(term, r"^<(.*)>$", 1))
+        .when(is_literal(term), lex(term))
+        .otherwise(F.lit(None).cast("string"))
+    )
+
+
+def lex(term: Column) -> Column:
+    """Lexical form of a literal (unescaping of \\" and \\\\ only; full
+    unescape needs the Python decoder — canonical encoding guarantees
+    no other escapes for values that round-trip Spark-side)."""
+    raw = F.regexp_extract(term, r'^"((?:[^"\\]|\\.)*)"', 1)
+    return F.replace(
+        F.replace(raw, F.lit('\\"'), F.lit('"')), F.lit("\\\\"), F.lit("\\")
+    )
+
+
+def lang(term: Column) -> Column:
+    """LANG() (function.rs:54): tag without direction; '' for plain."""
+    return F.when(
+        is_literal(term),
+        F.regexp_extract(term, r'"@([A-Za-z0-9-]+?)(?:--(?:ltr|rtl))?$', 1),
+    ).otherwise(F.lit(None).cast("string"))
+
+
+def datatype(term: Column) -> Column:
+    """DATATYPE() (function.rs:78) with the implicit-type rules."""
+    explicit = F.regexp_extract(term, r"\^\^<([^>]*)>$", 1)
+    has_dir = term.rlike(r'"@[A-Za-z0-9-]+--(?:ltr|rtl)$')
+    has_lang = term.rlike(r'"@[A-Za-z0-9-]+(?:--(?:ltr|rtl))?$')
+    return F.when(~is_literal(term), F.lit(None).cast("string")).otherwise(
+        F.when(explicit != "", explicit)
+        .when(has_dir, F.lit(f"{RDF}dirLangString"))
+        .when(has_lang, F.lit(f"{RDF}langString"))
+        .otherwise(F.lit(f"{XSD}string"))
+    )
+
+
+def iri_term(iri_text: Column) -> Column:
+    """IRI()/URI() constructor (function.rs:84)."""
+    return F.concat(F.lit("<"), iri_text, F.lit(">"))
+
+
+def strdt(lex_c: Column, dt_iri: Column) -> Column:
+    """STRDT() (function.rs:359)."""
+    return F.when(
+        dt_iri == f"{XSD}string", F.concat(F.lit('"'), lex_c, F.lit('"'))
+    ).otherwise(F.concat(F.lit('"'), lex_c, F.lit('"^^<'), dt_iri, F.lit(">")))
+
+
+def strlang(lex_c: Column, tag: Column) -> Column:
+    """STRLANG() (function.rs:340); canonical lowercase tag."""
+    return F.concat(F.lit('"'), lex_c, F.lit('"@'), F.lower(tag))
+
+
+# --- numeric value layer ----------------------------------------------------
+
+_NUMERIC_DTS = [
+    f"{XSD}integer",
+    f"{XSD}decimal",
+    f"{XSD}double",
+    f"{XSD}float",
+    f"{XSD}int",
+    f"{XSD}long",
+    f"{XSD}short",
+    f"{XSD}byte",
+    f"{XSD}nonNegativeInteger",
+    f"{XSD}positiveInteger",
+    f"{XSD}negativeInteger",
+    f"{XSD}nonPositiveInteger",
+    f"{XSD}unsignedLong",
+    f"{XSD}unsignedInt",
+    f"{XSD}unsignedShort",
+    f"{XSD}unsignedByte",
+]
+
+
+def is_numeric(term: Column) -> Column:
+    """isNUMERIC (function.rs:383): numeric datatype AND valid lexical."""
+    return datatype(term).isin(_NUMERIC_DTS) & numeric_value(term).isNotNull()
+
+
+def numeric_value(term: Column) -> Column:
+    """Typed numeric value (DOUBLE) with NULL on error — the SPARQL value
+    layer (`sparql/src/value/_number.rs`) flattened to double for
+    comparisons; exact decimal paths use ``decimal_value``."""
+    return F.when(
+        datatype(term).isin(_NUMERIC_DTS), lex(term).try_cast("double")
+    ).otherwise(F.lit(None).cast("double"))
+
+
+def decimal_value(term: Column) -> Column:
+    """DECIMAL(38,10) view for exact integer/decimal arithmetic
+    (documented deviation: >38 digits overflow to NULL, SURVEY.md §1.4)."""
+    return F.when(
+        datatype(term).isin(_NUMERIC_DTS), lex(term).try_cast("decimal(38,10)")
+    ).otherwise(F.lit(None).cast("decimal(38,10)"))
+
+
+# --- XSD constructor casts (SPARQL-exact, not Spark-cast) -------------------
+
+
+def xsd_boolean(term: Column) -> Column:
+    """xsd:boolean(): 'true'/'1' → true, 'false'/'0' → false, numeric
+    non-zero → true; anything else → NULL (function.rs:426-451 + XSD)."""
+    l = lex(term)
+    return (
+        F.when(l.isin("true", "1"), F.lit(True))
+        .when(l.isin("false", "0"), F.lit(False))
+        .when(
+            datatype(term).isin(_NUMERIC_DTS) & numeric_value(term).isNotNull(),
+            numeric_value(term) != 0.0,
+        )
+        .otherwise(F.lit(None).cast("boolean"))
+    )
+
+
+def xsd_integer(term: Column) -> Column:
+    """xsd:integer(): strict integer lexical (no float syntax) or
+    truncation of numeric values; NULL on error."""
+    l = lex(term)
+    dt = datatype(term)
+    return (
+        F.when(l == "true", F.lit(1).cast("long"))
+        .when(l == "false", F.lit(0).cast("long"))
+        .when(
+            dt.isin(f"{XSD}string", f"{XSD}integer") & l.rlike(r"^[+-]?\d+$"),
+            l.try_cast("long"),
+        )
+        .when(dt.isin(_NUMERIC_DTS), numeric_value(term).try_cast("long"))
+        .otherwise(F.lit(None).cast("long"))
+    )
+
+
+def xsd_double(term: Column) -> Column:
+    l = lex(term)
+    return (
+        F.when(l == "true", F.lit(1.0))
+        .when(l == "false", F.lit(0.0))
+        .otherwise(l.try_cast("double"))
+    )
+
+
+# --- EBV / boolean layer ----------------------------------------------------
+
+
+def ebv(term: Column) -> Column:
+    """Effective boolean value (SPARQL 17.2.2): booleans by value, numerics
+    non-zero, strings non-empty; type error → NULL (row dropped by
+    Filter, matching error-poisoning in exec.rs:597-625)."""
+    dt = datatype(term)
+    return (
+        F.when(dt == f"{XSD}boolean", xsd_boolean(term))
+        .when(dt.isin(_NUMERIC_DTS), numeric_value(term) != 0.0)
+        .when(
+            dt.isin(f"{XSD}string", f"{RDF}langString", f"{RDF}dirLangString"),
+            F.length(lex(term)) > 0,
+        )
+        .otherwise(F.lit(None).cast("boolean"))
+    )
+
+
+# --- SPARQL ORDER BY key ----------------------------------------------------
+
+
+def order_key(term: Column):
+    """Composite sort key implementing SPARQL ordering (exec.rs:826-893 +
+    api/src/term.rs:413-471): unbound first, then kind, then typed
+    numeric value for comparable literals, then datatype/lang, then
+    lexical form.  Use as ``df.orderBy(*order_key(col))``."""
+    return [
+        term.isNotNull(),  # unbound (NULL) sorts first
+        kind(term),
+        F.when(is_numeric(term), numeric_value(term)).otherwise(F.lit(None)),
+        datatype(term),
+        lang(term),
+        F.when(is_literal(term), lex(term)).otherwise(term),
+    ]

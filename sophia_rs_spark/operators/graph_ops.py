@@ -142,7 +142,13 @@ def insert_all(df: DataFrame, new: DataFrame, set_graph: bool = True) -> DataFra
 
 def remove_all(df: DataFrame, gone: DataFrame) -> DataFrame:
     cols = [c for c in ("s", "p", "o", "g") if c in gone.columns and c in df.columns]
-    return df.join(gone.select(*cols), cols, "left_anti")
+    # null-safe keys: the default graph is NULL and must still match
+    l, r = df.alias("l"), gone.select(*cols).alias("r")
+    cond = None
+    for c in cols:
+        eq = F.col(f"l.{c}").eqNullSafe(F.col(f"r.{c}"))
+        cond = eq if cond is None else (cond & eq)
+    return l.join(r, cond, "left_anti")
 
 
 def remove_matching(
