@@ -63,6 +63,10 @@ def _parse_payload_batch(pdf: pd.DataFrame, strict: bool) -> pd.DataFrame:
             from ..sources.jsonld import parse_jsonld_batch
 
             parsed = parse_jsonld_batch(grp[["url", "text"]])
+        elif fmt == "rdfxml":
+            from ..sources.rdfxml import parse_rdfxml_batch
+
+            parsed = parse_rdfxml_batch(grp[["url", "text"]])
         else:
             parsed = pd.DataFrame(
                 {
@@ -90,6 +94,7 @@ def extract_quads(
     strict: bool = False,
     from_html: bool = True,
     default_fmt: str = "nt",
+    microdata: bool = False,
 ) -> DataFrame:
     """pages(url, warc_ts, html, text, lang[, fmt]) → quads DataFrame.
 
@@ -111,7 +116,19 @@ def extract_quads(
                 payloads = pdf.rename(columns=str)
                 if "fmt" not in payloads.columns:
                     payloads["fmt"] = default_fmt
-            yield _parse_payload_batch(payloads, strict)
+            out = _parse_payload_batch(payloads, strict)
+            if microdata and from_html:
+                from ..sources.microdata import extract_microdata_batch
+
+                md = extract_microdata_batch(pdf)
+                if len(md):
+                    md = md.copy()
+                    md["fmt"] = "microdata"
+                    out = pd.concat(
+                        [out, md[["url", "line", "fmt", "s", "p", "o", "g", "error"]]],
+                        ignore_index=True,
+                    )
+            yield out
 
     return src.mapInPandas(run, schema=QUADS_SCHEMA)
 

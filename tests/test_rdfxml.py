@@ -1,0 +1,118 @@
+"""RDF/XML parser tests (F8 subset; semantics per xml/src/parser.rs)."""
+
+from sophia_rs_spark.sources.rdfxml import parse_rdfxml_document
+from sophia_rs_spark.terms.model import RDF, XSD
+
+U = "https://site0.example.org/page/9"
+RDF_TYPE = f"<{RDF}type>"
+
+HDR = f'<rdf:RDF xmlns:rdf="{RDF}" xmlns:ex="http://ex.org/">'
+
+
+def good(rows):
+    assert all(r[5] is None for r in rows), rows
+    return [(r[1], r[2], r[3]) for r in rows]
+
+
+def test_description_about_literal():
+    t = good(
+        parse_rdfxml_document(
+            U, HDR + '<rdf:Description rdf:about="http://e/x">'
+            "<ex:name>Alice</ex:name></rdf:Description></rdf:RDF>"
+        )
+    )
+    assert t == [("<http://e/x>", "<http://ex.org/name>", '"Alice"')]
+
+
+def test_typed_node():
+    t = good(
+        parse_rdfxml_document(
+            U, HDR + '<ex:Person rdf:about="http://e/x"/></rdf:RDF>'
+        )
+    )
+    assert t == [("<http://e/x>", RDF_TYPE, "<http://ex.org/Person>")]
+
+
+def test_resource_and_relative():
+    t = good(
+        parse_rdfxml_document(
+            U, HDR + '<rdf:Description rdf:about="http://e/x">'
+            '<ex:link rdf:resource="/other"/></rdf:Description></rdf:RDF>'
+        )
+    )
+    assert t == [("<http://e/x>", "<http://ex.org/link>", "<https://site0.example.org/other>")]
+
+
+def test_xml_lang_inherited():
+    t = good(
+        parse_rdfxml_document(
+            U, HDR + '<rdf:Description rdf:about="http://e/x" xml:lang="EN">'
+            "<ex:name>Alice</ex:name></rdf:Description></rdf:RDF>"
+        )
+    )
+    assert t[0][2] == '"Alice"@en'
+
+
+def test_datatype():
+    t = good(
+        parse_rdfxml_document(
+            U, HDR + '<rdf:Description rdf:about="http://e/x">'
+            f'<ex:age rdf:datatype="{XSD}integer">42</ex:age>'
+            "</rdf:Description></rdf:RDF>"
+        )
+    )
+    assert t[0][2] == f'"42"^^<{XSD}integer>'
+
+
+def test_nested_node_and_bnodes():
+    t = good(
+        parse_rdfxml_document(
+            U, HDR + '<rdf:Description rdf:about="http://e/x">'
+            "<ex:knows><ex:Person><ex:name>Bob</ex:name></ex:Person></ex:knows>"
+            "</rdf:Description></rdf:RDF>"
+        )
+    )
+    assert len(t) == 3
+    knows = [x for x in t if x[1] == "<http://ex.org/knows>"][0]
+    assert knows[2].startswith("_:h")
+
+
+def test_nodeid_shared():
+    t = good(
+        parse_rdfxml_document(
+            U, HDR + '<rdf:Description rdf:about="http://e/x">'
+            '<ex:p rdf:nodeID="b1"/></rdf:Description>'
+            '<rdf:Description rdf:nodeID="b1"><ex:name>N</ex:name></rdf:Description>'
+            "</rdf:RDF>"
+        )
+    )
+    obj = [x for x in t if x[1] == "<http://ex.org/p>"][0][2]
+    subj = [x for x in t if x[1] == "<http://ex.org/name>"][0][0]
+    assert obj == subj
+
+
+def test_property_attributes():
+    t = good(
+        parse_rdfxml_document(
+            U, HDR + '<ex:Person rdf:about="http://e/x" ex:name="Alice"/></rdf:RDF>'
+        )
+    )
+    assert ("<http://e/x>", "<http://ex.org/name>", '"Alice"') in t
+
+
+def test_parse_type_resource():
+    t = good(
+        parse_rdfxml_document(
+            U, HDR + '<rdf:Description rdf:about="http://e/x">'
+            '<ex:addr rdf:parseType="Resource"><ex:zip>69000</ex:zip></ex:addr>'
+            "</rdf:Description></rdf:RDF>"
+        )
+    )
+    assert len(t) == 2
+    addr = [x for x in t if x[1] == "<http://ex.org/addr>"][0][2]
+    assert (addr, "<http://ex.org/zip>", '"69000"') in t
+
+
+def test_bad_xml_quarantined():
+    rows = parse_rdfxml_document(U, "<rdf:RDF><unclosed>")
+    assert rows[0][5] is not None
