@@ -444,6 +444,50 @@ def _q_emb_knn(spark, sf):
     )
 
 
+def _q_path_plus(spark, sf):
+    """Property path `next+` over supplier chain edges (same-nation
+    consecutive suppliers) — the ZeroOrMore/OneOrMore BFS fixpoint."""
+    from sophia_rs_spark.operators import paths as P
+
+    sup = _read(spark, sf, "supplier")
+    a, b = sup.alias("a"), sup.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("b.s_suppkey") == F.col("a.s_suppkey") + 1)
+            & (F.col("a.s_nationkey") == F.col("b.s_nationkey")),
+        )
+        .select(
+            F.concat(
+                F.lit(f"<{EX}supplier/"), F.col("a.s_suppkey").cast("string"), F.lit(">")
+            ).alias("src"),
+            F.concat(
+                F.lit(f"<{EX}supplier/"), F.col("b.s_suppkey").cast("string"), F.lit(">")
+            ).alias("dst"),
+        )
+    )
+    return P.one_or_more(edges)
+
+
+_RDFS = "http://www.w3.org/2000/01/rdf-schema#"
+_SCHEMA_ROWS = [
+    (T_CUSTOMER, f"<{_RDFS}subClassOf>", f"<{VOC}Agent>"),
+    (f"<{VOC}Supplier>", f"<{_RDFS}subClassOf>", f"<{VOC}Agent>"),
+    (f"<{VOC}Agent>", f"<{_RDFS}subClassOf>", f"<{VOC}Party>"),
+    (P_IN_NATION, f"<{_RDFS}domain>", f"<{VOC}Located>"),
+    (P_IN_NATION, f"<{_RDFS}range>", f"<{VOC}Place>"),
+]
+
+
+def _q_rdfs_closure(spark, sf):
+    """RDFS saturation of the direct-mapped graph + a small schema."""
+    from sophia_rs_spark.operators.reasoner import rdfs_saturate
+
+    t = spark_triples(spark, sf)
+    schema = spark.createDataFrame(_SCHEMA_ROWS, "s string, p string, o string")
+    return rdfs_saturate(t.unionByName(schema))
+
+
 def _q_link_components(spark, sf):
     return connected_components(_link_edges(spark, sf))
 
@@ -493,6 +537,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_lsh_pairs": _q_doc_lsh_pairs,
         # embeddings: similarity search
         "emb_knn": _q_emb_knn,
+        # property paths + entailment
+        "path_plus": _q_path_plus,
+        "rdfs_closure": _q_rdfs_closure,
         # entity linking / canonicalization
         "link_components": _q_link_components,
         "link_canonicalized": _q_link_canonicalized,
@@ -738,6 +785,51 @@ ranked AS (
   FROM sims)
 SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank
 FROM ranked WHERE rank <= 5
+""".strip()
+
+    qs["path_plus"] = f"""
+WITH RECURSIVE e AS (
+  SELECT '<{EX}supplier/' || CAST(a.s_suppkey AS VARCHAR) || '>' AS src,
+         '<{EX}supplier/' || CAST(b.s_suppkey AS VARCHAR) || '>' AS dst
+  FROM supplier a JOIN supplier b
+    ON b.s_suppkey = a.s_suppkey + 1 AND a.s_nationkey = b.s_nationkey
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM e
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN e ON e.src = r.dst
+)
+SELECT src, dst FROM reach
+""".strip()
+
+    _schema_values = ", ".join(f"('{s}', '{p}', '{o}')" for s, p, o in _SCHEMA_ROWS)
+    _tc_pairs = ", ".join(
+        f"('{a}', '{b}')"
+        for a, b in [
+            (T_CUSTOMER, f"<{VOC}Agent>"),
+            (f"<{VOC}Supplier>", f"<{VOC}Agent>"),
+            (f"<{VOC}Agent>", f"<{VOC}Party>"),
+            (T_CUSTOMER, f"<{VOC}Party>"),
+            (f"<{VOC}Supplier>", f"<{VOC}Party>"),
+        ]
+    )
+    qs["rdfs_closure"] = f"""
+WITH triples AS (
+{duckdb_cte()}
+),
+schema_t(s, p, o) AS (VALUES {_schema_values}),
+base AS (SELECT s, p, o FROM triples UNION SELECT s, p, o FROM schema_t),
+tc(sub, sup) AS (VALUES {_tc_pairs})
+SELECT s, p, o FROM base
+UNION
+SELECT sub, '<{_RDFS}subClassOf>', sup FROM tc
+UNION  -- rdfs9: inherited types through the subclass closure
+SELECT b.s, '{P_TYPE}', tc.sup FROM base b JOIN tc ON b.o = tc.sub
+WHERE b.p = '{P_TYPE}'
+UNION  -- rdfs2: domain of inNation
+SELECT s, '{P_TYPE}', '<{VOC}Located>' FROM base WHERE p = '{P_IN_NATION}'
+UNION  -- rdfs3: range of inNation
+SELECT o, '{P_TYPE}', '<{VOC}Place>' FROM base WHERE p = '{P_IN_NATION}'
 """.strip()
 
     qs["link_components"] = _CC_SQL
