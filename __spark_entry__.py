@@ -367,81 +367,49 @@ def _q_doc_langid(spark, sf):
 
 
 def _q_doc_minhash(spark, sf):
-    d = _read(spark, sf, "documents").select("doc_id", F.split("text", " ").alias("t"))
-    d = d.filter(F.size("t") >= 3)
-    sh = d.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(1), F.size("t") - 2)).alias("i"),
-        F.col("t"),
-    ).select(
-        "doc_id",
-        F.concat_ws(
-            " ",
-            F.element_at("t", F.col("i")),
-            F.element_at("t", F.col("i") + 1),
-            F.element_at("t", F.col("i") + 2),
-        ).alias("shingle"),
-    )
-    bands = spark.range(4).select(F.col("id").cast("int").alias("band"))
-    sh = sh.crossJoin(F.broadcast(bands))
-    return sh.groupBy("doc_id", "band").agg(
-        F.min(
-            F.md5(
-                F.concat(F.col("band").cast("string"), F.lit(":"), F.col("shingle")).cast(
-                    "binary"
-                )
-            )
-        ).alias("minhash")
-    )
+    from sophia_rs_spark.operators.dedup import minhash_signatures
+
+    return minhash_signatures(_read(spark, sf, "documents"), bands=4, k=3)
 
 
 def _q_doc_lsh_pairs(spark, sf):
-    sig = _q_doc_minhash(spark, sf)
-    a = sig.alias("a")
-    b = sig.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.minhash") == F.col("b.minhash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
+    from sophia_rs_spark.operators.dedup import lsh_candidate_pairs
+
+    return lsh_candidate_pairs(_q_doc_minhash(spark, sf))
+
+
+def _q_doc_jaccard(spark, sf):
+    from sophia_rs_spark.operators.dedup import ngram_jaccard
+
+    docs = _read(spark, sf, "documents")
+    return ngram_jaccard(docs, _q_doc_lsh_pairs(spark, sf), k=3).select(
+        "doc_a", "doc_b", "inter", "uni", "jacc_permille"
     )
+
+
+def _q_doc_simhash(spark, sf):
+    from sophia_rs_spark.operators.dedup import simhash
+
+    return simhash(_read(spark, sf, "documents"))
+
+
+def _q_doc_rolling_fp(spark, sf):
+    from sophia_rs_spark.operators.textstats import rolling_fingerprint
+
+    return rolling_fingerprint(_read(spark, sf, "documents"), window=8)
 
 
 def _q_emb_knn(spark, sf):
-    e = _read(spark, sf, "embeddings").select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("vec")
-    )
-    dot = lambda u, w: F.aggregate(
-        F.zip_with(u, w, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
-    )
-    e = e.withColumn("norm", F.sqrt(dot(F.col("vec"), F.col("vec"))))
-    q = e.filter(F.col("vec_id") < 3).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("vec").alias("qvec"),
-        F.col("norm").alias("qnorm"),
-    )
-    sims = (
-        F.broadcast(q)
-        .crossJoin(e)
-        .filter(F.col("query_id") != F.col("vec_id"))
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            (dot(F.col("qvec"), F.col("vec")) / (F.col("qnorm") * F.col("norm"))).alias(
-                "sim"
-            ),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
-    return (
-        sims.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 5)
-        .select("query_id", "neighbor_id", "rank")
-    )
+    from sophia_rs_spark.operators.similarity import brute_force_knn
+
+    e = _read(spark, sf, "embeddings")
+    return brute_force_knn(e, e.filter(F.col("vec_id") < 3), k=5)
+
+
+def _q_emb_knn_bucketed(spark, sf):
+    from sophia_rs_spark.operators.similarity import bucketed_knn
+
+    return bucketed_knn(_read(spark, sf, "embeddings"), k=5, n_planes=6)
 
 
 def _q_path_plus(spark, sf):
@@ -535,8 +503,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_langid": _q_doc_langid,
         "doc_minhash": _q_doc_minhash,
         "doc_lsh_pairs": _q_doc_lsh_pairs,
+        "doc_jaccard": _q_doc_jaccard,
+        "doc_simhash": _q_doc_simhash,
+        "doc_rolling_fp": _q_doc_rolling_fp,
         # embeddings: similarity search
         "emb_knn": _q_emb_knn,
+        "emb_knn_bucketed": _q_emb_knn_bucketed,
         # property paths + entailment
         "path_plus": _q_path_plus,
         "rdfs_closure": _q_rdfs_closure,
@@ -767,6 +739,71 @@ WITH sig AS ({_MINHASH_SQL})
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM sig a JOIN sig b
   ON a.band = b.band AND a.minhash = b.minhash AND a.doc_id < b.doc_id
+""".strip()
+    qs["doc_jaccard"] = f"""
+WITH sig AS ({_MINHASH_SQL}),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sig a JOIN sig b
+    ON a.band = b.band AND a.minhash = b.minhash AND a.doc_id < b.doc_id
+),
+toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+  WHERE len(string_split(text, ' ')) >= 3
+),
+sh AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+  FROM toks, UNNEST(generate_series(1, len(t)-2)) AS g(i)
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT p.doc_a, p.doc_b, count(*) AS inter
+  FROM pairs p
+  JOIN sh a ON a.doc_id = p.doc_a
+  JOIN sh b ON b.doc_id = p.doc_b AND b.shingle = a.shingle
+  GROUP BY p.doc_a, p.doc_b
+)
+SELECT i.doc_a, i.doc_b, i.inter,
+       sa.n + sb.n - i.inter AS uni,
+       CAST(floor(i.inter * 1000.0 / (sa.n + sb.n - i.inter)) AS BIGINT)
+         AS jacc_permille
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+""".strip()
+    qs["doc_simhash"] = """
+WITH toks AS (
+  SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents
+),
+h AS (SELECT doc_id, md5(tok) AS hx FROM toks WHERE tok <> ''),
+bits AS (
+  SELECT doc_id, g.b,
+         CAST(floor(
+           (strpos('0123456789abcdef',
+                   substr(hx, CAST(floor(g.b / 4.0) AS INT) + 1, 1)) - 1)
+           / power(2, g.b % 4)) AS INT) % 2 AS bit
+  FROM h, (SELECT UNNEST(generate_series(0, 59)) AS b) g
+),
+votes AS (
+  SELECT doc_id, b, sum(bit) AS ones, count(*) AS n FROM bits GROUP BY 1, 2
+)
+SELECT doc_id,
+       string_agg(CASE WHEN ones * 2 >= n THEN '1' ELSE '0' END, ''
+                  ORDER BY b) AS simhash
+FROM votes GROUP BY doc_id
+""".strip()
+    qs["doc_rolling_fp"] = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+  WHERE len(string_split(text, ' ')) >= 8
+),
+win AS (
+  SELECT doc_id,
+         md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' ||
+             t[i+4] || ' ' || t[i+5] || ' ' || t[i+6] || ' ' || t[i+7]) AS wh
+  FROM toks, UNNEST(generate_series(1, len(t)-7)) AS g(i)
+)
+SELECT doc_id, min(wh) AS fingerprint FROM win GROUP BY doc_id
 """.strip()
 
     qs["emb_knn"] = """

@@ -1,0 +1,177 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k as the correctness baseline, plus an
+LSH-bucketed (random-hyperplane signs) variant as the scale path: at
+100 TB you never cross-join the full corpus — candidates come from a
+bucket equi-join, then exact cosine reranks within buckets.
+
+Dot products run through ``F.aggregate``/``F.zip_with`` (JVM higher-
+order functions, no Python).  Hyperplanes are deterministic (seeded
+from md5 of (plane, dim)), so bucket assignments are reproducible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _dot(u: Column, w: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(u, w, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def with_norms(emb: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    return emb.select(
+        F.col(id_col), v.alias("vec")
+    ).withColumn("norm", F.sqrt(_dot(F.col("vec"), F.col("vec"))))
+
+
+def brute_force_knn(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact cosine top-k: broadcast the (small) query set against the
+    corpus; rank ties broken by neighbor id (deterministic)."""
+    e = with_norms(emb, id_col=id_col)
+    q = with_norms(queries, id_col=id_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col("vec").alias("qvec"),
+        F.col("norm").alias("qnorm"),
+    )
+    sims = (
+        F.broadcast(q)
+        .crossJoin(e)
+        .filter(F.col("query_id") != F.col(id_col))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            (_dot(F.col("qvec"), F.col("vec")) / (F.col("qnorm") * F.col("norm"))).alias(
+                "sim"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+def _hyperplanes(spark, n_planes: int, dim: int) -> DataFrame:
+    """Deterministic pseudo-random hyperplanes: component (p, d) =
+    ±(md5-derived uniform) — seeded, no RNG state."""
+    planes = spark.range(n_planes).select(F.col("id").cast("int").alias("plane"))
+    dims = spark.range(dim).select(F.col("id").cast("int").alias("d"))
+    comp = planes.crossJoin(dims).select(
+        "plane",
+        "d",
+        (
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(":", F.col("plane"), F.col("d")).cast("binary")
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("double")
+                / F.lit(float(16**8))
+            )
+            * 2.0
+            - 1.0
+        ).alias("w"),
+    )
+    return comp.groupBy("plane").agg(
+        F.array_sort(F.collect_list(F.struct("d", "w"))).alias("dw")
+    ).select("plane", F.transform("dw", lambda s: s["w"]).alias("pvec"))
+
+
+def lsh_buckets(
+    emb: DataFrame, n_planes: int = 8, id_col: str = "vec_id"
+) -> DataFrame:
+    """Random-hyperplane LSH: (vec_id, bucket) where bucket is the sign
+    bitmask across planes.  Equi-join on bucket replaces the cross join
+    at scale."""
+    spark = emb.sparkSession
+    dim = len(emb.select("embedding").first()[0])
+    e = with_norms(emb, id_col=id_col)
+    planes = _hyperplanes(spark, n_planes, dim)
+    signs = e.crossJoin(F.broadcast(planes)).select(
+        id_col,
+        "plane",
+        (_dot(F.col("vec"), F.col("pvec")) >= 0).cast("int").alias("sign"),
+    )
+    return signs.groupBy(id_col).agg(
+        F.sum(
+            F.col("sign").cast("bigint") * F.expr("shiftleft(1L, plane)")
+        ).alias("bucket")
+    )
+
+
+def bucketed_knn(
+    emb: DataFrame, k: int = 5, n_planes: int = 6, id_col: str = "vec_id"
+) -> DataFrame:
+    """Approximate all-pairs top-k: exact cosine only within LSH buckets."""
+    e = with_norms(emb, id_col=id_col)
+    b = lsh_buckets(emb, n_planes, id_col)
+    eb = e.join(b, id_col)
+    a, c = eb.alias("a"), eb.alias("c")
+    sims = (
+        a.join(
+            c,
+            (F.col("a.bucket") == F.col("c.bucket"))
+            & (F.col(f"a.{id_col}") != F.col(f"c.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("query_id"),
+            F.col(f"c.{id_col}").alias("neighbor_id"),
+            (
+                _dot(F.col("a.vec"), F.col("c.vec"))
+                / (F.col("a.norm") * F.col("c.norm"))
+            ).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+def cosine_near_duplicates(
+    emb: DataFrame, threshold_permille: int = 950, n_planes: int = 4, id_col: str = "vec_id"
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs above a permille threshold, bucketed
+    by LSH; integer permille output (float-free for oracles)."""
+    e = with_norms(emb, id_col=id_col)
+    b = lsh_buckets(emb, n_planes, id_col)
+    eb = e.join(b, id_col)
+    a, c = eb.alias("a"), eb.alias("c")
+    return (
+        a.join(
+            c,
+            (F.col("a.bucket") == F.col("c.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"c.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"c.{id_col}").alias("doc_b"),
+            F.floor(
+                _dot(F.col("a.vec"), F.col("c.vec"))
+                / (F.col("a.norm") * F.col("c.norm"))
+                * 1000
+            ).alias("cos_permille"),
+        )
+        .filter(F.col("cos_permille") >= threshold_permille)
+    )
