@@ -317,6 +317,32 @@ def _q_events_window(spark, sf):
     )
 
 
+def _q_events_sessionize(spark, sf):
+    """Gap-based sessionization (30-min inactivity): per user, session
+    count + max session length — the batch twin of the streaming
+    stateful operator (lag + cumulative sum over an event-time window)."""
+    e = _read(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sess = (
+        e.withColumn("prev_ts", F.lag("ts").over(w))
+        .withColumn(
+            "new_sess",
+            (
+                F.col("prev_ts").isNull()
+                | (F.unix_timestamp("ts") - F.unix_timestamp("prev_ts") > 1800)
+            ).cast("int"),
+        )
+        .withColumn("sess_id", F.sum("new_sess").over(w))
+    )
+    per_sess = sess.groupBy("user_id", "sess_id").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    return per_sess.groupBy("user_id").agg(
+        F.max("sess_id").cast("bigint").alias("n_sessions"),
+        F.max("n_events").alias("max_session_events"),
+    )
+
+
 def _q_doc_fingerprints(spark, sf):
     d = _read(spark, sf, "documents")
     return d.select("doc_id", F.expr("md5(text)").alias("fp"))
@@ -495,6 +521,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fn_group_concat": _q_fn_group_concat,
         # events
         "events_window": _q_events_window,
+        "events_sessionize": _q_events_sessionize,
         # documents: dedup / text analysis
         "doc_fingerprints": _q_doc_fingerprints,
         "doc_dedup_exact": _q_doc_dedup_exact,
@@ -700,6 +727,34 @@ GROUP BY t3.o
 SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
        event_type, count(*) AS cnt, min(value) AS vmin, max(value) AS vmax
 FROM events GROUP BY 1, 2
+""".strip()
+
+    qs["events_sessionize"] = """
+WITH lagged AS (
+  SELECT user_id, event_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+),
+flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN prev_ts IS NULL
+                   OR epoch(ts) - epoch(prev_ts) > 1800
+              THEN 1 ELSE 0 END AS new_sess,
+         event_id
+  FROM lagged
+),
+sess AS (
+  SELECT user_id,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM flagged
+),
+per_sess AS (
+  SELECT user_id, sess_id, count(*) AS n_events FROM sess GROUP BY 1, 2
+)
+SELECT user_id, CAST(max(sess_id) AS BIGINT) AS n_sessions,
+       max(n_events) AS max_session_events
+FROM per_sess GROUP BY user_id
 """.strip()
 
     qs["doc_fingerprints"] = "SELECT doc_id, md5(text) AS fp FROM documents"

@@ -53,11 +53,13 @@ def _parse_payload_batch(pdf: pd.DataFrame, strict: bool) -> pd.DataFrame:
                 mode["generalized"] = False
                 mode["quads"] = True
             parsed = parse_nx_batch(grp[["url", "text"]], **mode)
-        elif fmt in ("ttl", "trig"):
+        elif fmt in ("ttl", "trig", "gtrig"):
             from ..sources.turtle import parse_turtle_batch
 
             parsed = parse_turtle_batch(
-                grp[["url", "text"]], quads=(fmt == "trig")
+                grp[["url", "text"]],
+                quads=fmt in ("trig", "gtrig"),
+                generalized=(fmt == "gtrig" and not strict),
             )
         elif fmt == "jsonld":
             from ..sources.jsonld import parse_jsonld_batch

@@ -26,7 +26,7 @@ import html as _htmllib
 from html.parser import HTMLParser
 from typing import List, Optional, Tuple
 
-PAYLOAD_FORMATS = ("nt", "nq", "ttl", "trig", "gnq", "rdfxml", "jsonld")
+PAYLOAD_FORMATS = ("nt", "nq", "ttl", "trig", "gnq", "gtrig", "rdfxml", "jsonld")
 
 
 class _PayloadExtractor(HTMLParser):

@@ -78,6 +78,7 @@ _DECIMAL = r"[+-]?\d*\.\d+"
 _INTEGER = r"[+-]?\d+"
 
 _LANGDIR = r"@[A-Za-z]+(?:-[A-Za-z0-9]+)*(?:--(?:ltr|rtl))?"
+_VAR = rf"\?[{_PN_CHARS_U}0-9][{_PN_CHARS_U}0-9\u00b7\u0300-\u036f\u203f-\u2040]*"
 
 TOKEN_RE = re.compile(
     rf"""(?x)
@@ -100,6 +101,7 @@ TOKEN_RE = re.compile(
     | (?P<dtsep>\^\^)
     | (?P<kw>(?i:PREFIX|BASE|VERSION|GRAPH)(?=[\s<:#]|$))
     | (?P<boolean>(?:true|false)(?=[\s;,.)\]}}#]|$))
+    | (?P<var>{_VAR})
     | (?P<a>a(?=[\s<_"'(\[#]|$))
     | (?P<pname>(?:{_PN_PREFIX})?:(?:{_PN_LOCAL})?)
     | (?P<punct>[;,.\[\]()~{{}}])
@@ -116,10 +118,11 @@ class TurtleError(ValueError):
 
 
 class _TurtleParser:
-    def __init__(self, url: str, text: str, trig: bool):
+    def __init__(self, url: str, text: str, trig: bool, generalized: bool = False):
         self.url = url
         self.text = text
         self.trig = trig
+        self.generalized = generalized
         self.base = url
         self.prefixes: dict[str, str] = {}
         self.quads: List[Tuple[str, str, str, Optional[str]]] = []
@@ -160,6 +163,16 @@ class _TurtleParser:
         if t[0] != kind or (text is not None and t[1] != text):
             raise TurtleError(f"expected {text or kind}, got {t[1]!r}", t[2])
         return t
+
+    def _reifier_starters(self) -> tuple:
+        """Token kinds that can start an explicit reifier after '~'
+        (iri/bnode in standard Turtle 1.2; any term in generalized)."""
+        if self.generalized:
+            return (
+                "iri", "pname", "bnode", "string", "double", "decimal",
+                "integer", "boolean", "var", "tt_open",
+            )
+        return ("iri", "pname", "bnode")
 
     def _fresh_bnode(self) -> str:
         """Deterministic label for anon/collection/reifier bnodes: pre-order
@@ -270,6 +283,11 @@ class _TurtleParser:
 
     def parse_tt_component(self) -> str:
         t = self.peek()
+        if t is not None and t[0] == "var":
+            if not self.generalized:
+                raise TurtleError("variables only allowed in generalized mode", t[2])
+            self.next()
+            return t[1]
         if t is None:
             raise TurtleError("unterminated triple term", len(self.text))
         if t[0] == "tt_open":
@@ -281,6 +299,10 @@ class _TurtleParser:
         if t[0] == "bnode":
             self.next()
             return t[1]
+        if t[0] == "punct" and t[1] == "[":
+            self.next()
+            self.expect("punct", "]")  # ANON
+            return self._fresh_bnode()
         if t[0] in ("iri", "pname"):
             return self.parse_iri_term()
         if t[0] == "a":
@@ -297,6 +319,8 @@ class _TurtleParser:
         if t is not None and t[0] == "a":
             self.next()
             p = RDF_TYPE_T
+        elif self.generalized:
+            p = self.parse_rt_component()
         else:
             p = self.parse_iri_term()
         o = self.parse_rt_component()
@@ -306,7 +330,7 @@ class _TurtleParser:
             self.next()
             nxt = self.peek()
             if nxt is not None and (
-                nxt[0] in ("iri", "pname", "bnode")
+                nxt[0] in self._reifier_starters()
                 or (nxt[0] == "punct" and nxt[1] == "[")
             ):
                 reifier = self.parse_reifier_node()
@@ -327,14 +351,21 @@ class _TurtleParser:
             self.next()
             self.expect("punct", "]")
             return self._fresh_bnode()
+        if self.generalized:
+            return self.parse_object()
         return self.parse_iri_term()
 
     def parse_rt_component(self) -> str:
         """subject/object inside << >>: iri, bnode, literal (object),
-        triple term, or nested reified triple."""
+        triple term, or nested reified triple (+ variables, generalized)."""
         t = self.peek()
         if t is None:
             raise TurtleError("unterminated reified triple", len(self.text))
+        if t[0] == "var":
+            if not self.generalized:
+                raise TurtleError("variables only allowed in generalized mode", t[2])
+            self.next()
+            return t[1]
         if t[0] == "rt_open":
             self.next()
             return self.parse_reified_triple()
@@ -374,12 +405,19 @@ class _TurtleParser:
             return self.parse_reified_triple(), True
         if t[0] in ("iri", "pname"):
             return self.parse_iri_term(), False
+        if self.generalized:
+            return self.parse_object(), False
         raise TurtleError(f"bad subject {t[1]!r}", t[2])
 
     def parse_object(self) -> str:
         t = self.peek()
         if t is None:
             raise TurtleError("expected object", len(self.text))
+        if t[0] == "var":
+            if not self.generalized:
+                raise TurtleError("variables only allowed in generalized mode", t[2])
+            self.next()
+            return t[1]
         if t[0] == "bnode":
             self.next()
             return t[1]
@@ -407,6 +445,8 @@ class _TurtleParser:
         if t is not None and t[0] == "a":
             self.next()
             return RDF_TYPE_T
+        if self.generalized:
+            return self.parse_object()
         return self.parse_iri_term()
 
     def parse_predicate_object_list(self, subject: str):
@@ -445,7 +485,7 @@ class _TurtleParser:
                 self.next()
                 nxt = self.peek()
                 if nxt is not None and (
-                    nxt[0] in ("iri", "pname", "bnode")
+                    nxt[0] in self._reifier_starters()
                     or (nxt[0] == "punct" and nxt[1] == "[")
                 ):
                     reifier = self.parse_reifier_node()
@@ -509,19 +549,29 @@ class _TurtleParser:
         if t[0] == "punct" and t[1] == "{":
             self._parse_wrapped_graph(None)
             return True
-        # lookahead: label '{'
-        if t[0] in ("iri", "pname", "bnode") or (t[0] == "punct" and t[1] == "["):
-            save = self.pos
+        # lookahead: label '{' — speculative parse with full state
+        # restore (a failed label parse must not leak quads or counter
+        # increments, or anon-label determinism would break)
+        label_starters = ("iri", "pname", "bnode")
+        if self.generalized:
+            label_starters = (
+                "iri", "pname", "bnode", "string", "double", "decimal",
+                "integer", "boolean", "var", "tt_open",
+            )
+        if t[0] in label_starters or (t[0] == "punct" and t[1] == "["):
+            save = (self.pos, len(self.quads), self.counter)
             try:
                 label = self.parse_reifier_node()
             except TurtleError:
-                self.pos = save
+                self.pos, nq, self.counter = save
+                del self.quads[nq:]
                 return False
             nxt = self.peek()
             if nxt is not None and nxt[0] == "punct" and nxt[1] == "{":
                 self._parse_wrapped_graph(label)
                 return True
-            self.pos = save
+            self.pos, nq, self.counter = save
+            del self.quads[nq:]
         return False
 
     def _parse_wrapped_graph(self, label: Optional[str]):
@@ -578,15 +628,18 @@ def parse_turtle_document(
     text: str,
     *,
     quads: bool = False,
+    generalized: bool = False,
     preserve_bn_labels: bool = False,
 ) -> List[Tuple[int, Optional[str], Optional[str], Optional[str], Optional[str], Optional[str]]]:
     """Parse one Turtle (``quads=False``) or TriG (``quads=True``) document
-    → rows (line, s, p, o, g, error).  On error, rows parsed before the
+    → rows (line, s, p, o, g, error).  ``generalized`` enables sophia's
+    generalized-RDF extension (any term kind anywhere + variables,
+    `turtle/src/parser/gtrig.rs:34`).  On error, rows parsed before the
     error are kept and one quarantine row is appended."""
     out: List[Tuple] = []
     err: Optional[Tuple] = None
     try:
-        p = _TurtleParser(url, text, trig=quads)
+        p = _TurtleParser(url, text, trig=quads, generalized=generalized)
         p.parse_document()
         emitted = p.quads
     except TurtleError as e:
@@ -610,12 +663,16 @@ def parse_turtle_document(
     return out
 
 
-def parse_turtle_batch(pdf: pd.DataFrame, *, quads: bool = False) -> pd.DataFrame:
+def parse_turtle_batch(
+    pdf: pd.DataFrame, *, quads: bool = False, generalized: bool = False
+) -> pd.DataFrame:
     """Batch wrapper (the mapInPandas unit): columns url/text →
     url/line/s/p/o/g/error.  Turtle is inherently per-document stateful
     (SURVEY.md §2.1): per-row Python inside a vectorized Arrow batch."""
     rows = []
     for url, text in zip(pdf["url"], pdf["text"]):
-        for r in parse_turtle_document(url, text or "", quads=quads):
+        for r in parse_turtle_document(
+            url, text or "", quads=quads, generalized=generalized
+        ):
             rows.append((url, *r))
     return pd.DataFrame(rows, columns=_OUT_COLS)
