@@ -1,0 +1,71 @@
+"""Structured Streaming ingestion tests: file-source stream → per-batch
+extract → append output, exactly-once via checkpoint, resume behavior."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from sophia_rs_spark.plans.extract import pages_df
+from sophia_rs_spark.sources.fixtures import fixture_pages, tiled_pages
+from sophia_rs_spark.streaming.ingest import (
+    page_rate_metrics,
+    read_pages_stream,
+    streaming_extract,
+)
+
+
+@pytest.fixture()
+def pages_dir(spark, tmp_path):
+    p = str(tmp_path / "pages")
+    pages = pages_df(spark, tiled_pages(40)).select(
+        "url", "warc_ts", "html", "text", "lang"
+    )
+    pages.repartition(4).write.parquet(p)
+    return p
+
+
+def test_streaming_extract_matches_batch(spark, pages_dir, tmp_path):
+    out = str(tmp_path / "quads")
+    chk = str(tmp_path / "chk")
+    stream = read_pages_stream(spark, pages_dir, max_files_per_trigger=2)
+    q = streaming_extract(stream, out, chk).start()
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out)
+    from sophia_rs_spark.plans.extract import extract_quads, split_quarantine
+
+    batch_good, _ = split_quarantine(
+        extract_quads(spark.read.parquet(pages_dir), from_html=True)
+    )
+    a = sorted(tuple(r) for r in got.select("s", "p", "o").collect())
+    b = sorted(tuple(r) for r in batch_good.select("s", "p", "o").collect())
+    assert a == b and len(a) > 0
+
+
+def test_streaming_resume_no_duplicates(spark, pages_dir, tmp_path):
+    out = str(tmp_path / "quads")
+    chk = str(tmp_path / "chk")
+    stream = read_pages_stream(spark, pages_dir, max_files_per_trigger=2)
+    q = streaming_extract(stream, out, chk).start()
+    q.awaitTermination(120)
+    n1 = spark.read.parquet(out).count()
+    # restart with the same checkpoint: no new input → no new rows
+    q2 = streaming_extract(
+        read_pages_stream(spark, pages_dir, max_files_per_trigger=2), out, chk
+    ).start()
+    q2.awaitTermination(120)
+    assert spark.read.parquet(out).count() == n1
+
+
+def test_page_rate_metrics_schema(spark, pages_dir):
+    stream = read_pages_stream(spark, pages_dir)
+    m = page_rate_metrics(stream)
+    assert set(m.columns) == {
+        "window_start",
+        "window_end",
+        "lang",
+        "n_pages",
+        "html_bytes",
+    }
+    assert m.isStreaming
