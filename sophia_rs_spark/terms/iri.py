@@ -139,6 +139,58 @@ def _merge(base_auth: Optional[str], base_path: str, ref_path: str) -> str:
     return base_path[: i + 1] + ref_path
 
 
+def relativize(base: str, iri: str, max_parents: int = 2) -> Optional[str]:
+    """Inverse of :func:`resolve`: the shortest relative reference that
+    resolves against ``base`` back to ``iri`` (semantics of
+    `iri/src/relativize.rs:21-99`), climbing at most ``max_parents``
+    ``../`` levels.  Returns None when no relative form exists (different
+    scheme/authority, or too many parent levels).
+
+    Invariant (tested): ``resolve(base, relativize(base, iri)) == iri``.
+    """
+    b_scheme, b_auth, b_path, b_query, _ = split_iri(base)
+    t_scheme, t_auth, t_path, t_query, t_frag = split_iri(iri)
+    if t_scheme != b_scheme or t_auth != b_auth or t_scheme is None:
+        return None
+    frag = f"#{t_frag}" if t_frag is not None else ""
+    query = f"?{t_query}" if t_query is not None else ""
+    if t_path == b_path:
+        if t_query == b_query and t_frag is not None:
+            return frag
+        if t_query is not None:
+            return query + frag
+        # same path, no query to carry: '' resolves to base incl. its query
+        if b_query is None:
+            return frag if t_frag is not None else ""
+        return None
+    b_dirs = b_path.split("/")[:-1]
+    t_segs = t_path.split("/")
+    # longest common directory prefix
+    common = 0
+    while (
+        common < len(b_dirs)
+        and common < len(t_segs) - 1
+        and b_dirs[common] == t_segs[common]
+    ):
+        common += 1
+    ups = len(b_dirs) - common
+    if ups > max_parents:
+        return None
+    rest = "/".join(t_segs[common:])
+    rel = "../" * ups + rest
+    if rel == "":
+        rel = "./"
+    # a rootless rel whose first segment has a ':' would parse as a scheme
+    first_seg = rel.split("/", 1)[0]
+    if ups == 0 and ":" in first_seg:
+        rel = "./" + rel
+    # dotted segments would be normalized away by resolution
+    if first_seg in (".", "..") and not rel.startswith(("./", "../")):
+        return None
+    candidate = rel + query + frag
+    return candidate if resolve(base, candidate) == iri else None
+
+
 def resolve(base: str, ref: str) -> str:
     """Resolve ``ref`` against ``base`` per RFC 3986 §5.2-5.3 (strict)."""
     r_scheme, r_auth, r_path, r_query, r_frag = split_iri(ref)

@@ -187,3 +187,38 @@ class TestXxh64:
         }
         for v in vals:
             assert got[v] == xxh64_signed(v.encode("utf-8")), v
+
+
+class TestRelativize:
+    @pytest.mark.parametrize(
+        "base,iri_,expected",
+        [
+            ("http://a/b/c/d", "http://a/b/c/g", "g"),
+            ("http://a/b/c/d", "http://a/b/c/d", ""),
+            ("http://a/b/c/d", "http://a/b/c/d#s", "#s"),
+            ("http://a/b/c/d", "http://a/b/c/g?y", "g?y"),
+            ("http://a/b/c/d", "http://a/b/g", "../g"),
+            ("http://a/b/c/d", "http://a/g", "../../g"),
+            ("http://a/b/c/d", "http://a/b/c/", "./"),
+            ("http://a/b/c/d", "http://other/x", None),
+            ("http://a/b/c/d", "https://a/b/c/d", None),
+        ],
+    )
+    def test_cases(self, base, iri_, expected):
+        assert iri.relativize(base, iri_) == expected
+
+    def test_parent_limit(self):
+        assert iri.relativize("http://a/b/c/d/e", "http://a/x", max_parents=2) is None
+        assert iri.relativize("http://a/b/c/d/e", "http://a/x", max_parents=3) == "../../../x"
+
+    def test_roundtrip_property(self):
+        import itertools
+        bases = ["http://a/b/c/d?q", "http://a/", "http://a/b/"]
+        targets = [
+            "http://a/b/c/d", "http://a/b/c/e#f", "http://a/x/y",
+            "http://a/", "http://a/b/c/d/e/f",
+        ]
+        for b, t in itertools.product(bases, targets):
+            r = iri.relativize(b, t, max_parents=5)
+            if r is not None:
+                assert iri.resolve(b, r) == t, (b, t, r)
