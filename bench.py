@@ -94,6 +94,25 @@ def bench_extract(spark, sf_dir: str, tile: int):
     return g.count()
 
 
+def bench_extract_mixed(spark, n_pages: int = 30_000):
+    """Extraction over the mixed-format fixture corpus (NT/NQ/GNQ/Turtle/
+    TriG/JSON-LD tiled) — measures the per-document parser paths, not
+    just the vectorized NT fast path."""
+    from sophia_rs_spark.plans.extract import (
+        extract_quads,
+        graph_table,
+        pages_df,
+        split_quarantine,
+    )
+    from sophia_rs_spark.sources.fixtures import tiled_pages
+
+    pages = pages_df(spark, tiled_pages(n_pages)).repartition(
+        spark.sparkContext.defaultParallelism * 2
+    )
+    good, _ = split_quarantine(extract_quads(pages, from_html=True))
+    return graph_table(good, set_graph=True).count()
+
+
 def bench_dm_lineitem(spark, sf_dir: str):
     from pyspark.sql import functions as F
 
@@ -127,11 +146,17 @@ def bench_bgp3(spark, sf_dir: str):
 
 
 def bench_minhash(spark, sf_dir: str):
-    import __spark_entry__ as e
+    from sophia_rs_spark.operators.dedup import lsh_candidate_pairs, minhash_signatures
 
-    sig = e.queries()["doc_minhash"](spark, sf_dir).count()
-    pairs = e.queries()["doc_lsh_pairs"](spark, sf_dir).count()
-    return sig + pairs
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sig = minhash_signatures(docs, bands=4, k=3)
+    sig.cache()
+    try:
+        n_sig = sig.count()
+        n_pairs = lsh_candidate_pairs(sig).count()
+    finally:
+        sig.unpersist()
+    return n_sig + n_pairs
 
 
 def bench_knn(spark, sf_dir: str):
@@ -147,10 +172,14 @@ def bench_components(spark, sf_dir: str):
 
 
 def run_all(spark, sf_dir: str, tile: int):
+    # warm up python workers / codegen so reported numbers are
+    # steady-state (what a long-running cluster job sees)
+    bench_extract(spark, sf_dir, 2)
     results = {}
     counts = {}
     jobs = [
         ("extract", lambda: bench_extract(spark, sf_dir, tile)),
+        ("extract_mixed", lambda: bench_extract_mixed(spark)),
         ("dm_lineitem", lambda: bench_dm_lineitem(spark, sf_dir)),
         ("bgp3", lambda: bench_bgp3(spark, sf_dir)),
         ("minhash", lambda: bench_minhash(spark, sf_dir)),
