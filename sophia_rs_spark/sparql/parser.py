@@ -1,0 +1,759 @@
+"""SPARQL 1.1/1.2 subset parser → algebra AST.
+
+Supported (the operator surface of SURVEY.md §2.5 that our evaluator
+implements): PREFIX/BASE prologue, SELECT [DISTINCT|REDUCED] (vars|*),
+ASK, CONSTRUCT {template}, WHERE groups with triple patterns (``;``/``,``
+sugar, ``a``, literal sugar, collections are NOT sugar-expanded here —
+use Turtle for data), FILTER (comparisons, logical ops, arithmetic,
+IN, EXISTS/NOT EXISTS, and the builtin functions the engine provides),
+OPTIONAL, MINUS, UNION, BIND, VALUES, GRAPH ?g/<iri>, property-path
+atoms (``p+``, ``p*``, ``p?``, ``^p``, ``p1/p2``, ``p1|p2``), GROUP BY +
+aggregates (COUNT/SUM/AVG/MIN/MAX/GROUP_CONCAT/SAMPLE), ORDER BY
+ASC/DESC, LIMIT/OFFSET.
+
+The AST is plain dataclasses; evaluation lives in ``eval.py``.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from typing import List, Optional, Tuple, Union
+
+from ..terms.iri import resolve, split_iri
+from ..terms.model import RDF, XSD, escape_literal, unescape
+
+RDF_TYPE_T = f"<{RDF}type>"
+
+
+class SparqlError(ValueError):
+    pass
+
+
+# ---------------------------------------------------------------------------
+# AST
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class Var:
+    name: str
+
+
+@dataclass(frozen=True)
+class PathExpr:
+    """Property-path: op in {pred, seq, alt, inv, star, plus, opt, neg}."""
+
+    op: str
+    args: tuple
+
+
+@dataclass
+class TriplePattern:
+    s: Union[Var, str]
+    p: Union[Var, str, PathExpr]
+    o: Union[Var, str]
+
+
+@dataclass
+class Filter:
+    expr: "Expr"
+
+
+@dataclass
+class Optional_:
+    group: "Group"
+
+
+@dataclass
+class Minus:
+    group: "Group"
+
+
+@dataclass
+class Union_:
+    left: "Group"
+    right: "Group"
+
+
+@dataclass
+class Bind:
+    expr: "Expr"
+    var: Var
+
+
+@dataclass
+class Values:
+    names: List[str]
+    rows: List[List[Optional[str]]]
+
+
+@dataclass
+class GraphClause:
+    name: Union[Var, str]
+    group: "Group"
+
+
+@dataclass
+class SubGroup:
+    group: "Group"
+
+
+@dataclass
+class Group:
+    elements: List[object] = field(default_factory=list)
+
+
+@dataclass
+class Expr:
+    """op: var | term | call | cmp | and | or | not | arith | in | exists"""
+
+    op: str
+    args: tuple
+
+
+@dataclass
+class Aggregate:
+    fn: str  # count/sum/avg/min/max/group_concat/sample
+    arg: Optional[Expr]  # None = COUNT(*)
+    distinct: bool = False
+    sep: str = " "
+    alias: str = ""
+
+
+@dataclass
+class Query:
+    form: str  # select | ask | construct
+    variables: List[str]  # projected (select); [] = *
+    select_exprs: List[Tuple[Expr, str]]  # (expr AS alias) projections
+    where: Group
+    distinct: bool = False
+    group_by: List[str] = field(default_factory=list)
+    aggregates: List[Aggregate] = field(default_factory=list)
+    having: Optional[Expr] = None
+    order_by: List[Tuple[Expr, bool]] = field(default_factory=list)  # (expr, asc)
+    limit: Optional[int] = None
+    offset: int = 0
+    template: List[TriplePattern] = field(default_factory=list)  # construct
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer
+# ---------------------------------------------------------------------------
+
+_PN_CHARS_BASE = (
+    "A-Za-z\u00c0-\u00d6\u00d8-\u00f6\u00f8-\u02ff\u0370-\u037d"
+    "\u037f-\u1fff\u200c-\u200d\u2070-\u218f\u2c00-\u2fef\u3001-\ud7ff"
+    "\uf900-\ufdcf\ufdf0-\ufffd\U00010000-\U000effff"
+)
+_PN_CHARS_U = _PN_CHARS_BASE + "_"
+_PN_CHARS = _PN_CHARS_U + r"0-9\-\u00b7\u0300-\u036f\u203f-\u2040"
+_PN_PREFIX = rf"[{_PN_CHARS_BASE}](?:[{_PN_CHARS}.]*[{_PN_CHARS}])?"
+_PLX = r"%[0-9A-Fa-f]{2}|\\[_~.!$&'()*+,;=/?#@%-]"
+_PN_LOCAL = (
+    rf"(?:[{_PN_CHARS_U}:0-9]|{_PLX})"
+    rf"(?:(?:[{_PN_CHARS}.:]|{_PLX})*(?:[{_PN_CHARS}:]|{_PLX}))?"
+)
+
+_KEYWORDS = (
+    "PREFIX|BASE|SELECT|ASK|CONSTRUCT|WHERE|FILTER|OPTIONAL|MINUS|UNION|"
+    "BIND|VALUES|GRAPH|DISTINCT|REDUCED|ORDER|GROUP|HAVING|BY|ASC|DESC|"
+    "LIMIT|OFFSET|AS|IN|NOT|EXISTS|UNDEF|"
+    "COUNT|SUM|AVG|MIN|MAX|GROUP_CONCAT|SAMPLE|SEPARATOR|"
+    "REGEX|STR|LANG|DATATYPE|BOUND|IRI|URI|STRLEN|UCASE|LCASE|CONTAINS|"
+    "STRSTARTS|STRENDS|SUBSTR|REPLACE|CONCAT|ABS|CEIL|FLOOR|ROUND|"
+    "ISIRI|ISURI|ISBLANK|ISLITERAL|ISNUMERIC|COALESCE|IF|"
+    "MD5|SHA1|SHA256|YEAR|MONTH|DAY|HOURS|MINUTES|SECONDS|"
+    "LANGMATCHES|SAMETERM|STRBEFORE|STRAFTER|ENCODE_FOR_URI|A"
+)
+
+TOKEN_RE = re.compile(
+    rf"""(?x)
+      (?P<ws>\s+)
+    | (?P<comment>\#[^\n]*)
+    | (?P<iri><(?:[^\x00-\x20<>"{{}}|^`\\]|\\u[0-9A-Fa-f]{{4}}|\\U[0-9A-Fa-f]{{8}})*>)
+    | (?P<var>[?$][{_PN_CHARS_U}0-9][{_PN_CHARS_U}0-9]*)
+    | (?P<string>"(?:[^"\\\n\r]|\\.)*"|'(?:[^'\\\n\r]|\\.)*')
+    | (?P<langdir>@[A-Za-z]+(?:-[A-Za-z0-9]+)*(?:--(?:ltr|rtl))?)
+    | (?P<double>[+-]?(?:\d+\.\d*|\.\d+|\d+)[eE][+-]?\d+)
+    | (?P<decimal>[+-]?\d*\.\d+)
+    | (?P<integer>[+-]?\d+)
+    | (?P<bnode>_:[{_PN_CHARS_U}0-9][{_PN_CHARS}.]*)
+    | (?P<kw>(?i:{_KEYWORDS})(?![{_PN_CHARS}:]))
+    | (?P<boolean>(?i:true|false)(?![{_PN_CHARS}:]))
+    | (?P<pname>(?:{_PN_PREFIX})?:(?:{_PN_LOCAL})?)
+    | (?P<dtsep>\^\^)
+    | (?P<op>&&|\|\||!=|<=|>=|[=<>!*/+\-|^?;,.(){{}}])
+    """
+)
+
+
+def _tokenize(text: str):
+    toks = []
+    i, n = 0, len(text)
+    while i < n:
+        m = TOKEN_RE.match(text, i)
+        if m is None:
+            raise SparqlError(f"unexpected character {text[i]!r} at {i}")
+        k = m.lastgroup
+        if k not in ("ws", "comment"):
+            toks.append((k, m.group(0), i))
+        i = m.end()
+    return toks
+
+
+# ---------------------------------------------------------------------------
+# Parser
+# ---------------------------------------------------------------------------
+
+
+class _P:
+    def __init__(self, text: str, base: Optional[str] = None):
+        self.toks = _tokenize(text)
+        self.pos = 0
+        self.base = base
+        self.prefixes: dict[str, str] = {}
+        self.bnode_ctr = 0
+
+    def peek(self, k: int = 0):
+        j = self.pos + k
+        return self.toks[j] if j < len(self.toks) else None
+
+    def next(self):
+        t = self.peek()
+        if t is None:
+            raise SparqlError("unexpected end of query")
+        self.pos += 1
+        return t
+
+    def kw(self, word: str) -> bool:
+        t = self.peek()
+        if t is not None and t[0] == "kw" and t[1].upper() == word:
+            self.next()
+            return True
+        return False
+
+    def expect_kw(self, word: str):
+        if not self.kw(word):
+            t = self.peek()
+            raise SparqlError(f"expected {word}, got {t[1] if t else 'EOF'}")
+
+    def op(self, sym: str) -> bool:
+        t = self.peek()
+        if t is not None and t[0] == "op" and t[1] == sym:
+            self.next()
+            return True
+        return False
+
+    def expect_op(self, sym: str):
+        if not self.op(sym):
+            t = self.peek()
+            raise SparqlError(f"expected {sym!r}, got {t[1] if t else 'EOF'}")
+
+    # -- terms ---------------------------------------------------------------
+
+    def _iri(self, raw: str) -> str:
+        iri = unescape(raw[1:-1])
+        if split_iri(iri)[0] is None and self.base:
+            iri = resolve(self.base, iri)
+        return f"<{iri}>"
+
+    def _pname(self, raw: str, pos: int) -> str:
+        ns, _, local = raw.partition(":")
+        if ns not in self.prefixes:
+            raise SparqlError(f"undeclared prefix {ns!r}: at {pos}")
+        local = re.sub(r"\\([_~.!$&'()*+,;=/?#@%-])", r"\1", local)
+        return f"<{self.prefixes[ns]}{local}>"
+
+    def parse_term(self, *, allow_var=True) -> Union[Var, str]:
+        t = self.next()
+        k, raw, pos = t
+        if k == "var":
+            if not allow_var:
+                raise SparqlError(f"variable not allowed at {pos}")
+            return Var(raw[1:])
+        if k == "iri":
+            return self._iri(raw)
+        if k == "pname":
+            return self._pname(raw, pos)
+        if k == "bnode":
+            return raw
+        if k == "string":
+            lex = unescape(raw[1:-1])
+            nxt = self.peek()
+            if nxt is not None and nxt[0] == "langdir":
+                self.next()
+                tag = nxt[1][1:]
+                if "--" in tag:
+                    tag, d = tag.rsplit("--", 1)
+                    return f'"{escape_literal(lex)}"@{tag.lower()}--{d}'
+                return f'"{escape_literal(lex)}"@{tag.lower()}'
+            if nxt is not None and nxt[0] == "dtsep":
+                self.next()
+                dt = self.parse_term(allow_var=False)
+                if dt == f"<{XSD}string>":
+                    return f'"{escape_literal(lex)}"'
+                return f'"{escape_literal(lex)}"^^{dt}'
+            return f'"{escape_literal(lex)}"'
+        if k == "integer":
+            return f'"{raw}"^^<{XSD}integer>'
+        if k == "decimal":
+            return f'"{raw}"^^<{XSD}decimal>'
+        if k == "double":
+            return f'"{raw}"^^<{XSD}double>'
+        if k == "boolean":
+            return f'"{raw.lower()}"^^<{XSD}boolean>'
+        if k == "kw" and raw.upper() == "A":
+            return RDF_TYPE_T
+        if k == "op" and raw == "[":
+            raise SparqlError("anonymous bnodes not supported in query patterns")
+        raise SparqlError(f"bad term {raw!r} at {pos}")
+
+    # -- property paths --------------------------------------------------------
+
+    def parse_path(self) -> Union[Var, str, PathExpr]:
+        """pathAlternative := pathSeq ('|' pathSeq)*"""
+        left = self._path_seq()
+        while self.op("|"):
+            right = self._path_seq()
+            left = PathExpr("alt", (left, right))
+        return left
+
+    def _path_seq(self):
+        left = self._path_elt()
+        while self.op("/"):
+            right = self._path_elt()
+            left = PathExpr("seq", (left, right))
+        return left
+
+    def _path_elt(self):
+        inv = False
+        if self.op("^"):
+            inv = True
+        t = self.peek()
+        if t is not None and t[0] == "op" and t[1] == "(":
+            self.next()
+            p = self.parse_path()
+            self.expect_op(")")
+        elif t is not None and t[0] == "op" and t[1] == "!":
+            self.next()
+            self.expect_op("(")
+            preds = [self.parse_term(allow_var=False)]
+            while self.op("|"):
+                preds.append(self.parse_term(allow_var=False))
+            self.expect_op(")")
+            p = PathExpr("neg", tuple(preds))
+        else:
+            k, raw, pos = t if t else (None, "EOF", -1)
+            if k == "var":
+                self.next()
+                p = Var(raw[1:])
+            elif k == "kw" and raw.upper() == "A":
+                self.next()
+                p = RDF_TYPE_T
+            elif k in ("iri", "pname"):
+                p = self.parse_term(allow_var=False)
+            else:
+                raise SparqlError(f"bad path element {raw!r} at {pos}")
+        nxt = self.peek()
+        if nxt is not None and nxt[0] == "op" and nxt[1] in ("*", "+", "?"):
+            # only treat as modifier when it isn't a following variable
+            self.next()
+            mod = {"*": "star", "+": "plus", "?": "opt"}[nxt[1]]
+            p = PathExpr(mod, (p,))
+        if inv:
+            p = PathExpr("inv", (p,))
+        return p
+
+    # -- expressions -----------------------------------------------------------
+
+    def parse_expr(self) -> Expr:
+        return self._or_expr()
+
+    def _or_expr(self):
+        left = self._and_expr()
+        while self.op("||"):
+            left = Expr("or", (left, self._and_expr()))
+        return left
+
+    def _and_expr(self):
+        left = self._not_expr()
+        while self.op("&&"):
+            left = Expr("and", (left, self._not_expr()))
+        return left
+
+    def _not_expr(self):
+        if self.op("!"):
+            return Expr("not", (self._not_expr(),))
+        t = self.peek()
+        if t is not None and t[0] == "kw" and t[1].upper() == "NOT":
+            self.next()
+            self.expect_kw("EXISTS")
+            g = self.parse_group()
+            return Expr("not_exists", (g,))
+        if t is not None and t[0] == "kw" and t[1].upper() == "EXISTS":
+            self.next()
+            g = self.parse_group()
+            return Expr("exists", (g,))
+        return self._cmp_expr()
+
+    def _cmp_expr(self):
+        left = self._add_expr()
+        t = self.peek()
+        if t is not None and t[0] == "op" and t[1] in ("=", "!=", "<", ">", "<=", ">="):
+            self.next()
+            right = self._add_expr()
+            return Expr("cmp", (t[1], left, right))
+        if t is not None and t[0] == "kw" and t[1].upper() == "IN":
+            self.next()
+            self.expect_op("(")
+            items = []
+            if not self.op(")"):
+                items.append(self.parse_expr())
+                while self.op(","):
+                    items.append(self.parse_expr())
+                self.expect_op(")")
+            return Expr("in", (left, tuple(items)))
+        if (
+            t is not None
+            and t[0] == "kw"
+            and t[1].upper() == "NOT"
+            and self.peek(1) is not None
+            and self.peek(1)[0] == "kw"
+            and self.peek(1)[1].upper() == "IN"
+        ):
+            self.next()
+            self.next()
+            self.expect_op("(")
+            items = [self.parse_expr()]
+            while self.op(","):
+                items.append(self.parse_expr())
+            self.expect_op(")")
+            return Expr("not", (Expr("in", (left, tuple(items))),))
+        return left
+
+    def _add_expr(self):
+        left = self._mul_expr()
+        while True:
+            t = self.peek()
+            if t is not None and t[0] == "op" and t[1] in ("+", "-"):
+                self.next()
+                left = Expr("arith", (t[1], left, self._mul_expr()))
+            else:
+                return left
+
+    def _mul_expr(self):
+        left = self._unary_expr()
+        while True:
+            t = self.peek()
+            if t is not None and t[0] == "op" and t[1] in ("*", "/"):
+                self.next()
+                left = Expr("arith", (t[1], left, self._unary_expr()))
+            else:
+                return left
+
+    def _unary_expr(self):
+        t = self.peek()
+        if t is None:
+            raise SparqlError("unexpected end in expression")
+        k, raw, pos = t
+        if k == "op" and raw == "(":
+            self.next()
+            e = self.parse_expr()
+            self.expect_op(")")
+            return e
+        if k == "op" and raw == "-":
+            self.next()
+            return Expr("neg", (self._unary_expr(),))
+        if k == "var":
+            self.next()
+            return Expr("var", (raw[1:],))
+        if k == "kw" and raw.upper() not in ("NOT", "EXISTS"):
+            fn = raw.upper()
+            self.next()
+            self.expect_op("(")
+            args = []
+            sep = None
+            if not self.op(")"):
+                if fn == "COUNT" and self.op("*"):
+                    args = []
+                else:
+                    args.append(self.parse_expr())
+                    while self.op(","):
+                        args.append(self.parse_expr())
+                if fn == "GROUP_CONCAT" and self.op(";"):
+                    self.expect_kw("SEPARATOR")
+                    self.expect_op("=")
+                    sraw = self.next()
+                    sep = unescape(sraw[1][1:-1])
+                self.expect_op(")")
+            if sep is not None:
+                return Expr("call", (fn, tuple(args), sep))
+            return Expr("call", (fn, tuple(args)))
+        # term constant
+        term = self.parse_term()
+        if isinstance(term, Var):
+            return Expr("var", (term.name,))
+        return Expr("term", (term,))
+
+    # -- groups ------------------------------------------------------------
+
+    def parse_group(self) -> Group:
+        self.expect_op("{")
+        g = Group()
+        while True:
+            t = self.peek()
+            if t is None:
+                raise SparqlError("unterminated group")
+            if t[0] == "op" and t[1] == "}":
+                self.next()
+                return g
+            if t[0] == "kw":
+                word = t[1].upper()
+                if word == "FILTER":
+                    self.next()
+                    need_paren = self.peek() and self.peek()[0] == "op" and self.peek()[1] == "("
+                    if need_paren:
+                        self.expect_op("(")
+                        g.elements.append(Filter(self.parse_expr()))
+                        self.expect_op(")")
+                    else:
+                        g.elements.append(Filter(self.parse_expr()))
+                    continue
+                if word == "OPTIONAL":
+                    self.next()
+                    g.elements.append(Optional_(self.parse_group()))
+                    continue
+                if word == "MINUS":
+                    self.next()
+                    g.elements.append(Minus(self.parse_group()))
+                    continue
+                if word == "BIND":
+                    self.next()
+                    self.expect_op("(")
+                    e = self.parse_expr()
+                    self.expect_kw("AS")
+                    v = self.next()
+                    if v[0] != "var":
+                        raise SparqlError("expected variable after AS")
+                    self.expect_op(")")
+                    g.elements.append(Bind(e, Var(v[1][1:])))
+                    continue
+                if word == "VALUES":
+                    self.next()
+                    g.elements.append(self._parse_values())
+                    continue
+                if word == "GRAPH":
+                    self.next()
+                    name = self.parse_term()
+                    g.elements.append(GraphClause(name, self.parse_group()))
+                    continue
+            if t[0] == "op" and t[1] == "{":
+                sub = self.parse_group()
+                if self.kw("UNION"):
+                    right = self.parse_group()
+                    u = Union_(sub, right)
+                    while self.kw("UNION"):
+                        u = Union_(Group([u]), self.parse_group())
+                    g.elements.append(u)
+                else:
+                    g.elements.append(SubGroup(sub))
+                continue
+            # triples block
+            self._parse_triples_into(g)
+            # optional '.' separators
+            while self.op("."):
+                pass
+        return g
+
+    def _parse_values(self) -> Values:
+        t = self.peek()
+        names: List[str] = []
+        if t is not None and t[0] == "var":
+            names = [self.next()[1][1:]]
+            self.expect_op("{")
+            rows = []
+            while not self.op("}"):
+                rows.append([self._values_cell()])
+            return Values(names, rows)
+        self.expect_op("(")
+        while not self.op(")"):
+            v = self.next()
+            if v[0] != "var":
+                raise SparqlError("expected variable in VALUES")
+            names.append(v[1][1:])
+        self.expect_op("{")
+        rows = []
+        while not self.op("}"):
+            self.expect_op("(")
+            row = []
+            while not self.op(")"):
+                row.append(self._values_cell())
+            rows.append(row)
+        return Values(names, rows)
+
+    def _values_cell(self) -> Optional[str]:
+        t = self.peek()
+        if t is not None and t[0] == "kw" and t[1].upper() == "UNDEF":
+            self.next()
+            return None
+        term = self.parse_term(allow_var=False)
+        return term
+
+    def _parse_triples_into(self, g: Group):
+        s = self.parse_term()
+        while True:
+            p = self.parse_path()
+            while True:
+                o = self.parse_term()
+                g.elements.append(TriplePattern(s, p, o))
+                if not self.op(","):
+                    break
+            if not self.op(";"):
+                break
+            t = self.peek()
+            if t is None or (t[0] == "op" and t[1] in (".", "}")):
+                break
+
+    # -- query forms ---------------------------------------------------------
+
+    def parse_query(self) -> Query:
+        while True:
+            if self.kw("PREFIX"):
+                p = self.next()
+                if p[0] != "pname":
+                    raise SparqlError("expected prefix name")
+                ns = p[1][:-1] if p[1].endswith(":") else p[1].partition(":")[0]
+                i = self.next()
+                if i[0] != "iri":
+                    raise SparqlError("expected IRI in PREFIX")
+                self.prefixes[ns] = unescape(i[1][1:-1])
+                continue
+            if self.kw("BASE"):
+                i = self.next()
+                self.base = unescape(i[1][1:-1])
+                continue
+            break
+
+        if self.kw("ASK"):
+            q = Query("ask", [], [], self.parse_group())
+            return q
+        if self.kw("CONSTRUCT"):
+            tmpl_group = self.parse_group()
+            template = [e for e in tmpl_group.elements if isinstance(e, TriplePattern)]
+            self.expect_kw("WHERE")
+            q = Query("construct", [], [], self.parse_group(), template=template)
+            self._parse_modifiers(q)
+            return q
+        self.expect_kw("SELECT")
+        distinct = self.kw("DISTINCT") or (self.kw("REDUCED") and True)
+        variables: List[str] = []
+        select_exprs: List[Tuple[Expr, str]] = []
+        aggregates: List[Aggregate] = []
+        if self.op("*"):
+            pass
+        else:
+            while True:
+                t = self.peek()
+                if t is None:
+                    raise SparqlError("unexpected end in SELECT")
+                if t[0] == "var":
+                    self.next()
+                    variables.append(t[1][1:])
+                    continue
+                if t[0] == "op" and t[1] == "(":
+                    self.next()
+                    e = self.parse_expr()
+                    sep = " "
+                    # GROUP_CONCAT(...; SEPARATOR="x")
+                    if self.op(";"):
+                        self.expect_kw("SEPARATOR")
+                        self.expect_op("=")
+                        sraw = self.next()
+                        sep = unescape(sraw[1][1:-1])
+                    self.expect_kw("AS")
+                    v = self.next()
+                    if v[0] != "var":
+                        raise SparqlError("expected variable after AS")
+                    self.expect_op(")")
+                    alias = v[1][1:]
+                    agg = self._as_aggregate(e, alias, sep)
+                    if agg is not None:
+                        aggregates.append(agg)
+                        variables.append(alias)
+                    else:
+                        select_exprs.append((e, alias))
+                        variables.append(alias)
+                    continue
+                break
+        if self.kw("WHERE"):
+            where = self.parse_group()
+        else:
+            where = self.parse_group()
+        q = Query(
+            "select",
+            variables,
+            select_exprs,
+            where,
+            distinct=distinct,
+            aggregates=aggregates,
+        )
+        self._parse_modifiers(q)
+        return q
+
+    _AGG_FNS = {"COUNT", "SUM", "AVG", "MIN", "MAX", "GROUP_CONCAT", "SAMPLE"}
+
+    def _as_aggregate(self, e: Expr, alias: str, sep: str) -> Optional[Aggregate]:
+        if e.op == "call" and e.args[0] in self._AGG_FNS:
+            fn, args = e.args[0], e.args[1]
+            if len(e.args) > 2:  # GROUP_CONCAT(...; SEPARATOR="x")
+                sep = e.args[2]
+            arg = args[0] if args else None
+            return Aggregate(fn.lower(), arg, False, sep, alias)
+        return None
+
+    def _parse_modifiers(self, q: Query):
+        if self.kw("GROUP"):
+            self.expect_kw("BY")
+            while True:
+                t = self.peek()
+                if t is not None and t[0] == "var":
+                    self.next()
+                    q.group_by.append(t[1][1:])
+                else:
+                    break
+        if self.kw("HAVING"):
+            self.expect_op("(")
+            q.having = self.parse_expr()
+            self.expect_op(")")
+        if self.kw("ORDER"):
+            self.expect_kw("BY")
+            while True:
+                t = self.peek()
+                if t is None:
+                    break
+                if t[0] == "kw" and t[1].upper() in ("ASC", "DESC"):
+                    asc = t[1].upper() == "ASC"
+                    self.next()
+                    self.expect_op("(")
+                    e = self.parse_expr()
+                    self.expect_op(")")
+                    q.order_by.append((e, asc))
+                elif t[0] == "var":
+                    self.next()
+                    q.order_by.append((Expr("var", (t[1][1:],)), True))
+                else:
+                    break
+        # LIMIT/OFFSET in either order
+        for _ in range(2):
+            if self.kw("LIMIT"):
+                q.limit = int(self.next()[1])
+            if self.kw("OFFSET"):
+                q.offset = int(self.next()[1])
+        t = self.peek()
+        if t is not None:
+            raise SparqlError(f"trailing tokens: {t[1]!r}")
+
+
+def parse_query(text: str, base: Optional[str] = None) -> Query:
+    return _P(text, base).parse_query()

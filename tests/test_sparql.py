@@ -1,0 +1,202 @@
+"""SPARQL front-end tests: query-string → results, mirroring the
+reference's query-level test style (`sparql/src/test.rs`: query string →
+expected bindings as canonical term strings)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from sophia_rs_spark.sparql import query
+from sophia_rs_spark.terms.model import XSD
+
+PFX = "PREFIX : <http://example.org/ns/>\nPREFIX xsd: <http://www.w3.org/2001/XMLSchema#>\n"
+
+
+@pytest.fixture(scope="module")
+def data(spark):
+    NS = "http://example.org/ns/"
+    rows = [
+        (f"<{NS}alice>", f"<{NS}name>", '"Alice"', None),
+        (f"<{NS}alice>", f"<{NS}age>", f'"42"^^<{XSD}integer>', None),
+        (f"<{NS}alice>", f"<{NS}knows>", f"<{NS}bob>", None),
+        (f"<{NS}bob>", f"<{NS}name>", '"Bob"', None),
+        (f"<{NS}bob>", f"<{NS}age>", f'"7"^^<{XSD}integer>', None),
+        (f"<{NS}bob>", f"<{NS}knows>", f"<{NS}carol>", None),
+        (f"<{NS}carol>", f"<{NS}name>", '"Carol"@en', None),
+        (f"<{NS}alice>", f"<{NS}nick>", '"al"', "<x:g1>"),
+    ]
+    df = spark.createDataFrame(rows, "s string, p string, o string, g string")
+    df.cache().count()
+    yield df
+    df.unpersist()
+
+
+def rows_of(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+class TestSelect:
+    def test_simple_bgp(self, data):
+        got = query(data, PFX + "SELECT ?n WHERE { :alice :name ?n }")
+        assert rows_of(got) == [('"Alice"',)]
+
+    def test_join_two_patterns(self, data):
+        got = query(
+            data, PFX + "SELECT ?n WHERE { :alice :knows ?x . ?x :name ?n }"
+        )
+        assert rows_of(got) == [('"Bob"',)]
+
+    def test_select_star(self, data):
+        got = query(data, PFX + "SELECT * WHERE { ?s :name ?n }")
+        assert set(got.columns) == {"s", "n"}
+        assert got.count() == 3
+
+    def test_filter_numeric_value_comparison(self, data):
+        # "7" > "42" lexically but 7 < 42 numerically — value semantics
+        got = query(
+            data, PFX + "SELECT ?s WHERE { ?s :age ?a FILTER(?a < 10) }"
+        )
+        assert rows_of(got) == [("<http://example.org/ns/bob>",)]
+
+    def test_filter_string_fns(self, data):
+        got = query(
+            data,
+            PFX + 'SELECT ?s WHERE { ?s :name ?n FILTER(STRSTARTS(STR(?n), "A")) }',
+        )
+        assert rows_of(got) == [("<http://example.org/ns/alice>",)]
+
+    def test_filter_lang(self, data):
+        got = query(
+            data, PFX + 'SELECT ?s WHERE { ?s :name ?n FILTER(LANG(?n) = "en") }'
+        )
+        assert rows_of(got) == [("<http://example.org/ns/carol>",)]
+
+    def test_optional(self, data):
+        got = query(
+            data,
+            PFX + "SELECT ?s ?a WHERE { ?s :name ?n OPTIONAL { ?s :age ?a } }",
+        )
+        vals = dict(rows_of(got.select("s", "a")))
+        assert vals["<http://example.org/ns/carol>"] is None
+        assert vals["<http://example.org/ns/alice>"] == f'"42"^^<{XSD}integer>'
+
+    def test_minus(self, data):
+        got = query(
+            data, PFX + "SELECT ?s WHERE { ?s :name ?n MINUS { ?s :age ?a } }"
+        )
+        assert rows_of(got) == [("<http://example.org/ns/carol>",)]
+
+    def test_union(self, data):
+        got = query(
+            data,
+            PFX + "SELECT ?x WHERE { { :alice :knows ?x } UNION { :bob :knows ?x } }",
+        )
+        assert got.count() == 2
+
+    def test_bind(self, data):
+        got = query(
+            data,
+            PFX + "SELECT ?l WHERE { :alice :name ?n BIND(STRLEN(STR(?n)) AS ?l) }",
+        )
+        assert rows_of(got) == [(5,)]
+
+    def test_values(self, data):
+        got = query(
+            data,
+            PFX + "SELECT ?s ?n WHERE { VALUES ?s { :alice :bob } ?s :name ?n }",
+        )
+        assert got.count() == 2
+
+    def test_graph_constant_and_var(self, data):
+        got = query(data, PFX + "SELECT ?o WHERE { GRAPH <x:g1> { ?s :nick ?o } }")
+        assert rows_of(got) == [('"al"',)]
+        got2 = query(data, PFX + "SELECT ?g WHERE { GRAPH ?g { ?s :nick ?o } }")
+        assert rows_of(got2) == [("<x:g1>",)]
+
+    def test_order_limit_offset(self, data):
+        got = query(
+            data,
+            PFX + "SELECT ?s WHERE { ?s :age ?a } ORDER BY DESC(?a) LIMIT 1",
+        )
+        assert rows_of(got) == [("<http://example.org/ns/alice>",)]
+
+    def test_distinct(self, data):
+        # default-graph scope: the :nick triple lives in <x:g1> → excluded
+        got = query(data, PFX + "SELECT DISTINCT ?p WHERE { ?s ?p ?o }")
+        assert got.count() == 3
+
+    def test_aggregates(self, data):
+        got = query(
+            data,
+            PFX + "SELECT ?s (COUNT(*) AS ?cnt) WHERE { ?s ?p ?o } GROUP BY ?s",
+        )
+        vals = dict(rows_of(got))
+        assert vals["<http://example.org/ns/alice>"] == 3  # default graph only
+        got2 = query(
+            data, PFX + "SELECT (SUM(?a) AS ?total) WHERE { ?s :age ?a }"
+        )
+        assert got2.collect()[0]["total"] == 49.0
+
+    def test_group_concat_pinned(self, data):
+        got = query(
+            data,
+            PFX + 'SELECT (GROUP_CONCAT(?n; SEPARATOR=",") AS ?names) '
+            "WHERE { ?s :name ?n }",
+        )
+        assert got.collect()[0]["names"] == "Alice,Bob,Carol"
+
+    def test_exists(self, data):
+        got = query(
+            data,
+            PFX + "SELECT ?s WHERE { ?s :name ?n FILTER EXISTS { ?s :age ?a } }",
+        )
+        assert got.count() == 2
+        got2 = query(
+            data,
+            PFX + "SELECT ?s WHERE { ?s :name ?n FILTER NOT EXISTS { ?s :age ?a } }",
+        )
+        assert rows_of(got2) == [("<http://example.org/ns/carol>",)]
+
+    def test_property_path_plus(self, data):
+        got = query(
+            data, PFX + "SELECT ?x WHERE { :alice :knows+ ?x }"
+        )
+        assert got.count() == 2  # bob, carol
+
+    def test_property_path_alt_and_inverse(self, data):
+        got = query(data, PFX + "SELECT ?x WHERE { ?x (:name|:nick) ?v }")
+        assert got.select("x").distinct().count() == 3
+        got2 = query(data, PFX + "SELECT ?x WHERE { :bob ^:knows ?x }")
+        assert rows_of(got2) == [("<http://example.org/ns/alice>",)]
+
+    def test_path_sequence(self, data):
+        got = query(data, PFX + "SELECT ?n WHERE { :alice :knows/:name ?n }")
+        assert rows_of(got) == [('"Bob"',)]
+
+
+class TestAskConstruct:
+    def test_ask(self, data):
+        assert query(data, PFX + "ASK { :alice :knows :bob }") is True
+        assert query(data, PFX + "ASK { :bob :knows :alice }") is False
+
+    def test_construct(self, data):
+        got = query(
+            data,
+            PFX + "CONSTRUCT { ?s :label ?n } WHERE { ?s :name ?n }",
+        )
+        assert got.count() == 3
+        assert set(got.columns) == {"s", "p", "o"}
+        assert got.filter(F.col("p") == "<http://example.org/ns/label>").count() == 3
+
+
+class TestErrors:
+    def test_undeclared_prefix(self, data):
+        from sophia_rs_spark.sparql import SparqlError
+
+        with pytest.raises(SparqlError):
+            query(data, "SELECT ?s WHERE { ?s nope:p ?o }")
+
+    def test_trailing_garbage(self, data):
+        from sophia_rs_spark.sparql import SparqlError
+
+        with pytest.raises(SparqlError):
+            query(data, PFX + "SELECT ?s WHERE { ?s :name ?n } GARBAGE")
