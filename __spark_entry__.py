@@ -482,6 +482,31 @@ def _q_rdfs_closure(spark, sf):
     return rdfs_saturate(t.unionByName(schema))
 
 
+def _q_sparql_select(spark, sf):
+    """The kg_bgp query expressed as a SPARQL string through the text
+    front-end (parser + evaluator)."""
+    from sophia_rs_spark.sparql import query as sparql_query
+
+    t = _doc_quads(spark, sf).select("s", "p", "o")
+    return sparql_query(
+        t,
+        f"""
+        PREFIX voc: <{VOC}>
+        SELECT ?d ?src WHERE {{ ?d voc:lang "en" . ?d voc:source ?src }}
+        """,
+    )
+
+
+def _q_sparql_agg(spark, sf):
+    from sophia_rs_spark.sparql import query as sparql_query
+
+    t = spark_triples(spark, sf)
+    return sparql_query(
+        t,
+        "SELECT ?p (COUNT(*) AS ?cnt) WHERE { ?s ?p ?o } GROUP BY ?p",
+    )
+
+
 def _q_link_components(spark, sf):
     return connected_components(_link_edges(spark, sf))
 
@@ -536,6 +561,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # embeddings: similarity search
         "emb_knn": _q_emb_knn,
         "emb_knn_bucketed": _q_emb_knn_bucketed,
+        # SPARQL text front-end
+        "sparql_select": _q_sparql_select,
+        "sparql_agg": _q_sparql_agg,
         # property paths + entailment
         "path_plus": _q_path_plus,
         "rdfs_closure": _q_rdfs_closure,
@@ -878,6 +906,15 @@ ranked AS (
 SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank
 FROM ranked WHERE rank <= 5
 """.strip()
+
+    qs["sparql_select"] = f"""
+SELECT '<{DOC_PREFIX}' || CAST(doc_id AS VARCHAR) || '>' AS d,
+       '<{SRC_PREFIX}' || source || '>' AS src
+FROM documents WHERE lang = 'en'
+""".strip()
+    qs["sparql_agg"] = with_triples(
+        "SELECT p, count(*) AS cnt FROM triples GROUP BY p"
+    )
 
     qs["path_plus"] = f"""
 WITH RECURSIVE e AS (
