@@ -1,0 +1,56 @@
+"""RDF/XML + JSON-LD serializer round-trips through our own parsers."""
+
+import pytest
+
+from sophia_rs_spark.operators.c14n import canonicalize
+from sophia_rs_spark.sources.jsonld import parse_jsonld_document
+from sophia_rs_spark.sources.rdfxml import parse_rdfxml_document
+from sophia_rs_spark.sources.serializers_xml_jsonld import (
+    jsonld_roundtrip_check,
+    jsonld_serialize,
+    rdfxml_serialize,
+)
+from sophia_rs_spark.terms.model import XSD
+
+TRIPLES = [
+    ("<http://e/alice>", "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>", "<http://s.org/Person>"),
+    ("<http://e/alice>", "<http://s.org/name>", '"Alice"'),
+    ("<http://e/alice>", "<http://s.org/age>", f'"42"^^<{XSD}integer>'),
+    ("<http://e/alice>", "<http://s.org/nick>", '"al"@en'),
+    ("<http://e/alice>", "<http://s.org/knows>", "_:b1"),
+    ("_:b1", "<http://s.org/name>", '"Bob"'),
+]
+
+
+def _canon(triples):
+    return canonicalize([(s, p, o, None) for s, p, o in triples])
+
+
+def test_rdfxml_roundtrip():
+    doc = rdfxml_serialize(TRIPLES)
+    rows = parse_rdfxml_document("urn:x-rt:", doc)
+    assert all(r[5] is None for r in rows), rows
+    reparsed = [(r[1], r[2], r[3]) for r in rows]
+    assert _canon(reparsed) == _canon(TRIPLES)
+
+
+def test_jsonld_roundtrip():
+    assert jsonld_roundtrip_check(TRIPLES)
+
+
+def test_jsonld_shape():
+    import json
+
+    doc = json.loads(jsonld_serialize(TRIPLES))
+    assert "@graph" in doc
+    alice = [n for n in doc["@graph"] if n["@id"] == "http://e/alice"][0]
+    assert alice["@type"] == ["http://s.org/Person"]
+    assert {"@value": "42", "@type": f"{XSD}integer"} in alice["http://s.org/age"]
+    assert {"@value": "al", "@language": "en"} in alice["http://s.org/nick"]
+
+
+def test_rdfxml_escaping():
+    t = [("<http://e/x>", "<http://s.org/note>", '"a<b>&amp;"')]
+    doc = rdfxml_serialize(t)
+    rows = parse_rdfxml_document("urn:x-rt:", doc)
+    assert rows[0][3] == '"a<b>&amp;"'
