@@ -341,6 +341,43 @@ F6_JSONLD: List[FixtureCase] = [
 
 ALL_CASES: List[FixtureCase] = F1_NT + F2_NQ + F5_GNQ + F3_TTL + F4_TRIG + F6_JSONLD
 
+# --- F9: entity-linking & canonicalization overlays ------------------------
+
+_OWL_SAMEAS = "http://www.w3.org/2002/07/owl#sameAs"
+_SCHEMA_ID = "https://schema.org/identifier"
+
+
+def linking_fixture() -> Tuple[pd.DataFrame, List[Tuple[str, str]]]:
+    """F9: the same real-world entity under different IRIs with
+    owl:sameAs bridges across pages → (pages frame, golden components
+    as (canon_id, member) pairs).
+
+    Entity e{k} appears as <http://siteA/e{k}>, <http://siteB/e{k}> and
+    <http://siteC/e{k}>; bridges A↔B on one page, B↔C on another —
+    multi-hop closure across documents.  Odd entities get only A↔B
+    (2-member components).
+    """
+    cases: List[FixtureCase] = []
+    golden: List[Tuple[str, str]] = []
+    for k in range(6):
+        a, b, c = (f"http://site{x}.example.org/entity/{k}" for x in "ABC")
+        lines = [
+            f"<{a}> <{_OWL_SAMEAS}> <{b}>.",
+            f'<{a}> <{_SCHEMA_ID}> "ent-{k}".',
+        ]
+        cases.append(FixtureCase(f"link_ab_{k}", "nt", "\n".join(lines), None))
+        members = [f"<{a}>", f"<{b}>"]
+        if k % 2 == 0:
+            cases.append(
+                FixtureCase(
+                    f"link_bc_{k}", "nt", f"<{b}> <{_OWL_SAMEAS}> <{c}>.", None
+                )
+            )
+            members.append(f"<{c}>")
+        canon = min(members)
+        golden.extend((canon, m) for m in members)
+    return fixture_pages(cases), golden
+
 
 def expected_skolemized(case: FixtureCase, url: str) -> List[Quad]:
     """The case's golden quads with bnode labels skolemized for ``url``."""

@@ -99,3 +99,19 @@ def test_manifest_checksum_partition_independent(spark, tmp_path):
     m1, m2 = load_manifest(wd, "x1"), load_manifest(wd, "x2")
     assert m1["checksum"] == m2["checksum"]
     assert m1["rows"] == m2["rows"]
+
+
+def test_f9_linking_fixture_components(spark, tmp_path):
+    """F9 golden components: extract sameAs bridges across pages →
+    connected components must equal the hand-derived golden set."""
+    from sophia_rs_spark.operators.linking import connected_components, sameas_edges
+    from sophia_rs_spark.plans.extract import extract_quads, split_quarantine
+    from sophia_rs_spark.sources.fixtures import linking_fixture
+
+    pages_pdf, golden = linking_fixture()
+    pages = pages_df(spark, pages_pdf)
+    good, bad = split_quarantine(extract_quads(pages, from_html=True))
+    assert bad.count() == 0
+    comp = connected_components(sameas_edges(good))
+    got = {(r["comp"], r["member"]) for r in comp.collect()}
+    assert got == set(golden)
