@@ -303,7 +303,80 @@ checksum test.
     )
 
 
+def skew_mode():
+    """Measured before/after for the skew mitigation (SURVEY.md §7 stage
+    6): a shuffle join where 90% of the big side hits one hot key, run
+    (a) plain with AQE off, (b) salted with AQE off, (c) plain with AQE
+    skew-join on.  Appends results to BENCH/BASELINE.md."""
+    import time as _t
+
+    from pyspark.sql import SparkSession, functions as F
+
+    from sophia_rs_spark.operators.skew import salted_join
+
+    results = {}
+    for mode in ("plain_noaqe", "salted_noaqe", "plain_aqe"):
+        aqe = "true" if mode == "plain_aqe" else "false"
+        spark = (
+            SparkSession.builder.master("local[32]")
+            .appName(f"skew-{mode}")
+            .config("spark.sql.shuffle.partitions", "32")
+            .config("spark.sql.adaptive.enabled", aqe)
+            .config("spark.sql.autoBroadcastJoinThreshold", "-1")
+            .config("spark.driver.memory", "24g")
+            .config("spark.local.dir", "/dev/shm/spark-local")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+        try:
+            big = spark.range(8_000_000).select(
+                F.concat(F.lit("<s/"), F.col("id").cast("string"), F.lit(">")).alias("s"),
+                F.when(F.col("id") % 10 < 9, "<p/type>")
+                .otherwise(
+                    F.concat(F.lit("<p/"), (F.col("id") % 1000).cast("string"), F.lit(">"))
+                )
+                .alias("key"),
+            )
+            dim = spark.range(1001).select(
+                F.when(F.col("id") == 1000, "<p/type>")
+                .otherwise(F.concat(F.lit("<p/"), F.col("id").cast("string"), F.lit(">")))
+                .alias("key"),
+                F.concat(F.lit("label"), F.col("id").cast("string")).alias("label"),
+            )
+            big.count()  # warm input
+            t0 = _t.time()
+            if mode == "salted_noaqe":
+                n = salted_join(big, dim, "key", n_salts=32).count()
+            else:
+                n = big.join(dim, "key").count()
+            results[mode] = round(_t.time() - t0, 2)
+            assert n == 8_000_000, n
+        finally:
+            spark.stop()
+    md = f"""
+
+## Skew mitigation — measured (8M-row join, 90% of rows on one hot key)
+
+| strategy | wall sec (local[32]) |
+|---|---|
+| plain shuffle join, AQE off (the straggler case) | {results['plain_noaqe']} |
+| salted join (32 salts), AQE off | {results['salted_noaqe']} |
+| plain join, AQE skew-join on (production default) | {results['plain_aqe']} |
+
+`operators/skew.py::salted_join` is exact-result-equivalent (tested);
+AQE skew-join is enabled in all engine sessions as the backstop, and
+the explicit salting path covers aggregation-style hot keys AQE cannot
+split.
+"""
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "a") as f:
+        f.write(md)
+    print(json.dumps(results))
+
+
 def main():
+    if len(sys.argv) > 1 and sys.argv[1] == "--skew":
+        skew_mode()
+        return
     if len(sys.argv) > 1 and sys.argv[1] == "--single-extract":
         single_extract_run(int(sys.argv[2]))
         return
