@@ -135,44 +135,48 @@ def extract_quads(
     return src.mapInPandas(run, schema=QUADS_SCHEMA)
 
 
-_FAST_PRE_RE = r'(?s)<pre data-format="(?P<fmt>[a-z]+)">(?P<payload>.*?)</pre>'
+_FAST_PRE_RE = re.compile(
+    r'(?s)<pre data-format="(?P<fmt>[a-z]+)">(?P<payload>.*?)</pre>'
+)
 _ODD_AMP_RE = re.compile(r"&(?!amp;|lt;|gt;)")
 
 
 def _extract_batch(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Vectorized payload extraction for a batch of pages.
+    """Payload extraction for a batch of pages.
 
-    Fast path (pandas str ops across the whole batch): pages with exactly
-    one ``<pre data-format>`` block, no JSON-LD script, and only the
-    three entities our synthesizer emits.  Everything else goes through
-    the spec-faithful HTMLParser-based extractor.
+    Fast path (a handful of C-level string ops per page, no
+    intermediate frames): pages with exactly one ``<pre data-format>``
+    block, no JSON-LD script, and only the three entities our
+    synthesizer emits.  Everything else goes through the spec-faithful
+    HTMLParser-based extractor.
     """
-    html_str = pd.Series(
-        [bytes(h).decode("utf-8", "replace") for h in pdf["html"]], index=pdf.index
-    )
-    one_pre = html_str.str.count('<pre data-format="') == 1
-    no_script = ~html_str.str.contains("application/ld+json", regex=False)
-    ext = html_str.str.extract(_FAST_PRE_RE)
-    extracted = ext["payload"].notna()
-    clean = ~ext["payload"].fillna("").str.contains(_ODD_AMP_RE)
-    fast_ok = one_pre & no_script & extracted & clean
-
-    fast = pd.DataFrame(
-        {
-            "url": pdf.loc[fast_ok, "url"],
-            "fmt": ext.loc[fast_ok, "fmt"],
-            "text": ext.loc[fast_ok, "payload"]
-            .str.replace("&lt;", "<", regex=False)
-            .str.replace("&gt;", ">", regex=False)
-            .str.replace("&amp;", "&", regex=False),
-        }
-    )
-    slow_rows = []
-    for url, html in zip(pdf.loc[~fast_ok, "url"], html_str[~fast_ok]):
+    rows: list[tuple] = []
+    for url, h in zip(pdf["url"], pdf["html"]):
+        html = bytes(h).decode("utf-8", "replace")
+        if (
+            html.count('<pre data-format="') == 1
+            and "application/ld+json" not in html
+        ):
+            m = _FAST_PRE_RE.search(html)
+            if m is not None:
+                payload = m.group("payload")
+                if "&" not in payload:
+                    rows.append((url, m.group("fmt"), payload))
+                    continue
+                if _ODD_AMP_RE.search(payload) is None:
+                    rows.append(
+                        (
+                            url,
+                            m.group("fmt"),
+                            payload.replace("&lt;", "<")
+                            .replace("&gt;", ">")
+                            .replace("&amp;", "&"),
+                        )
+                    )
+                    continue
         for fmt, text in extract_payloads(html):
-            slow_rows.append((url, fmt, text))
-    slow = pd.DataFrame(slow_rows, columns=["url", "fmt", "text"])
-    return pd.concat([fast, slow], ignore_index=True)
+            rows.append((url, fmt, text))
+    return pd.DataFrame(rows, columns=["url", "fmt", "text"])
 
 
 def split_quarantine(quads: DataFrame) -> tuple[DataFrame, DataFrame]:

@@ -68,6 +68,10 @@ FAST_RE = re.compile(
     rf"^[ \t]*(?P<s>{_F_TERM_S})[ \t]+(?P<p>{_F_IRI})[ \t]+(?P<o>{_F_OBJ})"
     rf"(?:[ \t]+(?P<g>{_F_TERM_S}))?[ \t]*\.[ \t]*(?:\#.*)?$"
 )
+# whole-document fast scan: same grammar, MULTILINE anchors (one findall
+# call per document replaces the per-line explode — C-level line loop)
+FAST_RE_M = re.compile(FAST_RE.pattern.replace("$", r"\r?$"), re.MULTILINE)
+_NONTRIVIAL_RE = re.compile(r"^[ \t]*[^#\s\r\n]", re.MULTILINE)
 
 _XSD_STRING_SUFFIX = f"^^<{XSD_STRING}>"
 
@@ -284,90 +288,47 @@ def parse_nx_batch(
     """Parse a batch of documents (columns ``url``, ``text``) into a quad
     frame with columns url/line/s/p/o/g/error.
 
-    Vectorized fast path: explode to lines, match ``FAST_RE`` across the
-    whole batch with pandas ``str.extract``; only non-matching, non-trivial
-    lines fall back to the per-line tokenizer.
-    """
+    Fast path: ONE multiline ``finditer`` per document (C-level line
+    loop — no python-side line explode, no intermediate frames).  A
+    document where every non-trivial line matches the strict simple-
+    triple grammar is emitted directly; any other document falls back to
+    the per-line tokenizer (escapes, triple terms, errors)."""
     if len(pdf) == 0:
         return pd.DataFrame(columns=_OUT_COLS)
-
-    lines = pdf["text"].fillna("").str.split("\n")
-    exploded = pd.DataFrame(
-        {
-            "url": pdf["url"].repeat(lines.str.len()).values,
-            "raw": [l for doc in lines for l in doc],
-            "line": [i for doc in lines for i in range(1, len(doc) + 1)],
-        }
-    )
-    stripped = exploded["raw"].str.strip()
-    nontrivial = (stripped != "") & ~stripped.str.startswith("#")
-    work = exploded[nontrivial]
-    if len(work) == 0:
-        return pd.DataFrame(columns=_OUT_COLS)
-
-    ext = work["raw"].str.extract(FAST_RE)
-    fast_ok = ext["s"].notna() & (ext["g"].isna() if not (quads or generalized) else True)
-
     rows: list[tuple] = []
-
-    fast = work[fast_ok]
-    if len(fast) > 0:
-        fext = ext[fast_ok]
-        o_canon = fext["o"].map(_canon_fast_obj)
-        if preserve_bn_labels:
-            s_col = fext["s"]
-            o_col = o_canon
-            g_col = fext["g"]
-        else:
-            urls = fast["url"]
-            s_col = [
-                _skolemize_enc(v, u) if v.startswith("_:") else v
-                for v, u in zip(fext["s"], urls)
-            ]
-            o_col = [
-                _skolemize_enc(v, u) if v.startswith("_:") else v
-                for v, u in zip(o_canon, urls)
-            ]
-            g_col = [
-                _skolemize_enc(v, u) if isinstance(v, str) and v.startswith("_:") else v
-                for v, u in zip(fext["g"], urls)
-            ]
-        fast_df = pd.DataFrame(
-            {
-                "url": fast["url"].values,
-                "line": fast["line"].values,
-                "s": list(s_col),
-                "p": list(fext["p"]),
-                "o": list(o_col),
-                "g": [v if isinstance(v, str) else None for v in g_col],
-                "error": None,
-            }
-        )
-    else:
-        fast_df = pd.DataFrame(columns=_OUT_COLS)
-
-    slow = work[~fast_ok]
-    for url, raw, line_no in zip(slow["url"], slow["raw"], slow["line"]):
-        try:
-            r = _parse_line(raw, quads or generalized, generalized)
-        except NxError as e:
-            rows.append((url, line_no, None, None, None, None, f"L{line_no}C{e.col}: {e}"))
+    nt_mode = not (quads or generalized)
+    for url, text in zip(pdf["url"], pdf["text"]):
+        text = text or ""
+        matches = list(FAST_RE_M.finditer(text))
+        if len(matches) == len(_NONTRIVIAL_RE.findall(text)) and (
+            not nt_mode or all(not m.group("g") for m in matches)
+        ):
+            line_no = 1
+            pos = 0
+            for m in matches:
+                s, p, o, g = m.group("s", "p", "o", "g")
+                start = m.start()
+                line_no += text.count("\n", pos, start)
+                pos = start
+                if o[0] == '"':
+                    o = _canon_fast_obj(o)
+                if not preserve_bn_labels:
+                    if s[0] == "_":
+                        s = _skolemize_enc(s, url)
+                    if o[0] == "_":
+                        o = _skolemize_enc(o, url)
+                    if g and g[0] == "_":
+                        g = _skolemize_enc(g, url)
+                rows.append((url, line_no, s, p, o, g or None, None))
             continue
-        if r is None:
-            continue
-        s, p, o, g = r
-        if not quads and not generalized and g is not None:
-            rows.append((url, line_no, None, None, None, None, f"L{line_no}: graph name not allowed in N-Triples"))
-            continue
-        if not preserve_bn_labels:
-            s, p, o, g = (
-                _skolemize_enc(s, url),
-                _skolemize_enc(p, url),
-                _skolemize_enc(o, url),
-                _skolemize_enc(g, url),
-            )
-        rows.append((url, line_no, s, p, o, g, None))
-
-    slow_df = pd.DataFrame(rows, columns=_OUT_COLS)
-    out = pd.concat([fast_df, slow_df], ignore_index=True)
-    return out[_OUT_COLS]
+        # slow path: exact per-line semantics (escapes, triple terms,
+        # VERSION, generalized terms, error positions)
+        for r in parse_nx_document(
+            url,
+            text,
+            quads=quads,
+            generalized=generalized,
+            preserve_bn_labels=preserve_bn_labels,
+        ):
+            rows.append((url, *r))
+    return pd.DataFrame(rows, columns=_OUT_COLS)
