@@ -195,14 +195,14 @@ def _call(fn: str, cols: List[Column], raw_args) -> Column:
         return s(cols[0]).endswith(s(cols[1]))
     if fn == "SUBSTR":
         if len(cols) == 2:
-            return s(cols[0]).substr(cols[1].cast("int"), F.lit(2147483647))
-        return s(cols[0]).substr(cols[1].cast("int"), cols[2].cast("int"))
+            return s(cols[0]).substr(n(cols[0 + 1]).cast("int"), F.lit(2147483647))
+        return s(cols[0]).substr(n(cols[1]).cast("int"), n(cols[2]).cast("int"))
     if fn == "REPLACE":
         return F.regexp_replace(s(cols[0]), s(cols[1]), s(cols[2]))
     if fn == "CONCAT":
         return F.concat(*[s(c) for c in cols])
     if fn == "REGEX":
-        return s(cols[0]).rlike(s(cols[1]))
+        return F.regexp_like(s(cols[0]), s(cols[1]))
     if fn == "ABS":
         return F.abs(n(cols[0]))
     if fn == "CEIL":

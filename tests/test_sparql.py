@@ -200,3 +200,97 @@ class TestErrors:
 
         with pytest.raises(SparqlError):
             query(data, PFX + "SELECT ?s WHERE { ?s :name ?n } GARBAGE")
+
+
+class TestMoreExpressions:
+    def test_arithmetic_filter(self, data):
+        got = query(
+            data, PFX + "SELECT ?s WHERE { ?s :age ?a FILTER(?a * 2 > 50) }"
+        )
+        assert rows_of(got) == [("<http://example.org/ns/alice>",)]
+
+    def test_in_operator(self, data):
+        got = query(
+            data,
+            PFX + "SELECT ?s WHERE { ?s :name ?n FILTER(?n IN (\"Alice\", \"Bob\")) }",
+        )
+        assert got.count() == 2
+
+    def test_logical_and_or_not(self, data):
+        got = query(
+            data,
+            PFX + 'SELECT ?s WHERE { ?s :age ?a FILTER(?a > 5 && !(?a > 40)) }',
+        )
+        assert rows_of(got) == [("<http://example.org/ns/bob>",)]
+
+    def test_strbefore_strafter_substr(self, data):
+        got = query(
+            data,
+            PFX + 'SELECT ?b WHERE { :alice :name ?n BIND(SUBSTR(STR(?n), 2, 3) AS ?b) }',
+        )
+        assert rows_of(got) == [("lic",)]
+
+    def test_coalesce_if(self, data):
+        got = query(
+            data,
+            PFX + "SELECT ?s ?v WHERE { ?s :name ?n OPTIONAL { ?s :age ?a } "
+            'BIND(COALESCE(?a, "none") AS ?v) }',
+        )
+        vals = dict(rows_of(got))
+        assert vals["<http://example.org/ns/carol>"] == '"none"'  # term-valued COALESCE
+
+    def test_isiri_isliteral(self, data):
+        got = query(
+            data, PFX + "SELECT ?o WHERE { :alice ?p ?o FILTER(ISIRI(?o)) }"
+        )
+        assert rows_of(got) == [("<http://example.org/ns/bob>",)]
+
+    def test_having(self, data):
+        got = query(
+            data,
+            PFX + "SELECT ?s (COUNT(*) AS ?cnt) WHERE { ?s ?p ?o } "
+            "GROUP BY ?s HAVING(?cnt > 2)",
+        )
+        assert got.count() == 2  # alice and bob have 3 each, carol 1
+
+    def test_order_by_expression(self, data):
+        got = query(
+            data,
+            PFX + "SELECT ?s WHERE { ?s :age ?a } ORDER BY ASC(?a * 1)",
+        )
+        assert [r["s"] for r in got.collect()] == [
+            "<http://example.org/ns/bob>",
+            "<http://example.org/ns/alice>",
+        ]
+
+    def test_path_star_and_opt(self, data):
+        got = query(data, PFX + "SELECT ?x WHERE { :alice :knows* ?x }")
+        xs = {r["x"] for r in got.collect()}
+        assert "<http://example.org/ns/alice>" in xs  # zero-length
+        assert "<http://example.org/ns/carol>" in xs
+        got2 = query(data, PFX + "SELECT ?x WHERE { :alice :knows? ?x }")
+        xs2 = {r["x"] for r in got2.collect()}
+        assert xs2 == {
+            "<http://example.org/ns/alice>",
+            "<http://example.org/ns/bob>",
+        }
+
+    def test_negated_property_set(self, data):
+        got = query(
+            data, PFX + "SELECT ?o WHERE { :bob !(:name|:age) ?o }"
+        )
+        assert rows_of(got) == [("<http://example.org/ns/carol>",)]
+
+    def test_regex_builtin(self, data):
+        got = query(
+            data,
+            PFX + 'SELECT ?s WHERE { ?s :name ?n FILTER(REGEX(STR(?n), "^[AB]")) }',
+        )
+        assert got.count() == 2
+
+    def test_sameterm_langmatches(self, data):
+        got = query(
+            data,
+            PFX + 'SELECT ?s WHERE { ?s :name ?n FILTER(LANGMATCHES(LANG(?n), "EN")) }',
+        )
+        assert rows_of(got) == [("<http://example.org/ns/carol>",)]
