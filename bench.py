@@ -171,6 +171,23 @@ def bench_components(spark, sf_dir: str):
     return e.queries()["link_canonicalized"](spark, sf_dir).count()
 
 
+def bench_c14n(spark, sf_dir: str, tile: int = 10):
+    """RDFC-1.0 relabeling distributed per url (applyInPandas)."""
+    from sophia_rs_spark.operators.c14n import canonicalize_by_url
+    from sophia_rs_spark.plans.extract import extract_quads, split_quarantine
+
+    pages = tiled_doc_pages(spark, sf_dir, tile)
+    good, _ = split_quarantine(extract_quads(pages, from_html=True))
+    return canonicalize_by_url(good).count()
+
+
+def bench_rdfs(spark, sf_dir: str):
+    """RDFS saturation over the direct-mapped graph + schema."""
+    import __spark_entry__ as e
+
+    return e.queries()["rdfs_closure"](spark, sf_dir).count()
+
+
 def run_all(spark, sf_dir: str, tile: int):
     # warm up python workers / codegen so reported numbers are
     # steady-state (what a long-running cluster job sees)
@@ -185,6 +202,8 @@ def run_all(spark, sf_dir: str, tile: int):
         ("minhash", lambda: bench_minhash(spark, sf_dir)),
         ("knn", lambda: bench_knn(spark, sf_dir)),
         ("components", lambda: bench_components(spark, sf_dir)),
+        ("c14n", lambda: bench_c14n(spark, sf_dir)),
+        ("rdfs", lambda: bench_rdfs(spark, sf_dir)),
     ]
     for name, fn in jobs:
         t0 = time.time()
