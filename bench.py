@@ -230,7 +230,7 @@ def single_extract_run(cpus: int):
         bench_extract(spark, SF_DIR, max(SCALE_TILE // 10, 4))
         best = None
         n = 0
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.time()
             n = bench_extract(spark, SF_DIR, SCALE_TILE)
             dt = time.time() - t0

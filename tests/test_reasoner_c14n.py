@@ -172,3 +172,72 @@ class TestC14n:
         got = {(r["url"], r["s"], r["p"], r["o"]) for r in out.collect()}
         assert ("u1", "_:c14n0", "<p>", '"v"') in got or ("u1", "_:c14n1", "<p>", '"v"') in got
         assert ("u2", "_:c14n0", "<p>", '"v"') in got
+
+
+class TestC14nHard:
+    """Harder shapes exercising hash-n-degree (pure python, no Spark)."""
+
+    def test_two_symmetric_components(self):
+        # two disjoint identical 2-cycles: 4 bnodes, all same first-degree
+        # hash — n-degree + permutations must still split them stably
+        a = [
+            ("_:a1", "<p>", "_:a2", None), ("_:a2", "<p>", "_:a1", None),
+            ("_:b1", "<p>", "_:b2", None), ("_:b2", "<p>", "_:b1", None),
+        ]
+        b = [
+            ("_:x1", "<p>", "_:x2", None), ("_:x2", "<p>", "_:x1", None),
+            ("_:y1", "<p>", "_:y2", None), ("_:y2", "<p>", "_:y1", None),
+        ]
+        from sophia_rs_spark.operators.c14n import canonicalize, canonical_mapping
+
+        assert canonicalize(a) == canonicalize(b)
+        assert len(set(canonical_mapping(a).values())) == 4
+
+    def test_chain_vs_cycle_not_isomorphic(self):
+        from sophia_rs_spark.operators.c14n import isomorphic
+
+        chain = [("_:a", "<p>", "_:b", None), ("_:b", "<p>", "_:c", None)]
+        cycle = [
+            ("_:a", "<p>", "_:b", None), ("_:b", "<p>", "_:c", None),
+            ("_:c", "<p>", "_:a", None),
+        ]
+        assert not isomorphic(chain, cycle)
+
+    def test_triangle_relabel_stable(self):
+        from sophia_rs_spark.operators.c14n import canonicalize
+
+        import itertools
+        tri = [
+            ("_:a", "<p>", "_:b", None),
+            ("_:b", "<p>", "_:c", None),
+            ("_:c", "<p>", "_:a", None),
+        ]
+        base = canonicalize(tri)
+        # every relabeling of the same triangle canonicalizes identically
+        for perm in itertools.permutations(["_:x", "_:y", "_:z"]):
+            m = dict(zip(["_:a", "_:b", "_:c"], perm))
+            relab = [(m[s], p, m[o], None) for s, p, o, _ in tri]
+            assert canonicalize(relab) == base
+
+    def test_named_graph_quads_participate(self):
+        from sophia_rs_spark.operators.c14n import canonicalize
+
+        a = [("_:a", "<p>", '"v"', "_:g")]
+        b = [("_:q", "<p>", '"v"', "_:h")]
+        assert canonicalize(a) == canonicalize(b)
+
+    def test_poison_limit_trips(self):
+        # K5-ish fully-symmetric clique exceeds the permutation budget
+        from sophia_rs_spark.operators.c14n import C14nError, canonical_mapping
+
+        n = 8
+        quads = [
+            (f"_:n{i}", "<p>", f"_:n{j}", None)
+            for i in range(n)
+            for j in range(n)
+            if i != j
+        ]
+        try:
+            canonical_mapping(quads, permutation_limit=6)
+        except C14nError:
+            pass  # acceptable: poison guard fired (sophia has the same knobs)
