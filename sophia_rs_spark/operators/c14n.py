@@ -237,8 +237,26 @@ def isomorphic(a: List[Quad], b: List[Quad]) -> bool:
 def canonicalize_by_url(quads_df):
     """Distributed RDFC-1.0: bnodes are url-scoped, so groupBy(url) →
     applyInPandas canonicalizes each document independently — the
-    embarrassing-parallel decomposition the spec's locality allows."""
+    embarrassing-parallel decomposition the spec's locality allows.
+
+    Fast path: canonicalization only renames blank nodes, so documents
+    containing none pass through untouched, JVM-side — in web data the
+    vast majority, which keeps the per-group Python off the hot path."""
     import pandas as pd
+    from pyspark.sql import functions as F
+
+    cols = ["url", "s", "p", "o", "g"]
+    df = quads_df.select(*cols)
+    has_bnode = (
+        F.col("s").startswith("_:")
+        | F.col("o").startswith("_:")
+        | F.col("g").startswith("_:")
+        | F.col("o").contains(" _:")  # bnodes inside triple terms
+        | F.col("s").contains(" _:")
+    )
+    bnode_urls = df.filter(has_bnode).select("url").distinct()
+    passthrough = df.join(bnode_urls, "url", "left_anti")
+    needs_c14n = df.join(bnode_urls, "url", "left_semi")
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
         out = []
@@ -254,6 +272,7 @@ def canonicalize_by_url(quads_df):
                 out.append((url, None, None, None, f"c14n-error: {e}"))
         return pd.DataFrame(out, columns=["url", "s", "p", "o", "g"])
 
-    return quads_df.select("url", "s", "p", "o", "g").groupBy("url").applyInPandas(
+    relabeled = needs_c14n.groupBy("url").applyInPandas(
         run, schema="url string, s string, p string, o string, g string"
     )
+    return passthrough.unionByName(relabeled)
