@@ -339,7 +339,51 @@ F6_JSONLD: List[FixtureCase] = [
     ),
 ]
 
-ALL_CASES: List[FixtureCase] = F1_NT + F2_NQ + F5_GNQ + F3_TTL + F4_TRIG + F6_JSONLD
+# --- F8: RDF/XML (xml/src/parser.rs subset) ---------------------------------
+
+_RDFXML_HDR = (
+    f'<rdf:RDF xmlns:rdf="{_RDFNS}" xmlns:ex="http://ex.org/">'
+)
+
+F8_RDFXML: List[FixtureCase] = [
+    FixtureCase(
+        "rdfxml_description",
+        "rdfxml",
+        _RDFXML_HDR
+        + '<rdf:Description rdf:about="http://e/x">'
+        + "<ex:name>Alice</ex:name>"
+        + f'<ex:age rdf:datatype="{_XSD}integer">42</ex:age>'
+        + "</rdf:Description></rdf:RDF>",
+        [
+            _t("<http://e/x>", "<http://ex.org/name>", '"Alice"'),
+            _t("<http://e/x>", "<http://ex.org/age>", f'"42"^^<{_XSD}integer>'),
+        ],
+    ),
+    FixtureCase(
+        "rdfxml_typed_node",
+        "rdfxml",
+        _RDFXML_HDR
+        + '<ex:Person rdf:about="http://e/y" xml:lang="en">'
+        + '<ex:link rdf:resource="http://e/x"/>'
+        + "<ex:note>hi</ex:note></ex:Person></rdf:RDF>",
+        [
+            _t("<http://e/y>", f"<{_RDFNS}type>", "<http://ex.org/Person>"),
+            _t("<http://e/y>", "<http://ex.org/link>", "<http://e/x>"),
+            _t("<http://e/y>", "<http://ex.org/note>", '"hi"@en'),
+        ],
+    ),
+    FixtureCase(
+        "rdfxml_bad",
+        "rdfxml",
+        "<rdf:RDF><broken>",
+        [],
+        error_lines=1,
+    ),
+]
+
+ALL_CASES: List[FixtureCase] = (
+    F1_NT + F2_NQ + F5_GNQ + F3_TTL + F4_TRIG + F6_JSONLD + F8_RDFXML
+)
 
 # --- F9: entity-linking & canonicalization overlays ------------------------
 

@@ -167,3 +167,38 @@ class TestExtractPipeline:
         a = extract_quads(pages.repartition(1)).sort("url", "line", "s").collect()
         b = extract_quads(pages.repartition(7)).sort("url", "line", "s").collect()
         assert a == b
+
+
+def test_microdata_pages_through_pipeline(spark):
+    """F7: Microdata pages flow through extract_quads(microdata=True);
+    text invariant holds (no pre/script payloads → text='')."""
+    import datetime as dt
+    import pandas as pd
+
+    html = (
+        '<!DOCTYPE html><html><body>'
+        '<div itemscope itemid="http://e/me" itemtype="https://schema.org/Person">'
+        '<span itemprop="name">Alice</span></div></body></html>'
+    )
+    pdf = pd.DataFrame(
+        {
+            "url": ["https://m.example.org/p/1"],
+            "warc_ts": [dt.datetime(2026, 1, 1)],
+            "html": [html.encode()],
+            "text": [""],
+            "lang": ["en"],
+        }
+    )
+    from sophia_rs_spark.sources.html_extract import extract_text
+
+    assert extract_text(html) == ""  # byte-identical invariant for F7 pages
+    pages = pages_df(spark, pdf)
+    good, bad = split_quarantine(extract_quads(pages, microdata=True))
+    rows = {(r["s"], r["p"], r["o"]) for r in good.collect()}
+    assert (
+        "<http://e/me>",
+        "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>",
+        "<https://schema.org/Person>",
+    ) in rows
+    assert ("<http://e/me>", "<https://schema.org/name>", '"Alice"') in rows
+    assert bad.count() == 0
