@@ -63,6 +63,77 @@ def streaming_extract(
     )
 
 
+def streaming_sessionize(
+    events_stream: DataFrame, gap_seconds: int = 1800
+) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState`` (the
+    engine's `applyInPandasWithState` surface from the driver brief):
+    gap-based sessionization per user with state carried across
+    micro-batches.
+
+    State per user: (n_sessions, last_ts_epoch, cur_events, max_events).
+    Rows are processed in (ts, event_id) order within each batch; the
+    batch twin (`__spark_entry__._q_events_sessionize`) is the oracle
+    when the whole input arrives in one batch.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    out_type = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_sessions", LongType()),
+            StructField("max_session_events", LongType()),
+        ]
+    )
+    state_type = StructType(
+        [
+            StructField("n_sessions", LongType()),
+            StructField("last_ts", LongType()),
+            StructField("cur_events", LongType()),
+            StructField("max_events", LongType()),
+        ]
+    )
+
+    def update(key, pdfs, state: "GroupState"):
+        if state.exists:
+            n_sessions, last_ts, cur_events, max_events = state.get
+        else:
+            n_sessions, last_ts, cur_events, max_events = 0, None, 0, 0
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values(["ts", "event_id"])
+        for ts in rows["ts"]:
+            epoch = int(ts.timestamp())
+            if last_ts is None or epoch - last_ts > gap_seconds:
+                n_sessions += 1
+                cur_events = 0
+            cur_events += 1
+            max_events = max(max_events, cur_events)
+            last_ts = epoch
+        state.update((n_sessions, last_ts, cur_events, max_events))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_sessions": [n_sessions],
+                "max_session_events": [max_events],
+            }
+        )
+
+    return (
+        events_stream.select("user_id", "ts", "event_id")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update, out_type, state_type, "update", GroupStateTimeout.NoTimeout
+        )
+    )
+
+
 def page_rate_metrics(pages_stream: DataFrame, watermark: str = "10 minutes") -> DataFrame:
     """Watermarked tumbling-window ingest metrics (pages + bytes per
     5-minute event-time window); late pages beyond the watermark drop."""

@@ -69,3 +69,42 @@ def test_page_rate_metrics_schema(spark, pages_dir):
         "html_bytes",
     }
     assert m.isStreaming
+
+
+def test_stateful_sessionize_matches_batch(spark, tmp_path):
+    """applyInPandasWithState sessionization over a single availableNow
+    batch equals the batch window-function twin."""
+    import __spark_entry__ as e
+    from sophia_rs_spark.streaming.ingest import streaming_sessionize
+
+    src = "/root/testdata/sf0.001/events.parquet"
+    events = spark.read.parquet(src)
+    expected = {
+        (r["user_id"], r["n_sessions"], r["max_session_events"])
+        for r in e.queries()["events_sessionize"](spark, "/root/testdata/sf0.001").collect()
+    }
+
+    events.coalesce(1).write.parquet(str(tmp_path / "events_in"), mode="overwrite")
+    stream = (
+        spark.readStream.schema(events.schema).parquet(
+            str(tmp_path / "events_in")
+        )
+    )
+    out = streaming_sessionize(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sess_out")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got_df = spark.sql(
+        "SELECT user_id, n_sessions, max_session_events FROM sess_out"
+    )
+    # last update per user (single batch → exactly one row per user)
+    got = {
+        (r["user_id"], r["n_sessions"], r["max_session_events"])
+        for r in got_df.collect()
+    }
+    assert got == expected
