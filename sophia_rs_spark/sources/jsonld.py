@@ -234,6 +234,18 @@ class _JsonLdToRdf:
                 continue
             if key in _KEYWORDS:
                 continue
+            if key == "@reverse":
+                # { "@reverse": { prop: nodes } } → (node, prop, subject)
+                for rkey, rval in value.items():
+                    rpred = self._expand_iri(ctx, rkey, vocab=True)
+                    if rpred is None:
+                        continue
+                    rvals = rval if isinstance(rval, list) else [rval]
+                    for v in rvals:
+                        obj = self._value_to_term(ctx, v, {}, graph)
+                        if obj is not None:
+                            self.triples.append((obj, f"<{rpred}>", subject, graph))
+                continue
             pred = self._expand_iri(ctx, key, vocab=True)
             if pred is None:
                 continue  # unmapped term dropped
@@ -244,6 +256,15 @@ class _JsonLdToRdf:
                 self.triples.append((subject, f"<{pred}>", head, graph))
                 continue
             for v in values:
+                if isinstance(v, dict) and "@set" in v:
+                    # @set unwraps to its members (no list structure)
+                    for sv in (
+                        v["@set"] if isinstance(v["@set"], list) else [v["@set"]]
+                    ):
+                        obj = self._value_to_term(ctx, sv, tdef, graph)
+                        if obj is not None:
+                            self.triples.append((subject, f"<{pred}>", obj, graph))
+                    continue
                 obj = self._value_to_term(ctx, v, tdef, graph)
                 if obj is not None:
                     self.triples.append((subject, f"<{pred}>", obj, graph))

@@ -102,14 +102,29 @@ class _RdfXmlParser:
             except RdfXmlError:
                 continue  # unqualified attr (e.g. html) — skip
             self.triples.append((subject, f"<{pred}>", self._literal(v, lang, None)))
+        li_counter = [0]  # rdf:li auto-numbering resets per node element
         for child in el:
-            self.property_element(subject, child, lang, base)
+            self.property_element(subject, child, lang, base, li_counter)
         return subject
 
-    def property_element(self, subject: str, el: ET.Element, lang: Optional[str], base: str):
+    def property_element(
+        self,
+        subject: str,
+        el: ET.Element,
+        lang: Optional[str],
+        base: str,
+        li_counter: Optional[list] = None,
+    ):
         lang = el.get(_XML_LANG, lang)
         base = el.get(_XML_BASE, base)
-        pred = f"<{_expand(el.tag)}>"
+        name = _expand(el.tag)
+        if name == f"{RDF}li":
+            # container membership: rdf:li → rdf:_1, rdf:_2, …
+            if li_counter is None:
+                li_counter = [0]
+            li_counter[0] += 1
+            name = f"{RDF}_{li_counter[0]}"
+        pred = f"<{name}>"
         parse_type = el.get(_RDF + "parseType")
         if el.get(_RDF + "resource") is not None:
             self.triples.append((subject, pred, self._iri(el.get(_RDF + "resource"), base)))
@@ -120,8 +135,9 @@ class _RdfXmlParser:
         if parse_type == "Resource":
             node = self._bnode()
             self.triples.append((subject, pred, node))
+            inner_li = [0]
             for child in el:
-                self.property_element(node, child, lang, base)
+                self.property_element(node, child, lang, base, inner_li)
             return
         if parse_type == "Literal":
             xml_text = (el.text or "") + "".join(

@@ -224,3 +224,26 @@ class TestErrors:
             U, '{"@context": "https://unknown.example/ctx", "@id": "http://e/x"}'
         )
         assert rows[0][5] is not None and "not bundled" in rows[0][5]
+
+
+class TestSetReverse:
+    def test_set_unwraps(self):
+        t = good(
+            parse_jsonld_document(
+                U,
+                '{"@context": {"@vocab": "http://s.org/"}, "@id": "http://e/x",'
+                ' "tag": {"@set": ["a", "b"]}}',
+            )
+        )
+        assert len(t) == 2
+        assert {x[2] for x in t} == {'"a"', '"b"'}
+
+    def test_reverse(self):
+        t = good(
+            parse_jsonld_document(
+                U,
+                '{"@context": {"@vocab": "http://s.org/"}, "@id": "http://e/x",'
+                ' "@reverse": {"parent": {"@id": "http://e/child"}}}',
+            )
+        )
+        assert t == [("<http://e/child>", "<http://s.org/parent>", "<http://e/x>", None)]

@@ -116,3 +116,31 @@ def test_parse_type_resource():
 def test_bad_xml_quarantined():
     rows = parse_rdfxml_document(U, "<rdf:RDF><unclosed>")
     assert rows[0][5] is not None
+
+
+def test_rdf_li_containers():
+    doc = (
+        HDR + '<rdf:Description rdf:about="http://e/bag">'
+        "<ex:items><rdf:Bag>"
+        "<rdf:li>one</rdf:li><rdf:li>two</rdf:li><rdf:li>three</rdf:li>"
+        "</rdf:Bag></ex:items></rdf:Description></rdf:RDF>"
+    )
+    t = good(parse_rdfxml_document(U, doc))
+    preds = sorted(x[1] for x in t if "_" in x[1])
+    assert preds == [f"<{RDF}_1>", f"<{RDF}_2>", f"<{RDF}_3>"]
+    objs = {x[1]: x[2] for x in t}
+    assert objs[f"<{RDF}_1>"] == '"one"'
+    # Bag typed node present
+    assert any(x[2] == f"<{RDF}Bag>" for x in t)
+
+
+def test_rdf_li_resets_per_node():
+    doc = (
+        HDR + '<rdf:Description rdf:about="http://e/a">'
+        "<ex:l><rdf:Seq><rdf:li>x</rdf:li></rdf:Seq></ex:l>"
+        "<ex:m><rdf:Seq><rdf:li>y</rdf:li></rdf:Seq></ex:m>"
+        "</rdf:Description></rdf:RDF>"
+    )
+    t = good(parse_rdfxml_document(U, doc))
+    ones = [x for x in t if x[1] == f"<{RDF}_1>"]
+    assert len(ones) == 2  # both Seqs start at _1
