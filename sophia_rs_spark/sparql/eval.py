@@ -290,6 +290,8 @@ def _eval_group(ctx: _Ctx, g: A.Group) -> DataFrame:
             join(B.union_bindings(left, right))
         elif isinstance(el, A.SubGroup):
             join(_eval_group(ctx, el.group))
+        elif isinstance(el, A.SubSelect):
+            join(_select_df(ctx, el.query))
         elif isinstance(el, A.Bind):
             if df is None:
                 df = _unit(spark)
@@ -330,12 +332,12 @@ def evaluate(triples: DataFrame, q: A.Query):
     # default scope: if no g column, everything; with g, the default graph
     if "g" not in triples.columns:
         ctx = _Ctx(triples.withColumn("g", F.lit(None).cast("string")), None)
-    df = _eval_group(ctx, q.where)
 
     if q.form == "ask":
-        return B.ask(df)
+        return B.ask(_eval_group(ctx, q.where))
 
     if q.form == "construct":
+        df = _eval_group(ctx, q.where)
         tmpl = [
             (
                 t.s if not isinstance(t.s, A.Var) else B.v(t.s.name),
@@ -345,6 +347,13 @@ def evaluate(triples: DataFrame, q: A.Query):
             for t in q.template
         ]
         return B.construct(df, tmpl)
+
+    return _select_df(ctx, q)
+
+
+def _select_df(ctx: _Ctx, q: A.Query) -> DataFrame:
+    """The SELECT pipeline (also the subquery evaluator)."""
+    df = _eval_group(ctx, q.where)
 
     # aggregates
     if q.aggregates or q.group_by:

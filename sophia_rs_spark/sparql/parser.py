@@ -100,6 +100,11 @@ class SubGroup:
 
 
 @dataclass
+class SubSelect:
+    query: "Query"
+
+
+@dataclass
 class Group:
     elements: List[object] = field(default_factory=list)
 
@@ -549,6 +554,13 @@ class _P:
                     g.elements.append(GraphClause(name, self.parse_group()))
                     continue
             if t[0] == "op" and t[1] == "{":
+                nxt = self.peek(1)
+                if nxt is not None and nxt[0] == "kw" and nxt[1].upper() == "SELECT":
+                    self.next()  # consume '{'
+                    q = self.parse_query_body()
+                    self.expect_op("}")
+                    g.elements.append(SubSelect(q))
+                    continue
                 sub = self.parse_group()
                 if self.kw("UNION"):
                     right = self.parse_group()
@@ -637,6 +649,7 @@ class _P:
 
         if self.kw("ASK"):
             q = Query("ask", [], [], self.parse_group())
+            self._check_end()
             return q
         if self.kw("CONSTRUCT"):
             tmpl_group = self.parse_group()
@@ -644,7 +657,21 @@ class _P:
             self.expect_kw("WHERE")
             q = Query("construct", [], [], self.parse_group(), template=template)
             self._parse_modifiers(q)
+            self._check_end()
             return q
+        q = self.parse_query_body()
+        self._check_end()
+        return q
+
+    def _check_end(self):
+        t = self.peek()
+        if t is not None:
+            raise SparqlError(f"trailing tokens: {t[1]!r}")
+
+    def parse_query_body(self) -> Query:
+        """SELECT query (projection + where + modifiers), reusable as a
+        subquery — stops before tokens it doesn't own (e.g. the
+        enclosing '}')."""
         self.expect_kw("SELECT")
         distinct = self.kw("DISTINCT") or (self.kw("REDUCED") and True)
         variables: List[str] = []
@@ -750,9 +777,6 @@ class _P:
                 q.limit = int(self.next()[1])
             if self.kw("OFFSET"):
                 q.offset = int(self.next()[1])
-        t = self.peek()
-        if t is not None:
-            raise SparqlError(f"trailing tokens: {t[1]!r}")
 
 
 def parse_query(text: str, base: Optional[str] = None) -> Query:

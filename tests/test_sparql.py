@@ -294,3 +294,26 @@ class TestMoreExpressions:
             PFX + 'SELECT ?s WHERE { ?s :name ?n FILTER(LANGMATCHES(LANG(?n), "EN")) }',
         )
         assert rows_of(got) == [("<http://example.org/ns/carol>",)]
+
+
+class TestSubquery:
+    def test_subselect_join(self, data):
+        got = query(
+            data,
+            PFX + """SELECT ?n WHERE {
+              { SELECT ?s WHERE { ?s :age ?a } ORDER BY DESC(?a) LIMIT 1 }
+              ?s :name ?n
+            }""",
+        )
+        assert rows_of(got) == [('"Alice"',)]
+
+    def test_subselect_aggregate(self, data):
+        got = query(
+            data,
+            PFX + """SELECT ?s ?cnt WHERE {
+              ?s :name ?n
+              { SELECT ?s (COUNT(*) AS ?cnt) WHERE { ?s ?p ?o } GROUP BY ?s }
+            }""",
+        )
+        vals = dict(rows_of(got))
+        assert vals["<http://example.org/ns/alice>"] == 3
