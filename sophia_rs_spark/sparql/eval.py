@@ -336,6 +336,24 @@ def evaluate(triples: DataFrame, q: A.Query):
     if q.form == "ask":
         return B.ask(_eval_group(ctx, q.where))
 
+    if q.form == "describe":
+        from ..operators.describe import describe as _describe
+
+        targets = [tp.s for tp in q.template]
+        spark = triples.sparkSession
+        consts = [t for t in targets if not isinstance(t, A.Var)]
+        seeds = None
+        if consts:
+            seeds = spark.createDataFrame([(c,) for c in consts], "term string")
+        vars_ = [t.name for t in targets if isinstance(t, A.Var)]
+        if vars_:
+            bindings = _eval_group(ctx, q.where)
+            for vname in vars_:
+                part = bindings.select(F.col(vname).alias("term")).distinct()
+                seeds = part if seeds is None else seeds.unionByName(part)
+        assert seeds is not None, "DESCRIBE needs at least one target"
+        return _describe(ctx.scoped(), seeds)
+
     if q.form == "construct":
         df = _eval_group(ctx, q.where)
         tmpl = [

@@ -161,7 +161,7 @@ _PN_LOCAL = (
 )
 
 _KEYWORDS = (
-    "PREFIX|BASE|SELECT|ASK|CONSTRUCT|WHERE|FILTER|OPTIONAL|MINUS|UNION|"
+    "PREFIX|BASE|SELECT|ASK|CONSTRUCT|DESCRIBE|WHERE|FILTER|OPTIONAL|MINUS|UNION|"
     "BIND|VALUES|GRAPH|DISTINCT|REDUCED|ORDER|GROUP|HAVING|BY|ASC|DESC|"
     "LIMIT|OFFSET|AS|IN|NOT|EXISTS|UNDEF|"
     "COUNT|SUM|AVG|MIN|MAX|GROUP_CONCAT|SAMPLE|SEPARATOR|"
@@ -649,6 +649,33 @@ class _P:
 
         if self.kw("ASK"):
             q = Query("ask", [], [], self.parse_group())
+            self._check_end()
+            return q
+        if self.kw("DESCRIBE"):
+            # DESCRIBE (var | iri)+ (WHERE group)?
+            targets = []
+            while True:
+                t = self.peek()
+                if t is None:
+                    break
+                if t[0] == "var":
+                    self.next()
+                    targets.append(Var(t[1][1:]))
+                elif t[0] in ("iri", "pname"):
+                    targets.append(self.parse_term(allow_var=False))
+                else:
+                    break
+            where = Group()
+            if self.kw("WHERE") or (
+                self.peek() is not None
+                and self.peek()[0] == "op"
+                and self.peek()[1] == "{"
+            ):
+                where = self.parse_group()
+            q = Query("describe", [], [], where)
+            q.template = [
+                TriplePattern(t, RDF_TYPE_T, t) for t in targets
+            ]  # reuse template slot to carry targets
             self._check_end()
             return q
         if self.kw("CONSTRUCT"):

@@ -317,3 +317,17 @@ class TestSubquery:
         )
         vals = dict(rows_of(got))
         assert vals["<http://example.org/ns/alice>"] == 3
+
+
+class TestDescribe:
+    def test_describe_iri(self, data):
+        got = query(data, PFX + "DESCRIBE :alice")
+        assert got.count() == 3  # alice's default-graph triples
+        assert set(got.columns) == {"s", "p", "o"}
+
+    def test_describe_var_where(self, data):
+        got = query(
+            data, PFX + 'DESCRIBE ?s WHERE { ?s :name ?n FILTER(LANG(?n) = "en") }'
+        )
+        rows = {(r["s"], r["p"]) for r in got.collect()}
+        assert rows == {("<http://example.org/ns/carol>", "<http://example.org/ns/name>")}
