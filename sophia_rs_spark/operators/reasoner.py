@@ -27,6 +27,11 @@ T_SUBCLASS = f"<{RDFS}subClassOf>"
 T_SUBPROP = f"<{RDFS}subPropertyOf>"
 T_DOMAIN = f"<{RDFS}domain>"
 T_RANGE = f"<{RDFS}range>"
+T_MEMBER = f"<{RDFS}member>"
+T_CMP = f"<{RDFS}ContainerMembershipProperty>"
+T_DATATYPE = f"<{RDFS}Datatype>"
+T_LITERAL_CLS = f"<{RDFS}Literal>"
+_CONTAINER_PRED_RE = f"^<{RDF}_[0-9]+>$"
 
 
 def _pairs(triples: DataFrame, pred: str) -> DataFrame:
@@ -108,6 +113,32 @@ def rdfs_saturate(triples: DataFrame, max_iter: int = 10) -> DataFrame:
                 bc(subclass.withColumnRenamed("s", "C1").withColumnRenamed("o", "C2")),
                 "C1",
             ).select("s", F.lit(T_TYPE).alias("p"), F.col("C2").alias("o"))
+        )
+        # container membership (rdfs_membership_properties, _rdfs.rs:52):
+        # rdf:_N used as predicate → typed ContainerMembershipProperty
+        used_cmp = (
+            out.filter(F.col("p").rlike(_CONTAINER_PRED_RE))
+            .select(F.col("p").alias("s"))
+            .distinct()
+        )
+        new_parts.append(
+            used_cmp.select("s", F.lit(T_TYPE).alias("p"), F.lit(T_CMP).alias("o"))
+        )
+        # rdfs12: (p type ContainerMembershipProperty) → (p subPropertyOf rdfs:member)
+        cmp_props = out.filter(
+            (F.col("p") == T_TYPE) & (F.col("o") == T_CMP)
+        ).select("s")
+        new_parts.append(
+            cmp_props.select(
+                "s", F.lit(T_SUBPROP).alias("p"), F.lit(T_MEMBER).alias("o")
+            )
+        )
+        # rdfs13: (x type rdfs:Datatype) → (x subClassOf rdfs:Literal)
+        dts = out.filter((F.col("p") == T_TYPE) & (F.col("o") == T_DATATYPE)).select("s")
+        new_parts.append(
+            dts.select(
+                "s", F.lit(T_SUBCLASS).alias("p"), F.lit(T_LITERAL_CLS).alias("o")
+            )
         )
 
         new = new_parts[0]

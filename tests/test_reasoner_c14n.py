@@ -241,3 +241,34 @@ class TestC14nHard:
             canonical_mapping(quads, permutation_limit=6)
         except C14nError:
             pass  # acceptable: poison guard fired (sophia has the same knobs)
+
+
+class TestContainerRules:
+    def test_rdfs12_membership(self, spark):
+        from sophia_rs_spark.operators.reasoner import T_MEMBER
+
+        rdfns = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+        t = _df(
+            spark,
+            [("<bag>", f"<{rdfns}_1>", '"one"'), ("<bag>", f"<{rdfns}_2>", '"two"')],
+        )
+        sat = rdfs_saturate(t)
+        # rdf:_N typed as ContainerMembershipProperty, then rdfs7 via
+        # rdfs12 gives (bag, rdfs:member, "one"/"two")
+        members = sat.filter(F.col("p") == T_MEMBER)
+        assert {r["o"] for r in members.collect()} == {'"one"', '"two"'}
+
+    def test_rdfs13_datatype(self, spark):
+        from sophia_rs_spark.operators.reasoner import (
+            T_DATATYPE,
+            T_LITERAL_CLS,
+            T_SUBCLASS,
+        )
+
+        t = _df(spark, [("<dt>", T_TYPE, T_DATATYPE)])
+        sat = rdfs_saturate(t)
+        assert sat.filter(
+            (F.col("s") == "<dt>")
+            & (F.col("p") == T_SUBCLASS)
+            & (F.col("o") == T_LITERAL_CLS)
+        ).count() == 1
