@@ -10,10 +10,10 @@ static remote contexts (the ``StaticLoader`` model,
 xsd:boolean forms), ``@list`` → rdf:first/rest/nil, top-level
 ``@graph``, nested node objects, arrays.
 
-Documented limitations vs the full spec (SURVEY.md §7 risk item):
-no ``@reverse``, ``@container: @index/@set`` beyond plain array
-semantics, ``@nest``, ``@included``, term-scoped contexts, or JSON
-literals.  Unmapped terms are dropped (spec behavior).
+Also: ``@reverse``, ``@set`` unwrapping, ``@container: @index`` (index
+keys dropped per toRdf), ``@nest``.  Documented limitations vs the full
+spec (SURVEY.md §7 risk item): no ``@included``, term-scoped contexts,
+or JSON literals.  Unmapped terms are dropped (spec behavior).
 """
 
 from __future__ import annotations
@@ -219,21 +219,35 @@ class _JsonLdToRdf:
             return self._process_list(ctx, node["@list"], graph)
         subject = self._node_id(ctx, node)
         for key, value in node.items():
+            self._process_key(ctx, subject, key, value, graph, node)
+        return subject
+
+    def _process_key(self, ctx: _Ctx, subject: str, key: str, value, graph, node):
             if key == "@type":
                 for t in value if isinstance(value, list) else [value]:
                     tiri = self._expand_iri(ctx, t, vocab=True)
                     if tiri:
                         self.triples.append((subject, RDF_TYPE_T, f"<{tiri}>", graph))
-                continue
+                return
             if key == "@graph":
                 # node with @id + @graph: named graph (TriG-like)
                 gname = subject if "@id" in node else graph
                 items = value if isinstance(value, list) else [value]
                 for item in items:
                     self.process_node(ctx, item, gname)
-                continue
+                return
             if key in _KEYWORDS:
-                continue
+                return
+            if key == "@nest" or (
+                isinstance(ctx.terms.get(key), str) and ctx.terms[key] == "@nest"
+            ):
+                # @nest: nested object's properties belong to THIS subject
+                for nested in value if isinstance(value, list) else [value]:
+                    if isinstance(nested, dict):
+                        for nk, nv in nested.items():
+                            if nk != "@context":
+                                self._process_key(ctx, subject, nk, nv, graph, nested)
+                return
             if key == "@reverse":
                 # { "@reverse": { prop: nodes } } → (node, prop, subject)
                 for rkey, rval in value.items():
@@ -245,16 +259,20 @@ class _JsonLdToRdf:
                         obj = self._value_to_term(ctx, v, {}, graph)
                         if obj is not None:
                             self.triples.append((obj, f"<{rpred}>", subject, graph))
-                continue
+                return
             pred = self._expand_iri(ctx, key, vocab=True)
             if pred is None:
-                continue  # unmapped term dropped
+                return  # unmapped term dropped
             tdef = self._term_def(ctx, key)
+            if tdef.get("@container") == "@index" and isinstance(value, dict):
+                # index maps: keys are data-organization only — dropped
+                value = [v for vs in value.values()
+                         for v in (vs if isinstance(vs, list) else [vs])]
             values = value if isinstance(value, list) else [value]
             if tdef.get("@container") == "@list":
                 head = self._process_list(ctx, values, graph, tdef)
                 self.triples.append((subject, f"<{pred}>", head, graph))
-                continue
+                return
             for v in values:
                 if isinstance(v, dict) and "@set" in v:
                     # @set unwraps to its members (no list structure)
@@ -268,7 +286,6 @@ class _JsonLdToRdf:
                 obj = self._value_to_term(ctx, v, tdef, graph)
                 if obj is not None:
                     self.triples.append((subject, f"<{pred}>", obj, graph))
-        return subject
 
     def _value_to_term(self, ctx: _Ctx, v: Any, tdef: Dict[str, Any],
                        graph: Optional[str]) -> Optional[str]:

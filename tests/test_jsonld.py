@@ -247,3 +247,28 @@ class TestSetReverse:
             )
         )
         assert t == [("<http://e/child>", "<http://s.org/parent>", "<http://e/x>", None)]
+
+
+class TestNestIndex:
+    def test_nest(self):
+        t = good(
+            parse_jsonld_document(
+                U,
+                '{"@context": {"@vocab": "http://s.org/"}, "@id": "http://e/x",'
+                ' "@nest": {"name": "Alice", "age": 42}}',
+            )
+        )
+        assert len(t) == 2
+        assert all(x[0] == "<http://e/x>" for x in t)
+
+    def test_index_container_dropped(self):
+        t = good(
+            parse_jsonld_document(
+                U,
+                '{"@context": {"@vocab": "http://s.org/",'
+                ' "post": {"@id": "http://s.org/post", "@container": "@index"}},'
+                ' "@id": "http://e/x", "post": {"en": "hello", "fr": ["salut", "bonjour"]}}',
+            )
+        )
+        assert len(t) == 3
+        assert {x[2] for x in t} == {'"hello"', '"salut"', '"bonjour"'}
