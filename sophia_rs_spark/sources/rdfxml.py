@@ -5,12 +5,14 @@ implement the core grammar over ``xml.etree`` (expat): rdf:RDF roots,
 rdf:Description and typed node elements, rdf:about / rdf:nodeID /
 anonymous nodes, property elements with text content, rdf:resource,
 rdf:nodeID or nested node values, rdf:datatype, xml:lang inheritance,
-xml:base, rdf:parseType="Resource" (anon node shorthand) and
-rdf:parseType="Literal" (XML canserialized as text).
+xml:base, rdf:parseType="Resource" (anon node shorthand),
+rdf:parseType="Literal" (XML serialized as text), rdf:li container
+auto-numbering (rdf:_1, rdf:_2, …), rdf:ID (fragment subjects on node
+elements; classic statement reification on property elements), and
+property attributes on node elements (common in the wild).
 
-Omissions (documented, low web prevalence): rdf:ID reification,
-rdf:li/containers, property attributes on node elements are SUPPORTED
-(common in the wild), rdf:bagID.
+Omissions (documented, negligible web prevalence): rdf:bagID,
+rdf:parseType="Collection".
 """
 
 from __future__ import annotations
@@ -86,6 +88,9 @@ class _RdfXmlParser:
         base = el.get(_XML_BASE, base)
         if el.get(_RDF + "about") is not None:
             subject = self._iri(el.get(_RDF + "about"), base)
+        elif el.get(_RDF + "ID") is not None:
+            # rdf:ID on a node element ≡ rdf:about="#ID"
+            subject = self._iri("#" + el.get(_RDF + "ID"), base)
         elif el.get(_RDF + "nodeID") is not None:
             subject = self._nodeid_bnode(el.get(_RDF + "nodeID"))
         else:
@@ -125,6 +130,28 @@ class _RdfXmlParser:
             li_counter[0] += 1
             name = f"{RDF}_{li_counter[0]}"
         pred = f"<{name}>"
+        reify_id = el.get(_RDF + "ID")
+        if reify_id is not None:
+            # rdf:ID on a property element reifies the asserted statement
+            # (classic RDF reification: rdf:Statement + subject/predicate/
+            # object at <base#ID>)
+            mark = len(self.triples)
+            self._property_value(subject, pred, el, lang, base)
+            stmt = next(
+                (t for t in self.triples[mark:] if t[0] == subject and t[1] == pred),
+                None,
+            )
+            if stmt is not None:
+                r = self._iri("#" + reify_id, base)
+                self.triples.append((r, RDF_TYPE_T, f"<{RDF}Statement>"))
+                self.triples.append((r, f"<{RDF}subject>", stmt[0]))
+                self.triples.append((r, f"<{RDF}predicate>", stmt[1]))
+                self.triples.append((r, f"<{RDF}object>", stmt[2]))
+            return
+        self._property_value(subject, pred, el, lang, base)
+
+    def _property_value(self, subject: str, pred: str, el: ET.Element,
+                        lang: Optional[str], base: str):
         parse_type = el.get(_RDF + "parseType")
         if el.get(_RDF + "resource") is not None:
             self.triples.append((subject, pred, self._iri(el.get(_RDF + "resource"), base)))

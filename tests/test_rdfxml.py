@@ -144,3 +144,24 @@ def test_rdf_li_resets_per_node():
     t = good(parse_rdfxml_document(U, doc))
     ones = [x for x in t if x[1] == f"<{RDF}_1>"]
     assert len(ones) == 2  # both Seqs start at _1
+
+
+def test_rdf_id_node_element():
+    doc = HDR + '<rdf:Description rdf:ID="frag"><ex:p>v</ex:p></rdf:Description></rdf:RDF>'
+    t = good(parse_rdfxml_document(U, doc))
+    assert t[0][0] == f"<{U}#frag>"
+
+
+def test_rdf_id_property_reification():
+    doc = (
+        HDR + '<rdf:Description rdf:about="http://e/s">'
+        '<ex:p rdf:ID="stmt1">val</ex:p></rdf:Description></rdf:RDF>'
+    )
+    t = good(parse_rdfxml_document(U, doc))
+    assert ("<http://e/s>", "<http://ex.org/p>", '"val"') in t
+    r = f"<{U}#stmt1>"
+    assert (r, f"<{RDF}type>", f"<{RDF}Statement>") in t
+    assert (r, f"<{RDF}subject>", "<http://e/s>") in t
+    assert (r, f"<{RDF}predicate>", "<http://ex.org/p>") in t
+    assert (r, f"<{RDF}object>", '"val"') in t
+    assert len(t) == 5
