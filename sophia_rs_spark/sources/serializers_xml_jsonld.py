@@ -129,6 +129,75 @@ def jsonld_serialize(triples: List[Triple], indent: Optional[int] = 2) -> str:
     return json.dumps({"@graph": [nodes[k] for k in order]}, indent=indent)
 
 
+def jsonld_compact(
+    triples: List[Triple], context: Dict[str, object], indent: Optional[int] = 2
+) -> str:
+    """Compacted JSON-LD against a caller-supplied context (the
+    `jsonld/src/serializer.rs:26-113` compaction option): predicate IRIs
+    shorten to context terms (or @vocab-relative names), rdf:type →
+    ``@type``, @type:@id-coerced terms emit plain IRI strings, plain
+    string literals collapse to bare values, single-element arrays
+    unwrap."""
+    vocab = context.get("@vocab")
+    iri_to_term: Dict[str, str] = {}
+    id_coerced: Dict[str, bool] = {}
+    for term, spec in context.items():
+        if term.startswith("@"):
+            continue
+        if isinstance(spec, str):
+            iri_to_term[spec] = term
+        elif isinstance(spec, dict) and "@id" in spec:
+            iri_to_term[spec["@id"]] = term
+            id_coerced[term] = spec.get("@type") == "@id"
+
+    def compact_iri(iri: str, as_vocab: bool) -> str:
+        if iri in iri_to_term:
+            return iri_to_term[iri]
+        if as_vocab and isinstance(vocab, str) and iri.startswith(vocab):
+            return iri[len(vocab):]
+        return iri
+
+    def compact_value(ot: Term, term: str):
+        if ot.kind == 1:
+            if id_coerced.get(term):
+                return ot.lex
+            return {"@id": ot.lex}
+        if ot.kind == 0:
+            return {"@id": f"_:{ot.lex}"}
+        if ot.lang is None and (ot.dt is None or ot.dt == XSD + "string"):
+            return ot.lex  # plain string collapses
+        return _jsonld_value(ot)
+
+    nodes: Dict[str, dict] = {}
+    order: List[str] = []
+    rdf_type = f"<{RDF}type>"
+    for s, p, o in triples:
+        st = decode(s)
+        sid = st.lex if st.kind == 1 else f"_:{st.lex}"
+        if sid not in nodes:
+            nodes[sid] = {"@id": sid}
+            order.append(sid)
+        node = nodes[sid]
+        ot = decode(o)
+        if p == rdf_type and ot.kind == 1:
+            node.setdefault("@type", []).append(compact_iri(ot.lex, True))
+            continue
+        term = compact_iri(decode(p).lex, True)
+        node.setdefault(term, []).append(compact_value(ot, term))
+    # unwrap single-element arrays
+    for node in nodes.values():
+        for k, v in list(node.items()):
+            if k != "@id" and isinstance(v, list) and len(v) == 1:
+                node[k] = v[0]
+    doc: dict = {"@context": context}
+    graph = [nodes[k] for k in order]
+    if len(graph) == 1:
+        doc.update(graph[0])
+    else:
+        doc["@graph"] = graph
+    return json.dumps(doc, indent=indent)
+
+
 def jsonld_roundtrip_check(triples: List[Triple], url: str = "urn:x-check:") -> bool:
     """Serialize → reparse → same triple set (bnode-label invariant via
     c14n) — the self-test the serializer ships with."""

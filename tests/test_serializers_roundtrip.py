@@ -54,3 +54,27 @@ def test_rdfxml_escaping():
     doc = rdfxml_serialize(t)
     rows = parse_rdfxml_document("urn:x-rt:", doc)
     assert rows[0][3] == '"a<b>&amp;"'
+
+
+def test_jsonld_compact_roundtrip():
+    import json
+
+    from sophia_rs_spark.sources.serializers_xml_jsonld import jsonld_compact
+
+    ctx = {
+        "@vocab": "http://s.org/",
+        "knows": {"@id": "http://s.org/knows", "@type": "@id"},
+    }
+    # compact an IRI-object graph (no bnodes — @type:@id coercion demo)
+    triples = [t for t in TRIPLES if t[2] != "_:b1" and t[0] != "_:b1"]
+    triples.append(("<http://e/alice>", "<http://s.org/knows>", "<http://e/bob>"))
+    doc_text = jsonld_compact(triples, ctx)
+    doc = json.loads(doc_text)
+    assert doc["name"] == "Alice"  # plain string collapsed
+    assert doc["knows"] == "http://e/bob"  # @type:@id coercion
+    assert doc["@type"] == "Person"  # vocab-relative @type
+    # reparse with the same context → same triples
+    rows = parse_jsonld_document("urn:x-rt:", doc_text)
+    assert all(r[5] is None for r in rows), rows
+    reparsed = [(r[1], r[2], r[3]) for r in rows]
+    assert _canon(reparsed) == _canon(triples)
