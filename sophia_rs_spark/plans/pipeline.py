@@ -65,6 +65,7 @@ def run_stage(
     *,
     deps: tuple[str, ...] = (),
     force: bool = False,
+    partition_by: tuple[str, ...] = (),
 ) -> DataFrame:
     """Compute-or-resume one stage.
 
@@ -85,7 +86,10 @@ def run_stage(
 
     t0 = time.time()
     df = compute()
-    df.write.mode("overwrite").parquet(out_dir)
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(out_dir)
     out = spark.read.parquet(out_dir)
     man = {
         "stage": stage,
@@ -160,8 +164,18 @@ def run_pipeline(
         spark, workdir, "canonicalize", _canonical, deps=("extract", "components")
     )
 
+    def _graph() -> DataFrame:
+        # predicate-bucketed layout: partition pruning + pushdown reach the
+        # scan for p-constant patterns (tests/test_plan_quality.py), the
+        # physical design that replaces sophia's POS index at scale
+        return graph_table(canonical).withColumn(
+            "p_part",
+            F.abs(F.pmod(F.xxhash64("p"), F.lit(64))).cast("int"),
+        )
+
     graph = run_stage(
-        spark, workdir, "graph", lambda: graph_table(canonical), deps=("canonicalize",)
+        spark, workdir, "graph", _graph, deps=("canonicalize",),
+        partition_by=("p_part",),
     )
     terms = run_stage(
         spark, workdir, "terms", lambda: term_table(canonical), deps=("canonicalize",)
