@@ -11,8 +11,8 @@ auto-numbering (rdf:_1, rdf:_2, …), rdf:ID (fragment subjects on node
 elements; classic statement reification on property elements), and
 property attributes on node elements (common in the wild).
 
-Omissions (documented, negligible web prevalence): rdf:bagID,
-rdf:parseType="Collection".
+Also rdf:parseType="Collection" (rdf:first/rest/nil chains).
+Omissions (documented, negligible web prevalence): rdf:bagID.
 """
 
 from __future__ import annotations
@@ -165,6 +165,24 @@ class _RdfXmlParser:
             inner_li = [0]
             for child in el:
                 self.property_element(node, child, lang, base, inner_li)
+            return
+        if parse_type == "Collection":
+            # rdf:first/rest/nil chain over the child node elements
+            items = [self.node_element(c, lang, base) for c in el]
+            if not items:
+                self.triples.append((subject, pred, f"<{RDF}nil>"))
+                return
+            cells = [self._bnode() for _ in items]
+            self.triples.append((subject, pred, cells[0]))
+            for i, (cell, item) in enumerate(zip(cells, items)):
+                self.triples.append((cell, f"<{RDF}first>", item))
+                self.triples.append(
+                    (
+                        cell,
+                        f"<{RDF}rest>",
+                        cells[i + 1] if i + 1 < len(cells) else f"<{RDF}nil>",
+                    )
+                )
             return
         if parse_type == "Literal":
             xml_text = (el.text or "") + "".join(

@@ -165,3 +165,20 @@ def test_rdf_id_property_reification():
     assert (r, f"<{RDF}predicate>", "<http://ex.org/p>") in t
     assert (r, f"<{RDF}object>", '"val"') in t
     assert len(t) == 5
+
+
+def test_parse_type_collection():
+    doc = (
+        HDR + '<rdf:Description rdf:about="http://e/s">'
+        '<ex:items rdf:parseType="Collection">'
+        '<rdf:Description rdf:about="http://e/a"/>'
+        '<rdf:Description rdf:about="http://e/b"/>'
+        "</ex:items></rdf:Description></rdf:RDF>"
+    )
+    t = good(parse_rdfxml_document(U, doc))
+    preds = [x[1] for x in t]
+    assert preds.count(f"<{RDF}first>") == 2
+    assert preds.count(f"<{RDF}rest>") == 2
+    firsts = {x[2] for x in t if x[1] == f"<{RDF}first>"}
+    assert firsts == {"<http://e/a>", "<http://e/b>"}
+    assert any(x[2] == f"<{RDF}nil>" for x in t)
