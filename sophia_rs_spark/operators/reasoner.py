@@ -56,13 +56,42 @@ def transitive_closure(pairs: DataFrame, max_iter: int = 30) -> DataFrame:
     return closure
 
 
-def rdfs_saturate(triples: DataFrame, max_iter: int = 10) -> DataFrame:
+# Axiomatic triples of the RDF/RDFS vocabularies (rdf12-semantics §9;
+# the prepare_rdf_vocab/prepare_rdfs_vocab step, _rdfs.rs:38-40) — the
+# subset with inferential effect through our rule battery.
+_AXIOMS = [
+    (f"<{RDF}type>", f"<{RDFS}domain>", f"<{RDFS}Resource>"),
+    (f"<{RDF}type>", f"<{RDFS}range>", f"<{RDFS}Class>"),
+    (f"<{RDFS}domain>", f"<{RDFS}range>", f"<{RDFS}Class>"),
+    (f"<{RDFS}range>", f"<{RDFS}range>", f"<{RDFS}Class>"),
+    (f"<{RDFS}subClassOf>", f"<{RDFS}domain>", f"<{RDFS}Class>"),
+    (f"<{RDFS}subClassOf>", f"<{RDFS}range>", f"<{RDFS}Class>"),
+    (f"<{RDFS}subPropertyOf>", f"<{RDF}type>", f"<{RDF}Property>"),
+    (f"<{RDF}first>", f"<{RDF}type>", f"<{RDF}Property>"),
+    (f"<{RDF}rest>", f"<{RDF}type>", f"<{RDF}Property>"),
+    (f"<{RDFS}member>", f"<{RDF}type>", f"<{RDF}Property>"),
+    (f"<{RDF}nil>", f"<{RDF}type>", f"<{RDF}List>"),
+    (f"<{RDFS}Datatype>", f"<{RDFS}subClassOf>", f"<{RDFS}Class>"),
+]
+
+
+def rdfs_saturate(
+    triples: DataFrame, max_iter: int = 10, with_axioms: bool = False
+) -> DataFrame:
     """RDFS-saturate a triples DataFrame (s, p, o) → saturated triples.
 
     Schema-level closures (rdfs5/rdfs11) run first; the instance-level
     rules (rdfs2/3/7/9) then reach fixpoint — one outer loop handles the
     (rare) case where inferred triples feed the schema again.
+
+    ``with_axioms=True`` seeds the RDF/RDFS vocabulary axioms (sophia's
+    ``prepare_*_vocab``); off by default so data-only entailment stays
+    oracle-comparable.
     """
+    if with_axioms:
+        spark = triples.sparkSession
+        ax = spark.createDataFrame(_AXIOMS, "s string, p string, o string")
+        triples = triples.select("s", "p", "o").unionByName(ax)
     out = triples.select("s", "p", "o").distinct().localCheckpoint(eager=True)
     for _ in range(max_iter):
         n_before = out.count()

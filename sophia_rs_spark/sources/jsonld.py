@@ -260,10 +260,19 @@ class _JsonLdToRdf:
                         if obj is not None:
                             self.triples.append((obj, f"<{rpred}>", subject, graph))
                 return
+            if key == "@included":
+                # @included: sibling node objects (JSON-LD 1.1)
+                for inc in value if isinstance(value, list) else [value]:
+                    if isinstance(inc, dict):
+                        self.process_node(ctx, inc, graph)
+                return
             pred = self._expand_iri(ctx, key, vocab=True)
             if pred is None:
                 return  # unmapped term dropped
             tdef = self._term_def(ctx, key)
+            if "@context" in tdef:
+                # term-scoped context applies while processing this value
+                ctx = self._apply_context(ctx, tdef["@context"])
             if tdef.get("@container") == "@index" and isinstance(value, dict):
                 # index maps: keys are data-organization only — dropped
                 value = [v for vs in value.values()

@@ -272,3 +272,30 @@ class TestNestIndex:
         )
         assert len(t) == 3
         assert {x[2] for x in t} == {'"hello"', '"salut"', '"bonjour"'}
+
+
+class TestScopedIncluded:
+    def test_term_scoped_context(self):
+        t = good(
+            parse_jsonld_document(
+                U,
+                '{"@context": {"@vocab": "http://s.org/",'
+                ' "detail": {"@id": "http://s.org/detail",'
+                '            "@context": {"zip": "http://post.org/zip"}}},'
+                ' "@id": "http://e/x", "detail": {"zip": "69000"}}',
+            )
+        )
+        assert ("<http://s.org/detail>" in {x[1] for x in t})
+        assert ("<http://post.org/zip>" in {x[1] for x in t})
+
+    def test_included(self):
+        t = good(
+            parse_jsonld_document(
+                U,
+                '{"@context": {"@vocab": "http://s.org/"}, "@id": "http://e/x",'
+                ' "name": "A",'
+                ' "@included": [{"@id": "http://e/y", "name": "B"}]}',
+            )
+        )
+        subs = {x[0] for x in t}
+        assert subs == {"<http://e/x>", "<http://e/y>"}

@@ -272,3 +272,16 @@ class TestContainerRules:
             & (F.col("p") == T_SUBCLASS)
             & (F.col("o") == T_LITERAL_CLS)
         ).count() == 1
+
+
+def test_axiomatic_triples_opt_in(spark):
+    t = _df(spark, [("<x>", T_TYPE, "<C>")])
+    plain = rdfs_saturate(t)
+    with_ax = rdfs_saturate(t, with_axioms=True)
+    assert plain.count() < with_ax.count()
+    # axiom rdf:type domain rdfs:Resource → (x type rdfs:Resource)
+    rdfs_res = "<http://www.w3.org/2000/01/rdf-schema#Resource>"
+    assert with_ax.filter(
+        (F.col("s") == "<x>") & (F.col("p") == T_TYPE) & (F.col("o") == rdfs_res)
+    ).count() == 1
+    assert plain.filter(F.col("o") == rdfs_res).count() == 0
