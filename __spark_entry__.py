@@ -241,6 +241,25 @@ def _q_dm_construct(spark, sf):
     return B.construct(b, [(v("n"), f"<{VOC}label>", v("name"))])
 
 
+def _q_dm_values(spark, sf):
+    """VALUES inline data joined into a BGP (exec.rs:792-824)."""
+    t = spark_triples(spark, sf)
+    vals = B.values(
+        spark, ["n"], [(f"<{EX}nation/1>",), (f"<{EX}nation/2>",), (f"<{EX}nation/3>",)]
+    )
+    pattern = B.match_pattern(t, (v("n"), P_NAME, v("name")))
+    return B.join_bindings(vals, pattern)
+
+
+def _q_dm_path_alt(spark, sf):
+    """Alternative property path (name|segment) over the mapped graph."""
+    from sophia_rs_spark.operators import paths as P
+
+    t = spark_triples(spark, sf)
+    pairs = P.alternative(P.pred(t, P_NAME), P.pred(t, P_SEGMENT))
+    return pairs.select(F.col("src").alias("s"), F.col("dst").alias("val"))
+
+
 def _q_dm_graph_ops_atoms(spark, sf):
     t = spark_triples(spark, sf)
     return G.terms_of_kind(t, 2).withColumnRenamed("term", "term")  # literals
@@ -543,6 +562,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dm_exists": _q_dm_exists,
         "dm_construct": _q_dm_construct,
         "dm_literals": _q_dm_graph_ops_atoms,
+        "dm_values": _q_dm_values,
+        "dm_path_alt": _q_dm_path_alt,
         # SPARQL function library
         "fn_strings": _q_fn_strings,
         "fn_hash": _q_fn_hash,
@@ -707,6 +728,20 @@ SELECT DISTINCT term FROM (
   SELECT p FROM triples UNION ALL
   SELECT o FROM triples)
 WHERE term LIKE '"%'
+""".strip()
+    )
+
+    qs["dm_values"] = with_triples(
+        f"""
+SELECT v.n, t.o AS name
+FROM (VALUES ('<{EX}nation/1>'), ('<{EX}nation/2>'), ('<{EX}nation/3>')) v(n)
+JOIN triples t ON t.s = v.n AND t.p = '{P_NAME}'
+""".strip()
+    )
+    qs["dm_path_alt"] = with_triples(
+        f"""
+SELECT DISTINCT s, o AS val FROM triples
+WHERE p IN ('{P_NAME}', '{P_SEGMENT}')
 """.strip()
     )
 
