@@ -462,6 +462,12 @@ def _q_emb_knn_bucketed(spark, sf):
     return bucketed_knn(_read(spark, sf, "embeddings"), k=5, n_planes=6)
 
 
+def _q_emb_ivf_knn(spark, sf):
+    from sophia_rs_spark.operators.similarity import ivf_knn
+
+    return ivf_knn(_read(spark, sf, "embeddings"), k=5, n_centroids=8)
+
+
 def _q_path_plus(spark, sf):
     """Property path `next+` over supplier chain edges (same-nation
     consecutive suppliers) — the ZeroOrMore/OneOrMore BFS fixpoint."""
@@ -587,6 +593,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # embeddings: similarity search
         "emb_knn": _q_emb_knn,
         "emb_knn_bucketed": _q_emb_knn_bucketed,
+        "emb_ivf_knn": _q_emb_ivf_knn,
         # SPARQL text front-end
         "sparql_select": _q_sparql_select,
         "sparql_agg": _q_sparql_agg,
@@ -999,6 +1006,36 @@ UNION  -- rdfs2: domain of inNation
 SELECT s, '{P_TYPE}', '<{VOC}Located>' FROM base WHERE p = '{P_IN_NATION}'
 UNION  -- rdfs3: range of inNation
 SELECT o, '{P_TYPE}', '<{VOC}Place>' FROM base WHERE p = '{P_IN_NATION}'
+""".strip()
+
+    qs["emb_ivf_knn"] = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+c AS (SELECT vec_id AS centroid_id, v AS cv, nrm AS cn FROM n WHERE vec_id < 8),
+asg AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT n.vec_id, c.centroid_id,
+           row_number() OVER (
+             PARTITION BY n.vec_id
+             ORDER BY list_dot_product(n.v, c.cv) / (n.nrm * c.cn) DESC,
+                      c.centroid_id) AS rk
+    FROM n, c) WHERE rk = 1
+),
+j AS (SELECT n.vec_id, n.v, n.nrm, asg.centroid_id
+      FROM n JOIN asg USING (vec_id)),
+sims AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS sim
+  FROM j a JOIN j b
+    ON a.centroid_id = b.centroid_id AND a.vec_id <> b.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC,
+                            neighbor_id) AS rank
+  FROM sims)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 5
 """.strip()
 
     qs["link_components"] = _CC_SQL

@@ -149,6 +149,64 @@ def bucketed_knn(
     )
 
 
+def ivf_assign(emb: DataFrame, n_centroids: int = 8, id_col: str = "vec_id") -> DataFrame:
+    """IVF-style coarse quantization with deterministic centroids (the
+    first ``n_centroids`` vectors by id — a seeded-kmeans stand-in that
+    keeps the assignment fully reproducible and oracle-checkable):
+    (vec_id, centroid_id) by max cosine, ties to the lower centroid id."""
+    e = with_norms(emb, id_col=id_col)
+    cents = e.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("centroid_id"),
+        F.col("vec").alias("cvec"),
+        F.col("norm").alias("cnorm"),
+    )
+    sims = e.crossJoin(F.broadcast(cents)).select(
+        id_col,
+        "centroid_id",
+        (_dot(F.col("vec"), F.col("cvec")) / (F.col("norm") * F.col("cnorm"))).alias(
+            "sim"
+        ),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("sim"), F.asc("centroid_id"))
+    return (
+        sims.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(id_col, "centroid_id")
+    )
+
+
+def ivf_knn(
+    emb: DataFrame, k: int = 5, n_centroids: int = 8, id_col: str = "vec_id"
+) -> DataFrame:
+    """IVF search: exact cosine top-k within each vector's own cluster —
+    the cluster equi-join replaces the full cross join at scale (probe
+    lists >1 cluster in production; 1 here keeps the oracle simple)."""
+    assign = ivf_assign(emb, n_centroids, id_col)
+    e = with_norms(emb, id_col=id_col).join(assign, id_col)
+    a, c = e.alias("a"), e.alias("c")
+    sims = (
+        a.join(
+            c,
+            (F.col("a.centroid_id") == F.col("c.centroid_id"))
+            & (F.col(f"a.{id_col}") != F.col(f"c.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("query_id"),
+            F.col(f"c.{id_col}").alias("neighbor_id"),
+            (
+                _dot(F.col("a.vec"), F.col("c.vec"))
+                / (F.col("a.norm") * F.col("c.norm"))
+            ).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
 def cosine_near_duplicates(
     emb: DataFrame, threshold_permille: int = 950, n_planes: int = 4, id_col: str = "vec_id"
 ) -> DataFrame:
