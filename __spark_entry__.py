@@ -443,6 +443,12 @@ def _q_doc_simhash(spark, sf):
     return simhash(_read(spark, sf, "documents"))
 
 
+def _q_doc_bpe_tokens(spark, sf):
+    from sophia_rs_spark.operators.textstats import bpe_token_counts
+
+    return bpe_token_counts(_read(spark, sf, "documents"))
+
+
 def _q_doc_rolling_fp(spark, sf):
     from sophia_rs_spark.operators.textstats import rolling_fingerprint
 
@@ -590,6 +596,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_jaccard": _q_doc_jaccard,
         "doc_simhash": _q_doc_simhash,
         "doc_rolling_fp": _q_doc_rolling_fp,
+        "doc_bpe_tokens": _q_doc_bpe_tokens,
         # embeddings: similarity search
         "emb_knn": _q_emb_knn,
         "emb_knn_bucketed": _q_emb_knn_bucketed,
@@ -922,6 +929,16 @@ SELECT doc_id,
                   ORDER BY b) AS simhash
 FROM votes GROUP BY doc_id
 """.strip()
+    qs["doc_bpe_tokens"] = r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+'))
+            AS INT) AS n_bpe_tokens,
+       CAST(len(list_filter(
+              regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+'),
+              t -> regexp_matches(t, '[A-Za-z0-9]'))) AS INT) AS n_word_tokens
+FROM documents
+""".strip()
+
     qs["doc_rolling_fp"] = """
 WITH toks AS (
   SELECT doc_id, string_split(text, ' ') AS t FROM documents

@@ -32,6 +32,24 @@ def token_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
+# GPT-2-style pretokenizer shape, simplified to constructs whose
+# semantics are identical in Java regex (Spark) and RE2 (DuckDB)
+BPE_TOKEN_RE = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+
+
+def bpe_token_counts(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """BPE-ish pretokenization counts: (doc_id, n_bpe_tokens,
+    n_word_tokens) — the regex pass a tokenizer-bound pipeline uses for
+    budget estimation before the real BPE merge step."""
+    toks = F.regexp_extract_all(F.col(text_col), F.lit(BPE_TOKEN_RE), 0)
+    words = F.filter(toks, lambda t: t.rlike("[A-Za-z0-9]"))
+    return docs.select(
+        id_col,
+        F.size(toks).alias("n_bpe_tokens"),
+        F.size(words).alias("n_word_tokens"),
+    )
+
+
 def quality_scores(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Heuristic quality flags: length gate, stopword density, mean word
     length band, repetition (distinct-token ratio)."""
