@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from ..terms.model import _ESC_MAP as _LEX_ESC_MAP
 from ..terms.model import RDF, XSD
 
 # --- term structure accessors ----------------------------------------------
@@ -57,14 +58,28 @@ def str_(term: Column) -> Column:
     )
 
 
+# The canonical encoder (terms/model.py escape_literal) emits a FIXED,
+# finite escape set: \b \t \n \f \r \" \\ plus \uXXXX for the remaining
+# C0 controls, DEL and U+FFFE/U+FFFF.  Decoding JVM-side is therefore a
+# chain of literal replaces; '\\' goes through a \x00 sentinel first
+# (raw NUL cannot appear in encoded text — it would itself be escaped),
+# so '\\n' correctly decodes to backslash+n, not newline.
+_LEX_DECODE = sorted(
+    ((esc, ch) for ch, esc in _LEX_ESC_MAP.items() if ch != "\\"),
+    key=lambda t: t[0],
+)
+
+
 def lex(term: Column) -> Column:
-    """Lexical form of a literal (unescaping of \\" and \\\\ only; full
-    unescape needs the Python decoder — canonical encoding guarantees
-    no other escapes for values that round-trip Spark-side)."""
+    """Lexical form of a literal: full ECHAR/UCHAR decode of the canonical
+    escape set (JVM-side; the per-row chain only runs for literals that
+    actually contain a backslash)."""
     raw = F.regexp_extract(term, r'^"((?:[^"\\]|\\.)*)"', 1)
-    return F.replace(
-        F.replace(raw, F.lit('\\"'), F.lit('"')), F.lit("\\\\"), F.lit("\\")
-    )
+    dec = F.replace(raw, F.lit("\\\\"), F.lit("\x00"))
+    for esc, ch in _LEX_DECODE:
+        dec = F.replace(dec, F.lit(esc), F.lit(ch))
+    dec = F.replace(dec, F.lit("\x00"), F.lit("\\"))
+    return F.when(raw.contains("\\"), dec).otherwise(raw)
 
 
 def lang(term: Column) -> Column:

@@ -58,13 +58,51 @@ def match_pattern(triples: DataFrame, pattern: Sequence[PatternTerm]) -> DataFra
     return df.select(*projections) if projections else df.select()
 
 
-def join_bindings(left: DataFrame, right: DataFrame) -> DataFrame:
-    """SPARQL Join: equi-join on shared variables (binding compatibility,
-    `sparql/src/exec.rs:484-518`); cartesian when disjoint."""
+def join_bindings(
+    left: DataFrame, right: DataFrame, nullable: Sequence[str] = ()
+) -> DataFrame:
+    """SPARQL Join: binding compatibility (`sparql/src/exec.rs:484-518`).
+
+    Shared variables that are guaranteed bound on both sides become plain
+    equi-join keys (the fast path — hash join, Catalyst-reorderable).
+    Variables listed in ``nullable`` may be UNBOUND on either side (UNDEF
+    in VALUES, the optional side of OPTIONAL, asymmetric UNION branches):
+    SPARQL compatibility treats unbound as a wildcard, so those become
+    ``l IS NULL OR r IS NULL OR l = r`` join conditions and the output
+    binding is ``coalesce(l, r)``.  Plain NULL equi-keys would silently
+    drop such rows."""
     shared = [c for c in left.columns if c in right.columns]
-    if shared:
+    if not shared:
+        return left.crossJoin(right)
+    compat = [c for c in shared if c in set(nullable)]
+    if not compat:
         return left.join(right, shared, "inner")
-    return left.crossJoin(right)
+    eq = [c for c in shared if c not in set(compat)]
+    la, ra = left.alias("l"), right.alias("r")
+    cond = reduce(
+        lambda a, b: a & b,
+        [
+            F.col(f"l.{c}").isNull()
+            | F.col(f"r.{c}").isNull()
+            | (F.col(f"l.{c}") == F.col(f"r.{c}"))
+            for c in compat
+        ],
+        reduce(
+            lambda a, b: a & b,
+            [F.col(f"l.{c}") == F.col(f"r.{c}") for c in eq],
+            F.lit(True),
+        ),
+    )
+    out = la.join(ra, cond, "inner")
+    keep = [
+        (
+            F.coalesce(F.col(f"l.{c}"), F.col(f"r.{c}")).alias(c)
+            if c in compat
+            else F.col(f"l.{c}").alias(c)
+        )
+        for c in left.columns
+    ] + [F.col(f"r.{c}").alias(c) for c in right.columns if c not in shared]
+    return out.select(*keep)
 
 
 def bgp(triples: DataFrame, patterns: Sequence[Sequence[PatternTerm]]) -> DataFrame:
@@ -76,25 +114,39 @@ def optional(
     left: DataFrame,
     right: DataFrame,
     condition: Optional[Column] = None,
+    nullable: Sequence[str] = (),
 ) -> DataFrame:
     """LeftJoin / OPTIONAL (`sparql/src/exec.rs:520-551`): left-outer join
     on shared variables, with the optional filter expression folded into
-    the join condition (not applied after — SPARQL LeftJoin semantics)."""
+    the join condition (not applied after — SPARQL LeftJoin semantics).
+    ``nullable`` marks shared vars that may be unbound on either side —
+    joined with compatibility semantics (see :func:`join_bindings`)."""
     shared = [c for c in left.columns if c in right.columns]
-    if condition is None:
+    compat = [c for c in shared if c in set(nullable)]
+    if condition is None and not compat:
         if shared:
             return left.join(right, shared, "left_outer")
         return left.crossJoin(right)  # degenerate; rare
     la, ra = left.alias("l"), right.alias("r")
-    cond = reduce(
-        lambda a, b: a & b,
-        [F.col(f"l.{c}") == F.col(f"r.{c}") for c in shared],
-        condition,
-    )
+    cond = condition if condition is not None else F.lit(True)
+    for c in shared:
+        if c in compat:
+            cond = cond & (
+                F.col(f"l.{c}").isNull()
+                | F.col(f"r.{c}").isNull()
+                | (F.col(f"l.{c}") == F.col(f"r.{c}"))
+            )
+        else:
+            cond = cond & (F.col(f"l.{c}") == F.col(f"r.{c}"))
     out = la.join(ra, cond, "left_outer")
-    keep = [F.col(f"l.{c}").alias(c) for c in left.columns] + [
-        F.col(f"r.{c}").alias(c) for c in right.columns if c not in shared
-    ]
+    keep = [
+        (
+            F.coalesce(F.col(f"l.{c}"), F.col(f"r.{c}")).alias(c)
+            if c in compat
+            else F.col(f"l.{c}").alias(c)
+        )
+        for c in left.columns
+    ] + [F.col(f"r.{c}").alias(c) for c in right.columns if c not in shared]
     return out.select(*keep)
 
 

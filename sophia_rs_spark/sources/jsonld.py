@@ -92,6 +92,13 @@ class _JsonLdToRdf:
         self.counter += 1
         return "_:" + skolem_label(self.url, f"\x00jld{self.counter}")
 
+    def _bnode_ref(self, label: str) -> str:
+        """Explicit ``_:label`` → url-scoped skolem label, matching the
+        NT/Turtle/RDF-XML parsers (ntparser.py `_skolemize_enc`): blank
+        nodes are document-scoped, so the same label in two documents
+        must NOT collide when quads are unioned across pages."""
+        return "_:" + skolem_label(self.url, label)
+
     # -- context ------------------------------------------------------------
 
     def _apply_context(self, ctx: _Ctx, spec: Any) -> _Ctx:
@@ -172,6 +179,8 @@ class _JsonLdToRdf:
             return self._literal(_canon_double(v), f"{XSD}double")
         # string
         if t_type == "@id":
+            if v.startswith("_:"):
+                return self._bnode_ref(v[2:])
             iri = self._expand_iri(ctx, v, vocab=False)
             return f"<{iri}>"
         if t_type:
@@ -205,7 +214,7 @@ class _JsonLdToRdf:
         if "@id" in node:
             raw = node["@id"]
             if raw.startswith("_:"):
-                return raw
+                return self._bnode_ref(raw[2:])
             iri = self._expand_iri(ctx, raw, vocab=False)
             return f"<{iri}>"
         return self._fresh_bnode()

@@ -62,7 +62,10 @@ TOKEN_RE = re.compile(
 # fast path: escape-free, control-char-free simple triple/quad lines
 _F_TERM_S = rf'(?:<[^\x00-\x20<>"{{}}|^`\\]*>|{_BNODE})'
 _F_IRI = r'<[^\x00-\x20<>"{}|^`\\]*>'
-_F_LIT = rf'"[^\x00-\x1f"\\]*"(?:{_LANGDIR}|\^\^{_F_IRI})?'
+# \x7f / U+FFFE / U+FFFF excluded: the canonical encoder escapes them
+# ( etc.), so lines containing them raw must take the slow path or
+# the same literal would get two different canonical strings.
+_F_LIT = rf'"[^\x00-\x1f"\\\x7f￾￿]*"(?:{_LANGDIR}|\^\^{_F_IRI})?'
 _F_OBJ = rf"(?:{_F_TERM_S}|{_F_LIT})"
 FAST_RE = re.compile(
     rf"^[ \t]*(?P<s>{_F_TERM_S})[ \t]+(?P<p>{_F_IRI})[ \t]+(?P<o>{_F_OBJ})"

@@ -99,7 +99,7 @@ TOKEN_RE = re.compile(
     | (?P<decimal>{_DECIMAL})
     | (?P<integer>{_INTEGER})
     | (?P<dtsep>\^\^)
-    | (?P<kw>(?i:PREFIX|BASE|VERSION|GRAPH)(?=[\s<:#]|$))
+    | (?P<kw>(?i:PREFIX|BASE|VERSION|GRAPH)(?=[\s<#]|$))
     | (?P<boolean>(?:true|false)(?=[\s;,.)\]}}#]|$))
     | (?P<var>{_VAR})
     | (?P<a>a(?=[\s<_"'(\[#]|$))

@@ -263,14 +263,33 @@ def _call(fn: str, cols: List[Column], raw_args) -> Column:
 # ---------------------------------------------------------------------------
 
 
-def _eval_group(ctx: _Ctx, g: A.Group) -> DataFrame:
+def _eval_group(ctx: _Ctx, g: A.Group):
+    """Evaluate a group → ``(bindings DataFrame, maybe_unbound vars)``.
+
+    ``maybe_unbound`` tracks which columns can be NULL (UNDEF in VALUES,
+    the optional side of OPTIONAL, asymmetric UNION branches, BIND):
+    joins over those need SPARQL compatibility semantics rather than
+    plain NULL-dropping equi-keys (exec.rs:484-518), while everything
+    else keeps the fast equi-join path."""
     df: Optional[DataFrame] = None
+    maybe: set = set()
     filters: List[A.Expr] = []
     spark = ctx.all.sparkSession
 
-    def join(nxt: DataFrame) -> DataFrame:
-        nonlocal df
-        df = nxt if df is None else B.join_bindings(df, nxt)
+    def join(nxt: DataFrame, nxt_maybe=frozenset()) -> DataFrame:
+        nonlocal df, maybe
+        if df is None:
+            df, maybe = nxt, set(nxt_maybe)
+            return df
+        shared = set(df.columns) & set(nxt.columns)
+        df = B.join_bindings(df, nxt, nullable=maybe | set(nxt_maybe))
+        # a shared var survives as maybe-null only if BOTH sides could be
+        # null (output is coalesce(l, r)); one-sided vars keep their flag
+        maybe = (
+            (maybe - shared)
+            | (set(nxt_maybe) - shared)
+            | (maybe & set(nxt_maybe) & shared)
+        )
         return df
 
     for el in g.elements:
@@ -279,32 +298,44 @@ def _eval_group(ctx: _Ctx, g: A.Group) -> DataFrame:
         elif isinstance(el, A.Filter):
             filters.append(el.expr)
         elif isinstance(el, A.Optional_):
-            right = _eval_group(ctx, el.group)
-            df = B.optional(df if df is not None else _unit(spark), right)
+            right, rmaybe = _eval_group(ctx, el.group)
+            base = df if df is not None else _unit(spark)
+            df = B.optional(base, right, nullable=maybe | rmaybe)
+            maybe |= (set(right.columns) - set(base.columns)) | rmaybe
         elif isinstance(el, A.Minus):
-            right = _eval_group(ctx, el.group)
+            right, _rm = _eval_group(ctx, el.group)
             df = B.minus(df if df is not None else _unit(spark), right)
         elif isinstance(el, A.Union_):
-            left = _eval_group(ctx, el.left)
-            right = _eval_group(ctx, el.right)
-            join(B.union_bindings(left, right))
+            left, lm = _eval_group(ctx, el.left)
+            right, rm = _eval_group(ctx, el.right)
+            lcols, rcols = set(left.columns), set(right.columns)
+            join(
+                B.union_bindings(left, right),
+                lm | rm | (lcols ^ rcols),
+            )
         elif isinstance(el, A.SubGroup):
-            join(_eval_group(ctx, el.group))
+            join(*_eval_group(ctx, el.group))
         elif isinstance(el, A.SubSelect):
-            join(_select_df(ctx, el.query))
+            join(*_select_df(ctx, el.query))
         elif isinstance(el, A.Bind):
             if df is None:
                 df = _unit(spark)
             df = B.extend(df, el.var.name, _term_col(el.expr, df))
+            maybe.add(el.var.name)  # expression errors bind NULL
         elif isinstance(el, A.Values):
             vdf = spark.createDataFrame(
                 [tuple(r) for r in el.rows],
                 ", ".join(f"{n} string" for n in el.names),
             )
-            join(vdf)
+            undef = {
+                n
+                for i, n in enumerate(el.names)
+                if any(r[i] is None for r in el.rows)
+            }
+            join(vdf, undef)
         elif isinstance(el, A.GraphClause):
-            sub = _eval_group(_Ctx(ctx.all, el.name), el.group)
-            join(sub)
+            sub, sm = _eval_group(_Ctx(ctx.all, el.name), el.group)
+            join(sub, sm)
         else:
             raise A.SparqlError(f"unknown group element {el!r}")
 
@@ -312,12 +343,12 @@ def _eval_group(ctx: _Ctx, g: A.Group) -> DataFrame:
         df = _unit(spark)
     for fe in filters:
         if fe.op in ("exists", "not_exists"):
-            sub = _eval_group(ctx, fe.args[0])
+            sub, _sm = _eval_group(ctx, fe.args[0])
             df = B.exists_filter(df, sub, negated=(fe.op == "not_exists"))
         else:
             cond = _bool(fe, df, ctx.scoped())
             df = df.filter(F.coalesce(cond, F.lit(False)))  # error → drop
-    return df
+    return df, maybe
 
 
 def _unit(spark) -> DataFrame:
@@ -334,7 +365,7 @@ def evaluate(triples: DataFrame, q: A.Query):
         ctx = _Ctx(triples.withColumn("g", F.lit(None).cast("string")), None)
 
     if q.form == "ask":
-        return B.ask(_eval_group(ctx, q.where))
+        return B.ask(_eval_group(ctx, q.where)[0])
 
     if q.form == "describe":
         from ..operators.describe import describe as _describe
@@ -347,7 +378,7 @@ def evaluate(triples: DataFrame, q: A.Query):
             seeds = spark.createDataFrame([(c,) for c in consts], "term string")
         vars_ = [t.name for t in targets if isinstance(t, A.Var)]
         if vars_:
-            bindings = _eval_group(ctx, q.where)
+            bindings, _bm = _eval_group(ctx, q.where)
             for vname in vars_:
                 part = bindings.select(F.col(vname).alias("term")).distinct()
                 seeds = part if seeds is None else seeds.unionByName(part)
@@ -355,7 +386,7 @@ def evaluate(triples: DataFrame, q: A.Query):
         return _describe(ctx.scoped(), seeds)
 
     if q.form == "construct":
-        df = _eval_group(ctx, q.where)
+        df, _cm = _eval_group(ctx, q.where)
         tmpl = [
             (
                 t.s if not isinstance(t.s, A.Var) else B.v(t.s.name),
@@ -366,15 +397,18 @@ def evaluate(triples: DataFrame, q: A.Query):
         ]
         return B.construct(df, tmpl)
 
-    return _select_df(ctx, q)
+    return _select_df(ctx, q)[0]
 
 
-def _select_df(ctx: _Ctx, q: A.Query) -> DataFrame:
-    """The SELECT pipeline (also the subquery evaluator)."""
-    df = _eval_group(ctx, q.where)
+def _select_df(ctx: _Ctx, q: A.Query):
+    """The SELECT pipeline (also the subquery evaluator).  Returns
+    ``(DataFrame, maybe_unbound vars)`` so enclosing groups join
+    subquery results with the right compatibility semantics."""
+    df, maybe = _eval_group(ctx, q.where)
 
     # aggregates
     if q.aggregates or q.group_by:
+        maybe |= {a.alias for a in q.aggregates}  # agg over empty → NULL
         aggs = []
         for a in q.aggregates:
             if a.fn == "count" and a.arg is None:
@@ -406,6 +440,7 @@ def _select_df(ctx: _Ctx, q: A.Query) -> DataFrame:
 
     for e, alias in q.select_exprs:
         df = df.withColumn(alias, _term_col(e, df))
+        maybe.add(alias)
 
     if q.having is not None:
         df = df.filter(F.coalesce(_bool(q.having, df, ctx.scoped()), F.lit(False)))
@@ -429,7 +464,7 @@ def _select_df(ctx: _Ctx, q: A.Query) -> DataFrame:
         df = df.offset(q.offset)
     if q.limit is not None:
         df = df.limit(q.limit)
-    return df
+    return df, maybe & set(df.columns)
 
 
 def query(triples: DataFrame, text: str, base: Optional[str] = None):

@@ -299,3 +299,38 @@ class TestScopedIncluded:
         )
         subs = {x[0] for x in t}
         assert subs == {"<http://e/x>", "<http://e/y>"}
+
+
+def test_explicit_bnode_labels_are_url_scoped(spark):
+    """ADVICE r1 (high): explicit "_:b1" in two different documents must
+    NOT produce the same term once quads are unioned across pages."""
+    from sophia_rs_spark.sources.jsonld import parse_jsonld_document
+
+    doc = '{"@context": {"@vocab": "http://x/"}, "@id": "_:b1", "p": {"@id": "_:b2"}}'
+    t1 = [r for r in parse_jsonld_document("http://a.example/", doc) if r[5] is None]
+    t2 = [r for r in parse_jsonld_document("http://b.example/", doc) if r[5] is None]
+    s1 = {r[1] for r in t1} | {r[3] for r in t1}
+    s2 = {r[1] for r in t2} | {r[3] for r in t2}
+    bn1 = {t for t in s1 if t.startswith("_:")}
+    bn2 = {t for t in s2 if t.startswith("_:")}
+    assert len(bn1) == 2 and len(bn2) == 2
+    assert bn1.isdisjoint(bn2), "cross-document bnode collision"
+    # within one document the label is stable: _:b1 subject == _:b1 reference
+    doc2 = ('{"@context": {"@vocab": "http://x/"}, "@graph": ['
+            '{"@id": "_:b1", "p": "x"}, {"@id": "http://x/s", '
+            '"q": {"@id": "_:b1"}}]}')
+    t3 = [r for r in parse_jsonld_document("http://a.example/", doc2) if r[5] is None]
+    subj = [r[1] for r in t3 if r[1].startswith("_:")]
+    objs = [r[3] for r in t3 if r[3].startswith("_:")]
+    assert subj and objs and subj[0] == objs[0]
+
+
+def test_type_id_coercion_bnode_scoped(spark):
+    from sophia_rs_spark.sources.jsonld import parse_jsonld_document
+
+    doc = ('{"@context": {"@vocab": "http://x/", "p": {"@type": "@id"}}, '
+           '"@id": "http://x/s", "p": "_:n"}')
+    a = [r for r in parse_jsonld_document("http://a.example/", doc) if r[5] is None]
+    b = [r for r in parse_jsonld_document("http://b.example/", doc) if r[5] is None]
+    assert a[0][3].startswith("_:") and b[0][3].startswith("_:")
+    assert a[0][3] != b[0][3]

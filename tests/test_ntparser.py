@@ -186,3 +186,18 @@ def test_batch_empty():
     out = parse_nx_batch(pd.DataFrame({"url": [], "text": []}))
     assert list(out.columns) == ["url", "line", "s", "p", "o", "g", "error"]
     assert len(out) == 0
+
+
+def test_fast_slow_path_canonical_parity_del_fffe():
+    """ADVICE r1: raw DEL / U+FFFE / U+FFFF must canonicalize identically
+    regardless of which path parses the document (fast path must decline)."""
+    from sophia_rs_spark.sources.ntparser import parse_nx_batch
+    import pandas as pd
+
+    for ch, esc in (("\x7f", "\\u007F"), ("￾", "\\uFFFE"), ("￿", "\\uFFFF")):
+        raw_doc = f'<x:s> <x:p> "a{ch}b" .\n'
+        esc_doc = f'<x:s> <x:p> "a{esc}b" .\n'
+        out_raw = parse_nx_batch(pd.DataFrame({"url": ["u"], "text": [raw_doc]}))
+        out_esc = parse_nx_batch(pd.DataFrame({"url": ["u"], "text": [esc_doc]}))
+        assert list(out_raw["error"]) == [None]
+        assert list(out_raw["o"]) == list(out_esc["o"]) == [f'"a{esc}b"']

@@ -331,3 +331,90 @@ class TestDescribe:
         )
         rows = {(r["s"], r["p"]) for r in got.collect()}
         assert rows == {("<http://example.org/ns/carol>", "<http://example.org/ns/name>")}
+
+
+class TestCompatJoinSemantics:
+    """SPARQL compatibility joins over possibly-unbound vars (ADVICE r1):
+    UNDEF in VALUES and post-OPTIONAL unbound vars are join wildcards,
+    not NULL keys (exec.rs:484-518)."""
+
+    def test_values_undef_binds(self, data):
+        got = query(
+            data,
+            PFX + 'SELECT ?x ?n WHERE { VALUES (?x ?n) { (UNDEF "Alice") } '
+            "?x :name ?n }",
+        )
+        assert rows_of(got) == [("<http://example.org/ns/alice>", '"Alice"')]
+
+    def test_values_undef_multiple_rows(self, data):
+        got = query(
+            data,
+            PFX + "SELECT ?x ?n WHERE { ?x :name ?n "
+            'VALUES (?x ?n) { (:bob UNDEF) (UNDEF "Carol"@en) } }',
+        )
+        assert rows_of(got) == [
+            ("<http://example.org/ns/bob>", '"Bob"'),
+            ("<http://example.org/ns/carol>", '"Carol"@en'),
+        ]
+
+    def test_values_bound_rows_still_exact(self, data):
+        got = query(
+            data,
+            PFX + 'SELECT ?x WHERE { VALUES (?x ?n) { (:alice "Alice") '
+            '(:bob "WRONG") } ?x :name ?n }',
+        )
+        assert rows_of(got) == [("<http://example.org/ns/alice>",)]
+
+    def test_optional_unbound_then_join(self, data):
+        # ?nick unbound for bob via OPTIONAL; joining a VALUES over ?nick
+        # must treat unbound as compatible-with-anything
+        got = query(
+            data,
+            PFX + "SELECT ?x ?nick WHERE { ?x :name ?n "
+            "OPTIONAL { ?x :nick ?nick } "
+            'VALUES ?nick { "al" } }',
+        )
+        # alice has nick "al"; bob/carol have unbound ?nick -> compatible,
+        # take the VALUES binding
+        assert rows_of(got) == [
+            ("<http://example.org/ns/alice>", '"al"'),
+            ("<http://example.org/ns/bob>", '"al"'),
+            ("<http://example.org/ns/carol>", '"al"'),
+        ]
+
+    def test_union_asymmetric_then_join(self, data):
+        got = query(
+            data,
+            PFX + "SELECT ?x ?v WHERE { { ?x :name ?v } UNION { ?x :age ?w } "
+            '?x :name ?v }',
+        )
+        # branch 2 leaves ?v unbound -> compatible with the outer pattern
+        names = {
+            ("<http://example.org/ns/alice>", '"Alice"'),
+            ("<http://example.org/ns/bob>", '"Bob"'),
+            ("<http://example.org/ns/carol>", '"Carol"@en'),
+        }
+        got_rows = set(rows_of(got))
+        # alice & bob appear twice (once per branch); carol once (no age)
+        assert got_rows == names
+
+
+def test_strlen_of_escaped_literal(spark):
+    """ADVICE r1: STR functions must act on the DECODED lexical form."""
+    NS = "http://example.org/ns/"
+    rows = [
+        (f"<{NS}a>", f"<{NS}t>", '"line1\\nline2"', None),
+        (f"<{NS}b>", f"<{NS}t>", '"tab\\there"', None),
+        (f"<{NS}c>", f"<{NS}t>", '"back\\\\slash\\nx"', None),  # raw \ then n
+        (f"<{NS}d>", f"<{NS}t>", '"ctl\\u0001"', None),
+    ]
+    df = spark.createDataFrame(rows, "s string, p string, o string, g string")
+    got = query(
+        df,
+        PFX + "SELECT ?s ?l WHERE { ?s :t ?o BIND(STRLEN(?o) AS ?l) }",
+    )
+    by_s = {r["s"]: r["l"] for r in got.collect()}
+    assert by_s[f"<{NS}a>"] == len("line1\nline2")
+    assert by_s[f"<{NS}b>"] == len("tab\there")
+    assert by_s[f"<{NS}c>"] == len("back\\slash\nx")
+    assert by_s[f"<{NS}d>"] == len("ctl\x01")

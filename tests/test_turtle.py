@@ -225,3 +225,23 @@ class TestSemantics:
         good = [r for r in rows if r[5] is None]
         errs = [r for r in rows if r[5] is not None]
         assert len(good) == 1 and len(errs) == 1
+
+
+def test_keyword_like_prefix_names():
+    """ADVICE r1: prefixes named graph:/base:/prefix:/version: are legal."""
+    from sophia_rs_spark.sources.turtle import parse_turtle_document
+
+    doc = (
+        "@prefix graph: <http://x/> .\n"
+        "@prefix base: <http://y/> .\n"
+        "@prefix prefix: <http://z/> .\n"
+        "@prefix version: <http://w/> .\n"
+        "graph:a base:b prefix:c .\n"
+        "version:d graph:e base:f .\n"
+    )
+    rows = parse_turtle_document("http://doc.example/", doc)
+    errs = [r for r in rows if r[5] is not None]
+    assert errs == [], errs
+    trips = [(r[1], r[2], r[3]) for r in rows]
+    assert ("<http://x/a>", "<http://y/b>", "<http://z/c>") in trips
+    assert ("<http://w/d>", "<http://x/e>", "<http://y/f>") in trips
