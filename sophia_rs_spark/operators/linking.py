@@ -29,12 +29,22 @@ def sameas_edges(triples: DataFrame) -> DataFrame:
 
 
 def connected_components(
-    edges: DataFrame, max_iter: int = 50, checkpoint_every: int = 1
+    edges: DataFrame,
+    max_iter: int = 50,
+    checkpoint_every: int = 1,
+    stats: dict | None = None,
 ) -> DataFrame:
     """(src, dst) undirected edges → (member, comp) with comp = min member
     of the component (canonical-string order).
 
+    Min-label propagation, O(diameter) rounds — the default because
+    owl:sameAs chains in web data are short.  For long-chain/skewed
+    graphs use :func:`connected_components_alternating` (O(log n)).
     Deterministic for any partitioning: min is order-insensitive.
+
+    Convergence probe is free: the old label rides along in the same
+    row as the new one, so "did anything change" is a filter over the
+    just-checkpointed frame — no extra labels⋈labels join per round.
     """
     und = edges.select("src", "dst").unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -47,46 +57,140 @@ def connected_components(
     und = und.localCheckpoint(eager=True)
     labels = labels.localCheckpoint(eager=True)
 
+    iters = 0
     for i in range(max_iter):
+        iters = i + 1
         # neighbor minimum: for each vertex, min comp among its neighbors
         nbr_min = (
             und.join(labels, und["dst"] == labels["member"], "inner")
             .groupBy("src")
             .agg(F.min("comp").alias("nbr_comp"))
         )
-        new_labels = (
+        stepped = (
             labels.join(nbr_min, labels["member"] == nbr_min["src"], "left_outer")
             .select(
                 "member",
                 F.least(
                     F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))
                 ).alias("comp"),
+                F.col("comp").alias("_prev"),
             )
+            .localCheckpoint(eager=True)
         )
-        if (i + 1) % checkpoint_every == 0:
-            new_labels = new_labels.localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "member")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        labels = stepped.select("member", "comp")
+        if stepped.filter(F.col("comp") != F.col("_prev")).isEmpty():
             break
+    if stats is not None:
+        stats["iterations"] = iters
     return labels.select("member", "comp")
 
 
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Large-star round (Kiveris et al., "Connected Components in
+    MapReduce and Beyond", Alg. 2): symmetrize, group by node u with
+    neighborhood Γ(u), m = min(Γ(u) ∪ {u}); link every strictly-larger
+    neighbor to m.  String comparison = canonical-term order."""
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    grouped = sym.groupBy("src").agg(F.collect_set("dst").alias("nbrs"))
+    m = F.array_min(F.array_append(F.col("nbrs"), F.col("src")))
+    targets = F.filter(F.col("nbrs"), lambda v: v > F.col("src"))
+    return (
+        grouped.select(F.explode(targets).alias("src"), m.alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Small-star round (ibid., Alg. 3): orient every edge max→min,
+    group by the max node u, m = min(Γ(u) ∪ {u}) = min(Γ(u)); link u
+    and all its (smaller) neighbors to m."""
+    directed = edges.select(
+        F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+    )
+    grouped = directed.groupBy("src").agg(F.collect_set("dst").alias("nbrs"))
+    m = F.array_min(F.col("nbrs"))
+    targets = F.array_append(F.col("nbrs"), F.col("src"))
+    return (
+        grouped.select(F.explode(targets).alias("src"), m.alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def connected_components_alternating(
+    edges: DataFrame, max_iter: int = 25, stats: dict | None = None
+) -> DataFrame:
+    """(src, dst) undirected edges → (member, comp): alternating
+    large-star/small-star — O(log n) rounds regardless of chain length,
+    the scale path for long-chain or adversarial sameAs graphs (opt-in;
+    min-label is the default for short web chains).
+
+    Convergence: the edge multiset is monotonically contracting toward
+    the star forest, so equal (count, order-insensitive hash) between
+    rounds certifies the fixpoint without an edge⋈edge comparison join.
+    """
+    und = (
+        edges.select("src", "dst")
+        .unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _sig(df: DataFrame):
+        r = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(F.xxhash64("src", "dst")).alias("h"),
+        ).collect()[0]
+        return (r["n"], r["h"])
+
+    cur = und
+    sig = _sig(cur)
+    iters = 0
+    for i in range(max_iter):
+        iters = i + 1
+        stepped = _small_star(_large_star(cur))
+        stepped = stepped.localCheckpoint(eager=True)
+        nsig = _sig(stepped)
+        cur = stepped
+        if nsig == sig:
+            break
+        sig = nsig
+    # fixpoint is a star forest: every edge (v, root) with root = comp min
+    members = cur.select(F.col("src").alias("member"), F.col("dst").alias("comp"))
+    roots = cur.select(F.col("dst").alias("member")).distinct().withColumn(
+        "comp", F.col("member")
+    )
+    out = members.unionByName(roots).distinct()
+    if stats is not None:
+        stats["iterations"] = iters
+    return out
+
+
+BROADCAST_MAP_MAX_ROWS = 5_000_000  # ~a few hundred MB of canonical ids
+
+
 def canonicalize_entities(
-    triples: DataFrame, components: DataFrame, rewrite_g: bool = False
+    triples: DataFrame,
+    components: DataFrame,
+    rewrite_g: bool = False,
+    broadcast: bool | None = None,
 ) -> DataFrame:
     """Rewrite s/o (and optionally g) through the canonical-id map.
 
-    The component map is small relative to the triple table (only linked
-    entities appear) → broadcast joins, no shuffle of the triple table.
-    """
-    comp = F.broadcast(components)
+    The component map is usually small relative to the triple table
+    (only linked entities appear) → broadcast joins, no shuffle of the
+    triple table.  A 100 TB corpus's sameAs map can exceed executor
+    memory, so ``broadcast=None`` (auto) measures the map: at most
+    ``BROADCAST_MAP_MAX_ROWS`` rows → broadcast hint, else a plain join
+    (AQE still upgrades it at runtime if the map turns out small)."""
+    if broadcast is None:
+        probe = components.limit(BROADCAST_MAP_MAX_ROWS + 1).count()
+        broadcast = probe <= BROADCAST_MAP_MAX_ROWS
+    comp = F.broadcast(components) if broadcast else components
     out = (
         triples.join(
             comp.withColumnRenamed("member", "s").withColumnRenamed("comp", "_cs"),

@@ -75,108 +75,282 @@ _AXIOMS = [
 ]
 
 
+class _Schema:
+    """Driver-side accumulator for the (tiny) schema: subPropertyOf /
+    subClassOf / domain / range pairs plus ContainerMembershipProperty
+    and Datatype memberships.  Vocabularies are KB-scale even when the
+    instance data is 100 TB — sophia's in-memory ruleset makes the same
+    assumption (`reasoner/src/ruleset/_rdfs.rs:32-55`)."""
+
+    def __init__(self):
+        self.sp: set = set()  # (p1, p2) subPropertyOf
+        self.sc: set = set()  # (c1, c2) subClassOf
+        self.dom: set = set()  # (p, C)
+        self.rng: set = set()  # (p, C)
+        self.cmp: set = set()  # properties typed ContainerMembershipProperty
+        self.dts: set = set()  # resources typed rdfs:Datatype
+
+    def absorb(self, rows) -> bool:
+        """Fold schema-relevant triples in; True if anything was new."""
+        changed = False
+        for s, p, o in rows:
+            if p == T_SUBPROP:
+                changed |= (s, o) not in self.sp
+                self.sp.add((s, o))
+            elif p == T_SUBCLASS:
+                changed |= (s, o) not in self.sc
+                self.sc.add((s, o))
+            elif p == T_DOMAIN:
+                changed |= (s, o) not in self.dom
+                self.dom.add((s, o))
+            elif p == T_RANGE:
+                changed |= (s, o) not in self.rng
+                self.rng.add((s, o))
+            elif p == T_TYPE and o == T_CMP:
+                changed |= s not in self.cmp
+                self.cmp.add(s)
+            elif p == T_TYPE and o == T_DATATYPE:
+                changed |= s not in self.dts
+                self.dts.add(s)
+        return changed
+
+    def close(self):
+        """Schema-internal fixpoint (rdfs5/11/12/13): transitive closures
+        plus CMP→subPropertyOf-member and Datatype→subClassOf-Literal."""
+        for p in self.cmp:
+            self.sp.add((p, T_MEMBER))
+        for x in self.dts:
+            self.sc.add((x, T_LITERAL_CLS))
+        self.sp = _transitive_pairs(self.sp)
+        self.sc = _transitive_pairs(self.sc)
+
+    def closure_triples(self):
+        out = [(a, T_SUBPROP, b) for a, b in self.sp]
+        out += [(a, T_SUBCLASS, b) for a, b in self.sc]
+        out += [(p, T_TYPE, T_CMP) for p in self.cmp]
+        return out
+
+
+def _transitive_pairs(pairs: set) -> set:
+    adj: dict = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+    out = set(pairs)
+    for src in list(adj):
+        seen = set()
+        stack = list(adj.get(src, ()))
+        while stack:
+            n = stack.pop()
+            if n in seen:
+                continue
+            seen.add(n)
+            stack.extend(adj.get(n, ()))
+        out |= {(src, n) for n in seen}
+    return out
+
+
+_SCHEMA_PREDS = (T_SUBPROP, T_SUBCLASS, T_DOMAIN, T_RANGE)
+# collect() guard: a "schema" bigger than this is not a vocabulary and
+# the driver-side closure would not be safe — fail loudly rather than OOM.
+_SCHEMA_COLLECT_CAP = 2_000_000
+
+
+def _extract_schema_rows(df: DataFrame):
+    sel = df.filter(
+        F.col("p").isin(*_SCHEMA_PREDS)
+        | ((F.col("p") == T_TYPE) & F.col("o").isin(T_CMP, T_DATATYPE))
+    ).select("s", "p", "o")
+    rows = sel.limit(_SCHEMA_COLLECT_CAP + 1).collect()
+    if len(rows) > _SCHEMA_COLLECT_CAP:
+        raise ValueError(
+            f"schema exceeds {_SCHEMA_COLLECT_CAP} triples — not a vocabulary; "
+            "driver-side schema closure disabled at this size"
+        )
+    return [(r[0], r[1], r[2]) for r in rows]
+
+
 def rdfs_saturate(
-    triples: DataFrame, max_iter: int = 10, with_axioms: bool = False
+    triples: DataFrame, max_iter: int = 15, with_axioms: bool = False
 ) -> DataFrame:
     """RDFS-saturate a triples DataFrame (s, p, o) → saturated triples.
 
-    Schema-level closures (rdfs5/rdfs11) run first; the instance-level
-    rules (rdfs2/3/7/9) then reach fixpoint — one outer loop handles the
-    (rare) case where inferred triples feed the schema again.
+    Semi-naive (delta-only) evaluation: the schema (subClassOf /
+    subPropertyOf / domain / range, rdfs5/11/12/13) is closed driver-side
+    — it is vocabulary-sized — and broadcast; each iteration joins ONLY
+    the previous round's delta against the broadcast schema (rdfs2/3/7/9),
+    anti-joins against the accumulated known partitions, and stops on an
+    empty delta.  The full triple table is scanned exactly once (round 1)
+    and never re-shuffled: `distinct()` leaves every accumulated part
+    hash-partitioned on (s,p,o), so the per-round anti-joins shuffle only
+    the delta side.  Rule semantics match `reasoner/src/ruleset/_rdfs.rs:
+    57-97`; the loop-until-empty-delta replaces sophia's `while changed`.
 
     ``with_axioms=True`` seeds the RDF/RDFS vocabulary axioms (sophia's
     ``prepare_*_vocab``); off by default so data-only entailment stays
     oracle-comparable.
     """
+    spark = triples.sparkSession
+    base = triples.select("s", "p", "o")
     if with_axioms:
-        spark = triples.sparkSession
         ax = spark.createDataFrame(_AXIOMS, "s string, p string, o string")
-        triples = triples.select("s", "p", "o").unionByName(ax)
-    out = triples.select("s", "p", "o").distinct().localCheckpoint(eager=True)
+        base = base.unionByName(ax)
+    # distinct() hash-partitions on (s,p,o); localCheckpoint preserves it
+    base = base.distinct().localCheckpoint(eager=True)
+
+    schema = _Schema()
+    schema.absorb(_extract_schema_rows(base))
+    schema.close()
+
+    known = [base]  # mutually-disjoint distinct parts, all (s,p,o)-partitioned
+    frontier = base
+    # schema entries already joined against ALL data (round 1 joins the
+    # full base): when the schema grows later, ONLY the new entries are
+    # re-applied to the accumulated data (rules-as-deltas semi-naive)
+    applied = {
+        "sp": set(schema.sp),
+        "dom": set(schema.dom),
+        "rng": set(schema.rng),
+        "sc": set(schema.sc),
+    }
     for _ in range(max_iter):
-        n_before = out.count()
+        bc = F.broadcast
+        sp_df = (
+            spark.createDataFrame(list(schema.sp), "p string, p2 string")
+            if schema.sp
+            else None
+        )
+        dom_df = (
+            spark.createDataFrame(list(schema.dom), "p string, C string")
+            if schema.dom
+            else None
+        )
+        rng_df = (
+            spark.createDataFrame(list(schema.rng), "p string, C string")
+            if schema.rng
+            else None
+        )
+        sc_df = (
+            spark.createDataFrame(list(schema.sc), "C1 string, C2 string")
+            if schema.sc
+            else None
+        )
 
-        # rdfs5 / rdfs11: transitive closures of the schema relations
-        subprop = transitive_closure(_pairs(out, T_SUBPROP))
-        subclass = transitive_closure(_pairs(out, T_SUBCLASS))
-        domain = _pairs(out, T_DOMAIN)
-        range_ = _pairs(out, T_RANGE)
-
-        bc = F.broadcast  # schema sides are tiny vs the instance data
-
-        new_parts = []
-        # closure triples themselves are entailed
-        new_parts.append(
-            subprop.select("s", F.lit(T_SUBPROP).alias("p"), "o")
-        )
-        new_parts.append(
-            subclass.select("s", F.lit(T_SUBCLASS).alias("p"), "o")
-        )
-        # rdfs7: (s p1 o) & (p1 subPropertyOf p2) → (s p2 o)
-        new_parts.append(
-            out.join(
-                bc(subprop.withColumnRenamed("s", "p").withColumnRenamed("o", "p2")),
-                "p",
-            ).select("s", F.col("p2").alias("p"), "o")
-        )
-        # rdfs2: (s p o) & (p domain C) → (s rdf:type C)
-        new_parts.append(
-            out.join(
-                bc(domain.withColumnRenamed("s", "p").withColumnRenamed("o", "C")),
-                "p",
-            ).select("s", F.lit(T_TYPE).alias("p"), F.col("C").alias("o"))
-        )
-        # rdfs3: (s p o) & (p range C) → (o rdf:type C); literals excluded
-        new_parts.append(
-            out.join(
-                bc(range_.withColumnRenamed("s", "p").withColumnRenamed("o", "C")),
-                "p",
+        parts = []
+        # rdfs7: (s p1 o) & (p1 ⊑ p2) → (s p2 o) — sp is closed, one shot
+        if sp_df is not None:
+            parts.append(
+                frontier.join(bc(sp_df), "p").select(
+                    "s", F.col("p2").alias("p"), "o"
+                )
             )
-            .filter(~F.col("o").startswith('"'))
-            .select(F.col("o").alias("s"), F.lit(T_TYPE).alias("p"), F.col("C").alias("o"))
-        )
-        # rdfs9: (x type C1) & (C1 subClassOf C2) → (x type C2)
-        types = out.filter(F.col("p") == T_TYPE).select("s", F.col("o").alias("C1"))
-        new_parts.append(
-            types.join(
-                bc(subclass.withColumnRenamed("s", "C1").withColumnRenamed("o", "C2")),
-                "C1",
-            ).select("s", F.lit(T_TYPE).alias("p"), F.col("C2").alias("o"))
-        )
-        # container membership (rdfs_membership_properties, _rdfs.rs:52):
-        # rdf:_N used as predicate → typed ContainerMembershipProperty
-        used_cmp = (
-            out.filter(F.col("p").rlike(_CONTAINER_PRED_RE))
+        # rdfs2: (s p o) & domain(p)=C → (s type C)
+        if dom_df is not None:
+            parts.append(
+                frontier.join(bc(dom_df), "p").select(
+                    "s", F.lit(T_TYPE).alias("p"), F.col("C").alias("o")
+                )
+            )
+        # rdfs3: (s p o) & range(p)=C → (o type C); literal objects excluded
+        if rng_df is not None:
+            parts.append(
+                frontier.join(bc(rng_df), "p")
+                .filter(~F.col("o").startswith('"'))
+                .select(
+                    F.col("o").alias("s"),
+                    F.lit(T_TYPE).alias("p"),
+                    F.col("C").alias("o"),
+                )
+            )
+        # rdfs9: (x type C1) & (C1 ⊑ C2) → (x type C2) — sc closed, one shot
+        if sc_df is not None:
+            parts.append(
+                frontier.filter(F.col("p") == T_TYPE)
+                .select("s", F.col("o").alias("C1"))
+                .join(bc(sc_df), "C1")
+                .select("s", F.lit(T_TYPE).alias("p"), F.col("C2").alias("o"))
+            )
+        # container membership: rdf:_N used as a predicate → typed CMP
+        parts.append(
+            frontier.filter(F.col("p").rlike(_CONTAINER_PRED_RE))
             .select(F.col("p").alias("s"))
             .distinct()
+            .select("s", F.lit(T_TYPE).alias("p"), F.lit(T_CMP).alias("o"))
         )
-        new_parts.append(
-            used_cmp.select("s", F.lit(T_TYPE).alias("p"), F.lit(T_CMP).alias("o"))
-        )
-        # rdfs12: (p type ContainerMembershipProperty) → (p subPropertyOf rdfs:member)
-        cmp_props = out.filter(
-            (F.col("p") == T_TYPE) & (F.col("o") == T_CMP)
-        ).select("s")
-        new_parts.append(
-            cmp_props.select(
-                "s", F.lit(T_SUBPROP).alias("p"), F.lit(T_MEMBER).alias("o")
-            )
-        )
-        # rdfs13: (x type rdfs:Datatype) → (x subClassOf rdfs:Literal)
-        dts = out.filter((F.col("p") == T_TYPE) & (F.col("o") == T_DATATYPE)).select("s")
-        new_parts.append(
-            dts.select(
-                "s", F.lit(T_SUBCLASS).alias("p"), F.lit(T_LITERAL_CLS).alias("o")
-            )
-        )
+        # schema DELTAS (entries added after round 1, e.g. rdfs12's
+        # (rdf:_N ⊑ rdfs:member)) must see ALL accumulated triples once,
+        # not just the frontier — join them against the known parts
+        d_sp = schema.sp - applied["sp"]
+        d_dom = schema.dom - applied["dom"]
+        d_rng = schema.rng - applied["rng"]
+        d_sc = schema.sc - applied["sc"]
+        if d_sp or d_dom or d_rng or d_sc:
+            all_known = known[0]
+            for k in known[1:]:
+                all_known = all_known.unionByName(k)
+            if d_sp:
+                dd = spark.createDataFrame(list(d_sp), "p string, p2 string")
+                parts.append(
+                    all_known.join(bc(dd), "p").select(
+                        "s", F.col("p2").alias("p"), "o"
+                    )
+                )
+            if d_dom:
+                dd = spark.createDataFrame(list(d_dom), "p string, C string")
+                parts.append(
+                    all_known.join(bc(dd), "p").select(
+                        "s", F.lit(T_TYPE).alias("p"), F.col("C").alias("o")
+                    )
+                )
+            if d_rng:
+                dd = spark.createDataFrame(list(d_rng), "p string, C string")
+                parts.append(
+                    all_known.join(bc(dd), "p")
+                    .filter(~F.col("o").startswith('"'))
+                    .select(
+                        F.col("o").alias("s"),
+                        F.lit(T_TYPE).alias("p"),
+                        F.col("C").alias("o"),
+                    )
+                )
+            if d_sc:
+                dd = spark.createDataFrame(list(d_sc), "C1 string, C2 string")
+                parts.append(
+                    all_known.filter(F.col("p") == T_TYPE)
+                    .select("s", F.col("o").alias("C1"))
+                    .join(bc(dd), "C1")
+                    .select("s", F.lit(T_TYPE).alias("p"), F.col("C2").alias("o"))
+                )
+            applied = {
+                "sp": set(schema.sp),
+                "dom": set(schema.dom),
+                "rng": set(schema.rng),
+                "sc": set(schema.sc),
+            }
+        # schema-closure triples (rdfs5/11/12/13 conclusions) are entailed;
+        # idempotent — the anti-join below drops the already-known ones
+        ct = schema.closure_triples()
+        if ct:
+            parts.append(spark.createDataFrame(ct, "s string, p string, o string"))
 
-        new = new_parts[0]
-        for part in new_parts[1:]:
+        new = parts[0]
+        for part in parts[1:]:
             new = new.unionByName(part)
-        out2 = out.unionByName(new).distinct().localCheckpoint(eager=True)
-        if out2.count() == n_before:
-            return out2
-        out = out2
+        new = new.distinct()
+        for k in known:
+            new = new.join(k, ["s", "p", "o"], "left_anti")
+        new = new.localCheckpoint(eager=True)
+        if new.isEmpty():
+            break
+        known.append(new)
+        frontier = new
+        # inferred triples may extend the schema (e.g. an inferred
+        # (p type CMP) enables rdfs12) — deltas are small, absorb is cheap
+        if schema.absorb(_extract_schema_rows(new)):
+            schema.close()
+
+    out = known[0]
+    for k in known[1:]:
+        out = out.unionByName(k)
     return out
 
 
