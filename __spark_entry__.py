@@ -310,6 +310,57 @@ def _q_fn_datetime(spark, sf):
     )
 
 
+def _q_fn_hash2(spark, sf):
+    """SHA384/SHA512 (function.rs:328-338) over region names."""
+    t = spark_triples(spark, sf)
+    b = B.bgp(t, [(v("r"), P_TYPE, T_REGION), (v("r"), P_NAME, v("name"))])
+    lex = F.regexp_extract("name", _LEX, 1)
+    return b.select(
+        "r",
+        F.sha2(lex.cast("binary"), 384).alias("h_sha384"),
+        F.sha2(lex.cast("binary"), 512).alias("h_sha512"),
+    )
+
+
+def _q_fn_datetime_tz(spark, sf):
+    """TZ()/TIMEZONE() (function.rs:283-295, :823-858) over canonical
+    xsd:dateTime terms synthesized deterministically from events."""
+    from sophia_rs_spark.functions import sparql_fns as FN
+
+    e = _read(spark, sf, "events")
+    lex = F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss")
+    suffix = F.element_at(
+        F.array(F.lit("Z"), F.lit("+05:30"), F.lit("-08:00"), F.lit("")),
+        (F.col("event_id") % 4).cast("int") + 1,
+    )
+    term = F.concat(
+        F.lit('"'), lex, suffix,
+        F.lit('"^^<http://www.w3.org/2001/XMLSchema#dateTime>'),
+    )
+    return e.select(
+        "event_id",
+        FN.tz(term).alias("tzs"),
+        FN.timezone_duration(term).alias("tzdur"),
+    )
+
+
+def _q_fn_tterm(spark, sf):
+    """TRIPLE/SUBJECT/PREDICATE/OBJECT (function.rs:399-419) round-trip
+    over region name triples."""
+    from sophia_rs_spark.functions import sparql_fns as FN
+    from sophia_rs_spark.functions import triple_terms as TT
+
+    t = spark_triples(spark, sf)
+    b = B.bgp(t, [(v("r"), P_TYPE, T_REGION), (v("r"), P_NAME, v("name"))])
+    tt = FN.triple_term(F.col("r"), F.lit(P_NAME), F.col("name"))
+    return b.select(
+        "r",
+        TT.tt_subject(tt).alias("subj"),
+        TT.tt_predicate(tt).alias("pred"),
+        TT.tt_object(tt).alias("obj"),
+    )
+
+
 def _q_fn_group_concat(spark, sf):
     t = spark_triples(spark, sf)
     b = B.bgp(
@@ -579,8 +630,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # SPARQL function library
         "fn_strings": _q_fn_strings,
         "fn_hash": _q_fn_hash,
+        "fn_hash2": _q_fn_hash2,
         "fn_numeric": _q_fn_numeric,
         "fn_datetime": _q_fn_datetime,
+        "fn_datetime_tz": _q_fn_datetime_tz,
+        "fn_tterm": _q_fn_tterm,
         "fn_group_concat": _q_fn_group_concat,
         # events
         "events_window": _q_events_window,
@@ -778,6 +832,42 @@ SELECT t1.s AS r,
        md5(regexp_extract(t2.o, '{_LEX}', 1)) AS h_md5,
        sha256(regexp_extract(t2.o, '{_LEX}', 1)) AS h_sha256
 FROM triples t1 JOIN triples t2 ON t2.s = t1.s AND t2.p = '{P_NAME}'
+WHERE t1.p = '{P_TYPE}' AND t1.o = '{T_REGION}'
+""".strip()
+    )
+    # expected SHA-384/512 digests of the five fixed TPC-H region names
+    # (precomputed with hashlib; DuckDB has no sha384/sha512 builtin)
+    qs["fn_hash2"] = with_triples(
+        f"""
+SELECT t1.s AS r, h.h_sha384, h.h_sha512
+FROM triples t1
+JOIN triples t2 ON t2.s = t1.s AND t2.p = '{P_NAME}'
+JOIN (VALUES
+  ('"AFRICA"', 'a20b45d8974156b051847fb460c1d2295f8fed7fbde9a91bb8d929e3ce83f3dcf4dbd0539be5aee5509e78ca14e93d20', '3f8c328dec158577750d3c479214c86becf4b3dbfd85862853400690ed7cdfecb6e23cbaf9a9f6c99eba090a2f12a5020c9d718a25e29e188aa88f2697a3c371'),
+  ('"AMERICA"', 'f573a6d8da9019a507420b982ce5e9b23f37ca3e4474a87690c4e3fd7fe12e4cdb37a73bcecde01d1b73d77e0413f83a', 'eafbed2777eb3bd11f0bee7e4df05651bc7f9ce9f3289003466331664ab8e081bac3305f89668773148fa5dffd59d6b6b22e383096869610a989a816b8fd9f76'),
+  ('"ASIA"', 'e348fb4c6b6e19b89fde5c5856c29b17332f71ab416d78776c01215d9b9218b963d3e84f9bc0c4595d6d8f1445bcfbb0', '7a0f8a846e2c41bbe4dcd6ed8694d7faa0a517adbe60a7e230d28653d1937a4d8ca32b17bf02d0f367f1db1c48bca65c6920106d052161ea38eded1ca8dda526'),
+  ('"EUROPE"', '9a55f63ccefb3c80eb9a53f932586ff8570712bc2f3a670da75cec09149366a062150387d72d160573e937a59f8bd5c8', '2a2078d78fbb5a6f7cc3d5789ad70a1f3ffebe299cb3c8c3c982729bc42ce73c62c84f945e72f0c0580284013855d6c9b15d6739209f0b91d338c389b2f5cdbf'),
+  ('"MIDDLE EAST"', '3dcae37ffe76fe15f902be00ccf6bffbcea66f713f3e9a52579026f05aeed57a2dc5a725f9398095e509913f29de7ddf', '31469124d75e046c6e82be568951419002a509fc46bcedf6fdcaae7a632f95b8da8941deea7513432c46950b51d8519ba193412dab3a35fe1363086bde53c2ea')
+) h(name, h_sha384, h_sha512) ON h.name = t2.o
+WHERE t1.p = '{P_TYPE}' AND t1.o = '{T_REGION}'
+""".strip()
+    )
+    qs["fn_datetime_tz"] = """
+SELECT event_id,
+  CASE CAST(event_id % 4 AS INT)
+    WHEN 0 THEN 'Z' WHEN 1 THEN '+05:30' WHEN 2 THEN '-08:00' ELSE '' END AS tzs,
+  CASE CAST(event_id % 4 AS INT)
+    WHEN 0 THEN '"PT0S"^^<http://www.w3.org/2001/XMLSchema#dayTimeDuration>'
+    WHEN 1 THEN '"PT5H30M"^^<http://www.w3.org/2001/XMLSchema#dayTimeDuration>'
+    WHEN 2 THEN '"-PT8H"^^<http://www.w3.org/2001/XMLSchema#dayTimeDuration>'
+    ELSE NULL END AS tzdur
+FROM events
+""".strip()
+    qs["fn_tterm"] = with_triples(
+        f"""
+SELECT t1.s AS r, t1.s AS subj, '{P_NAME}' AS pred, t2.o AS obj
+FROM triples t1
+JOIN triples t2 ON t2.s = t1.s AND t2.p = '{P_NAME}'
 WHERE t1.p = '{P_TYPE}' AND t1.o = '{T_REGION}'
 """.strip()
     )

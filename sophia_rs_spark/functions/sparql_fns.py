@@ -108,6 +108,87 @@ def iri_term(iri_text: Column) -> Column:
     return F.concat(F.lit("<"), iri_text, F.lit(">"))
 
 
+def lang_dir(term: Column) -> Column:
+    """LANGDIR() (function.rs:476-486): base direction of a dirLangString
+    ('ltr'/'rtl'), '' for any other literal, error (NULL) otherwise."""
+    return F.when(
+        is_literal(term), F.regexp_extract(term, r'"@[A-Za-z0-9-]+--(ltr|rtl)$', 1)
+    ).otherwise(F.lit(None).cast("string"))
+
+
+def has_lang(term: Column) -> Column:
+    """hasLANG() (function.rs:488-494): true iff language-tagged literal
+    (false, not error, for non-literals)."""
+    return F.coalesce(term.rlike(r'"@[A-Za-z0-9-]+(?:--(?:ltr|rtl))?$'), F.lit(False))
+
+
+def has_lang_dir(term: Column) -> Column:
+    """hasLANGDIR() (function.rs:496-505)."""
+    return F.coalesce(term.rlike(r'"@[A-Za-z0-9-]+--(?:ltr|rtl)$'), F.lit(False))
+
+
+def strlangdir(lex_c: Column, tag: Column, dir_: Column) -> Column:
+    """STRLANGDIR() (function.rs:349-357, :901-925); NULL for a direction
+    other than ltr/rtl (invalid-argument error)."""
+    return F.when(
+        dir_.isin("ltr", "rtl"),
+        F.concat(F.lit('"'), lex_c, F.lit('"@'), F.lower(tag), F.lit("--"), dir_),
+    ).otherwise(F.lit(None).cast("string"))
+
+
+_XSD_DT = f"{XSD}dateTime"
+_TZ_SUFFIX_RE = r"(Z|[+-][0-9][0-9]:[0-9][0-9])$"
+
+
+def _dt_lex(term: Column) -> Column:
+    """Lexical form of an xsd:dateTime literal, NULL otherwise."""
+    return F.when(
+        datatype(term) == _XSD_DT, F.regexp_extract(term, r'^"([^"]*)"', 1)
+    ).otherwise(F.lit(None).cast("string"))
+
+
+def tz(term: Column) -> Column:
+    """TZ() (function.rs:849-858): timezone designator of an xsd:dateTime
+    as a simple string ('' when naive), error (NULL) for non-dateTime."""
+    lexv = _dt_lex(term)
+    return F.when(
+        lexv.isNotNull(), F.regexp_extract(lexv, _TZ_SUFFIX_RE, 1)
+    ).otherwise(F.lit(None).cast("string"))
+
+
+def timezone_duration(term: Column) -> Column:
+    """TIMEZONE() (function.rs:823-846): timezone offset of an
+    xsd:dateTime as an xsd:dayTimeDuration literal; error (NULL) for
+    naive datetimes / non-dateTime terms."""
+    suffix = tz(term)
+    sign = F.when(suffix.startswith("-"), F.lit("-")).otherwise(F.lit(""))
+    h = F.substring(suffix, 2, 2).try_cast("int")
+    m = F.substring(suffix, 5, 2).try_cast("int")
+    lex_dur = F.when(suffix == "Z", F.lit("PT0S")).otherwise(
+        F.when(
+            (h > 0) & (m > 0),
+            F.concat(sign, F.lit("PT"), h.cast("string"), F.lit("H"), m.cast("string"), F.lit("M")),
+        )
+        .when((h > 0), F.concat(sign, F.lit("PT"), h.cast("string"), F.lit("H")))
+        .when((m > 0), F.concat(sign, F.lit("PT"), m.cast("string"), F.lit("M")))
+        .otherwise(F.lit("PT0S"))
+    )
+    return F.when(
+        suffix.isNotNull() & (suffix != ""),
+        F.concat(F.lit('"'), lex_dur, F.lit('"^^<'), F.lit(f"{XSD}dayTimeDuration"), F.lit(">")),
+    ).otherwise(F.lit(None).cast("string"))
+
+
+def triple_term(s: Column, p: Column, o: Column) -> Column:
+    """TRIPLE() constructor (function.rs:399-404): the canonical
+    triple-term encoding; NULL if any slot is NULL or the subject/
+    predicate kinds are invalid (s: IRI/bnode/tt, p: IRI)."""
+    ok = (is_iri(s) | is_blank(s) | is_triple(s)) & is_iri(p) & kind(o).isNotNull()
+    return F.when(
+        ok, F.concat(F.lit("<<( "), s, F.lit(" "), p, F.lit(" "), o, F.lit(" )>>"))
+    ).otherwise(F.lit(None).cast("string"))
+
+
 def strdt(lex_c: Column, dt_iri: Column) -> Column:
     """STRDT() (function.rs:359)."""
     return F.when(

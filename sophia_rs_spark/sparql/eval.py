@@ -255,7 +255,70 @@ def _call(fn: str, cols: List[Column], raw_args) -> Column:
         ).otherwise(F.lit(""))
     if fn == "ENCODE_FOR_URI":
         return F.replace(F.url_encode(s(cols[0])), F.lit("+"), F.lit("%20"))
+    if fn == "SHA384":
+        return F.sha2(s(cols[0]).cast("binary"), 384)
+    if fn == "SHA512":
+        return F.sha2(s(cols[0]).cast("binary"), 512)
+    if fn == "TZ":
+        return FN.tz(cols[0].cast("string"))
+    if fn == "TIMEZONE":
+        return FN.timezone_duration(cols[0].cast("string"))
+    if fn == "LANGDIR":
+        return FN.lang_dir(cols[0].cast("string"))
+    if fn == "HASLANG":
+        return FN.has_lang(cols[0].cast("string"))
+    if fn == "HASLANGDIR":
+        return FN.has_lang_dir(cols[0].cast("string"))
+    if fn == "STRDT":
+        return FN.strdt(s(cols[0]), FN.str_(cols[1].cast("string")))
+    if fn == "STRLANG":
+        return FN.strlang(s(cols[0]), s(cols[1]))
+    if fn == "STRLANGDIR":
+        return FN.strlangdir(s(cols[0]), s(cols[1]), s(cols[2]))
+    if fn == "TRIPLE":
+        return FN.triple_term(
+            cols[0].cast("string"), cols[1].cast("string"), cols[2].cast("string")
+        )
+    if fn in ("SUBJECT", "PREDICATE", "OBJECT"):
+        from ..functions import triple_terms as TT
+
+        acc = {"SUBJECT": TT.tt_subject, "PREDICATE": TT.tt_predicate,
+               "OBJECT": TT.tt_object}[fn]
+        return acc(cols[0].cast("string"))
+    if fn == "ISTRIPLE":
+        return FN.is_triple(cols[0].cast("string"))
+    if fn == "NOW":
+        # fixed per query evaluation (exec.rs:76 `state.now()`)
+        return F.lit(_query_now_literal())
+    if fn == "BNODE":
+        if not cols:
+            # fresh bnode per row (function.rs:109 bnode0)
+            return F.concat(
+                F.lit("_:qb"),
+                F.lower(F.hex(F.xxhash64(F.monotonically_increasing_id()))),
+            )
+        # bnode1: same label → same bnode within the query (function.rs:109)
+        return F.concat(
+            F.lit("_:qb"), F.lower(F.hex(F.xxhash64(F.lit("\x03bnode1"), s(cols[0]))))
+        )
     raise A.SparqlError(f"unsupported function {fn}")
+
+
+_NOW_LITERAL: Optional[str] = None
+
+
+def _query_now_literal() -> str:
+    """The per-evaluation NOW() literal; evaluate() pins it once so every
+    NOW() in a query sees the same instant (exec.rs:76)."""
+    global _NOW_LITERAL
+    if _NOW_LITERAL is None:
+        from datetime import datetime, timezone
+
+        dt = datetime.now(timezone.utc).strftime("%Y-%m-%dT%H:%M:%S.%f")
+        _NOW_LITERAL = (
+            f'"{dt}Z"^^<http://www.w3.org/2001/XMLSchema#dateTime>'
+        )
+    return _NOW_LITERAL
 
 
 # ---------------------------------------------------------------------------
@@ -359,6 +422,8 @@ def evaluate(triples: DataFrame, q: A.Query):
     """Evaluate a parsed query against a triples/quads DataFrame
     (columns s, p, o [, g]).  Returns a DataFrame (select/construct) or
     bool (ask)."""
+    global _NOW_LITERAL
+    _NOW_LITERAL = None  # repin NOW() for this evaluation
     ctx = _Ctx(triples, None)
     # default scope: if no g column, everything; with g, the default graph
     if "g" not in triples.columns:

@@ -168,8 +168,10 @@ _KEYWORDS = (
     "REGEX|STR|LANG|DATATYPE|BOUND|IRI|URI|STRLEN|UCASE|LCASE|CONTAINS|"
     "STRSTARTS|STRENDS|SUBSTR|REPLACE|CONCAT|ABS|CEIL|FLOOR|ROUND|"
     "ISIRI|ISURI|ISBLANK|ISLITERAL|ISNUMERIC|COALESCE|IF|"
-    "MD5|SHA1|SHA256|YEAR|MONTH|DAY|HOURS|MINUTES|SECONDS|"
-    "LANGMATCHES|SAMETERM|STRBEFORE|STRAFTER|ENCODE_FOR_URI|A"
+    "MD5|SHA1|SHA256|SHA384|SHA512|YEAR|MONTH|DAY|HOURS|MINUTES|SECONDS|"
+    "TIMEZONE|TZ|NOW|LANGMATCHES|SAMETERM|STRBEFORE|STRAFTER|ENCODE_FOR_URI|"
+    "LANGDIR|HASLANGDIR|HASLANG|STRLANGDIR|STRLANG|STRDT|BNODE|"
+    "TRIPLE|SUBJECT|PREDICATE|OBJECT|ISTRIPLE|A"
 )
 
 TOKEN_RE = re.compile(

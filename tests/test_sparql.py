@@ -418,3 +418,121 @@ def test_strlen_of_escaped_literal(spark):
     assert by_s[f"<{NS}b>"] == len("tab\there")
     assert by_s[f"<{NS}c>"] == len("back\\slash\nx")
     assert by_s[f"<{NS}d>"] == len("ctl\x01")
+
+
+class TestNewBuiltins:
+    """Round-2 builtin surface (function.rs:35-452): TIMEZONE/TZ,
+    SHA384/512, LANGDIR family, STRDT/STRLANG(DIR), triple-term fns,
+    NOW, BNODE."""
+
+    @pytest.fixture(scope="class")
+    def tdata(self, spark):
+        NS = "http://example.org/ns/"
+        XSDNS = "http://www.w3.org/2001/XMLSchema#"
+        rows = [
+            (f"<{NS}e1>", f"<{NS}at>", f'"2020-03-01T10:11:12Z"^^<{XSDNS}dateTime>', None),
+            (f"<{NS}e2>", f"<{NS}at>", f'"2020-03-01T10:11:12+05:30"^^<{XSDNS}dateTime>', None),
+            (f"<{NS}e3>", f"<{NS}at>", f'"2020-03-01T10:11:12-08:00"^^<{XSDNS}dateTime>', None),
+            (f"<{NS}e4>", f"<{NS}at>", f'"2020-03-01T10:11:12"^^<{XSDNS}dateTime>', None),
+            (f"<{NS}d1>", f"<{NS}lbl>", '"shalom"@he--rtl', None),
+            (f"<{NS}d2>", f"<{NS}lbl>", '"hello"@en', None),
+            (f"<{NS}d3>", f"<{NS}lbl>", '"plain"', None),
+        ]
+        df = spark.createDataFrame(rows, "s string, p string, o string, g string")
+        df.cache().count()
+        yield df
+        df.unpersist()
+
+    def test_tz_and_timezone(self, tdata):
+        got = query(
+            tdata,
+            PFX + "SELECT ?s ?tz ?dur WHERE { ?s :at ?d "
+            "BIND(TZ(?d) AS ?tz) BIND(TIMEZONE(?d) AS ?dur) }",
+        )
+        by_s = {r["s"].rsplit("/", 1)[-1][:-1]: (r["tz"], r["dur"]) for r in got.collect()}
+        xdur = '^^<http://www.w3.org/2001/XMLSchema#dayTimeDuration>'
+        assert by_s["e1"] == ("Z", f'"PT0S"{xdur}')
+        assert by_s["e2"] == ("+05:30", f'"PT5H30M"{xdur}')
+        assert by_s["e3"] == ("-08:00", f'"-PT8H"{xdur}')
+        assert by_s["e4"] == ("", None)
+
+    def test_sha384_sha512(self, tdata):
+        import hashlib
+
+        got = query(
+            tdata,
+            PFX + 'SELECT ?h3 ?h5 WHERE { :d3 :lbl ?o '
+            "BIND(SHA384(?o) AS ?h3) BIND(SHA512(?o) AS ?h5) }",
+        ).collect()[0]
+        assert got["h3"] == hashlib.sha384(b"plain").hexdigest()
+        assert got["h5"] == hashlib.sha512(b"plain").hexdigest()
+
+    def test_langdir_family(self, tdata):
+        got = query(
+            tdata,
+            PFX + "SELECT ?s ?ld ?hl ?hld WHERE { ?s :lbl ?o "
+            "BIND(LANGDIR(?o) AS ?ld) BIND(HASLANG(?o) AS ?hl) "
+            "BIND(HASLANGDIR(?o) AS ?hld) }",
+        )
+        by_s = {r["s"].rsplit("/", 1)[-1][:-1]: (r["ld"], r["hl"], r["hld"]) for r in got.collect()}
+        assert by_s["d1"] == ("rtl", True, True)
+        assert by_s["d2"] == ("", True, False)
+        assert by_s["d3"] == ("", False, False)
+
+    def test_strdt_strlang_strlangdir(self, tdata):
+        got = query(
+            tdata,
+            PFX + 'SELECT ?a ?b ?c ?d WHERE { :d3 :lbl ?o '
+            'BIND(STRDT("5", <http://www.w3.org/2001/XMLSchema#integer>) AS ?a) '
+            'BIND(STRLANG(?o, "EN") AS ?b) '
+            'BIND(STRLANGDIR(?o, "ar", "rtl") AS ?c) '
+            'BIND(STRLANGDIR(?o, "ar", "sideways") AS ?d) }',
+        ).collect()[0]
+        assert got["a"] == '"5"^^<http://www.w3.org/2001/XMLSchema#integer>'
+        assert got["b"] == '"plain"@en'
+        assert got["c"] == '"plain"@ar--rtl'
+        assert got["d"] is None
+
+    def test_triple_term_roundtrip(self, tdata):
+        got = query(
+            tdata,
+            PFX + "SELECT ?s ?o ?ss ?pp ?oo ?ist WHERE { ?s :lbl ?o "
+            "BIND(TRIPLE(?s, :lbl, ?o) AS ?t) "
+            "BIND(SUBJECT(?t) AS ?ss) BIND(PREDICATE(?t) AS ?pp) "
+            "BIND(OBJECT(?t) AS ?oo) BIND(ISTRIPLE(?t) AS ?ist) }",
+        )
+        for r in got.collect():
+            assert r["ss"] == r["s"]
+            assert r["pp"] == "<http://example.org/ns/lbl>"
+            assert r["oo"] == r["o"]
+            assert r["ist"] is True
+
+    def test_nested_triple_term_accessors(self, spark):
+        from sophia_rs_spark.functions.triple_terms import split_triple_term
+
+        inner = '<<( <x:s> <x:p> "lit with )>> inside" )>>'
+        outer = f'<<( {inner} <x:q> "v"@en )>>'
+        assert split_triple_term(outer) == (inner, "<x:q>", '"v"@en')
+        assert split_triple_term(inner) == ("<x:s>", "<x:p>", '"lit with )>> inside"')
+        assert split_triple_term('"not a tt"') is None
+        assert split_triple_term("<<( <x:s> <x:p> )>>") is None
+
+    def test_now_fixed_per_query(self, tdata):
+        got = query(
+            tdata,
+            PFX + "SELECT ?n1 ?n2 WHERE { :d3 :lbl ?o "
+            "BIND(NOW() AS ?n1) BIND(NOW() AS ?n2) }",
+        ).collect()[0]
+        assert got["n1"] == got["n2"]
+        assert got["n1"].endswith('Z"^^<http://www.w3.org/2001/XMLSchema#dateTime>')
+
+    def test_bnode(self, tdata):
+        got = query(
+            tdata,
+            PFX + 'SELECT ?s ?b0 ?b1 WHERE { ?s :lbl ?o '
+            'BIND(BNODE() AS ?b0) BIND(BNODE("k") AS ?b1) }',
+        ).collect()
+        b0s = [r["b0"] for r in got]
+        assert len(set(b0s)) == len(b0s)  # fresh per row
+        assert len({r["b1"] for r in got}) == 1  # same label → same bnode
+        assert all(r["b0"].startswith("_:") and r["b1"].startswith("_:") for r in got)
