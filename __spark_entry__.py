@@ -961,8 +961,15 @@ SELECT doc_id, lang,
 FROM documents
 """.strip()
     qs["doc_minhash"] = _MINHASH_SQL
+    # bucket-size guard mirrors dedup.LSH_MAX_BUCKET (skew cap)
     qs["doc_lsh_pairs"] = f"""
-WITH sig AS ({_MINHASH_SQL})
+WITH sig0 AS ({_MINHASH_SQL}),
+sig AS (
+  SELECT * FROM (
+    SELECT doc_id, band, minhash,
+           count(*) OVER (PARTITION BY band, minhash) AS bn
+    FROM sig0) WHERE bn <= 1000
+)
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM sig a JOIN sig b
   ON a.band = b.band AND a.minhash = b.minhash AND a.doc_id < b.doc_id
@@ -1051,6 +1058,53 @@ sims AS (
   SELECT q.query_id, n.vec_id AS neighbor_id,
          list_dot_product(q.qv, n.v) / (q.qnrm * n.nrm) AS sim
   FROM q, n WHERE q.query_id <> n.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id)
+           AS rank
+  FROM sims)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 5
+""".strip()
+
+    # deterministic hyperplane-signature twin of similarity.lsh_buckets /
+    # bucketed_knn (n_planes=6, dim=64, KNN_MAX_BUCKET guard)
+    qs["emb_knn_bucketed"] = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+hx AS (
+  SELECT plane, d, md5(CAST(plane AS VARCHAR) || ':' || CAST(d AS VARCHAR)) AS h
+  FROM (SELECT unnest(generate_series(0, 5)) AS plane),
+       (SELECT unnest(generate_series(0, 63)) AS d)
+),
+pw AS (
+  SELECT plane, d,
+         (SUM((instr('0123456789abcdef', substr(h, CAST(i AS INT), 1)) - 1)
+              * power(16, 8 - i)) / 4294967296.0) * 2 - 1 AS w
+  FROM hx, (SELECT unnest(generate_series(1, 8)) AS i)
+  GROUP BY plane, d, h
+),
+pv AS (SELECT plane, list(w ORDER BY d) AS pvec FROM pw GROUP BY plane),
+signs AS (
+  SELECT n.vec_id, p.plane,
+         CASE WHEN list_dot_product(n.v, p.pvec) >= 0 THEN 1 ELSE 0 END AS s
+  FROM n, pv p
+),
+bkt AS (
+  SELECT vec_id, SUM(s * (CAST(1 AS BIGINT) << plane)) AS bucket
+  FROM signs GROUP BY vec_id
+),
+eb AS (
+  SELECT n.vec_id, n.v, n.nrm, b.bucket,
+         count(*) OVER (PARTITION BY b.bucket) AS bn
+  FROM n JOIN bkt b USING (vec_id)
+),
+sims AS (
+  SELECT a.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_dot_product(a.v, c.v) / (a.nrm * c.nrm) AS sim
+  FROM eb a JOIN eb c ON a.bucket = c.bucket AND a.vec_id <> c.vec_id
+  WHERE a.bn <= 10000 AND c.bn <= 10000
 ),
 ranked AS (
   SELECT query_id, neighbor_id,

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def exact_fingerprints(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -50,27 +51,81 @@ def word_shingles(docs: DataFrame, k: int = 3, text_col: str = "text", id_col: s
 def minhash_signatures(
     docs: DataFrame, bands: int = 4, k: int = 3,
     text_col: str = "text", id_col: str = "doc_id",
+    rows_per_band: int = 1,
 ) -> DataFrame:
-    """Banded MinHash: per (doc, band) the min md5 over seeded shingles.
-    One row per document per band — the LSH signature table."""
+    """Banded MinHash: per (doc, band) the LSH signature over seeded
+    shingles — one row per document per band.
+
+    ``rows_per_band`` (r) controls the LSH s-curve: a bucket key is the
+    concatenation of r independent min-hashes, so the collision
+    probability is s^r per band (r=1, the default, keeps the round-1
+    oracle encoding byte-identical; r≥2 sharpens the curve against
+    low-similarity false candidates at scale)."""
     sh = word_shingles(docs, k, text_col, id_col)
     spark = docs.sparkSession
-    band_df = spark.range(bands).select(F.col("id").cast("int").alias("band"))
-    seeded = sh.crossJoin(F.broadcast(band_df))
-    return seeded.groupBy(id_col, "band").agg(
+    r = rows_per_band
+    seed_df = spark.range(bands * r).select(
+        (F.col("id") / r).cast("int").alias("band"),
+        (F.col("id") % r).cast("int").alias("row"),
+        F.col("id").cast("int").alias("seed"),  # == band when r = 1
+    )
+    seeded = sh.crossJoin(F.broadcast(seed_df))
+    mins = seeded.groupBy(id_col, "band", "row").agg(
         F.min(
             F.md5(
                 F.concat(
-                    F.col("band").cast("string"), F.lit(":"), F.col("shingle")
+                    F.col("seed").cast("string"), F.lit(":"), F.col("shingle")
                 ).cast("binary")
             )
-        ).alias("minhash")
+        ).alias("mh")
+    )
+    return (
+        mins.groupBy(id_col, "band")
+        .agg(F.array_sort(F.collect_list(F.struct("row", "mh"))).alias("arr"))
+        .select(
+            id_col,
+            "band",
+            F.concat_ws("|", F.transform("arr", lambda s: s["mh"])).alias("minhash"),
+        )
     )
 
 
-def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Near-duplicate candidates: pairs sharing any (band, minhash) bucket."""
-    a, b = signatures.alias("a"), signatures.alias("b")
+#: buckets above this size are excluded from the self-join: one hot
+#: bucket (boilerplate docs sharing a min-shingle) would otherwise go
+#: O(n²).  NOT a silent cap — use :func:`lsh_oversized_buckets` to
+#: log/quarantine the dropped bucket ids (plans/pipeline.py does).
+LSH_MAX_BUCKET = 1000
+
+
+def _bucket_sized(signatures: DataFrame, keys: list) -> DataFrame:
+    w = Window.partitionBy(*keys)
+    return signatures.withColumn("_bn", F.count(F.lit(1)).over(w))
+
+
+def lsh_oversized_buckets(
+    signatures: DataFrame, max_bucket: int = LSH_MAX_BUCKET
+) -> DataFrame:
+    """The (band, minhash, n) buckets the guarded self-join skips."""
+    return (
+        signatures.groupBy("band", "minhash")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > max_bucket)
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    max_bucket: int = LSH_MAX_BUCKET,
+) -> DataFrame:
+    """Near-duplicate candidates: pairs sharing any (band, minhash)
+    bucket, skipping buckets larger than ``max_bucket`` (skew guard —
+    the window count shuffles on the same keys as the join itself, so
+    the guard adds no extra shuffle of the signature table)."""
+    sized = _bucket_sized(signatures, ["band", "minhash"]).filter(
+        F.col("_bn") <= max_bucket
+    )
+    a, b = sized.alias("a"), sized.alias("b")
     return (
         a.join(
             b,
@@ -124,42 +179,37 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     no bigint/hex dialect differences vs the SQL oracle).
 
     bit b of a token = bit (b mod 4) of hex nibble (b div 4) of md5.
-    """
+
+    Single aggregation pass: the 60 per-bit vote counters are 60 SUM
+    expressions over the token rows — Spark computes them map-side
+    (partial aggregation), so the shuffle carries ONE row of counters
+    per (doc × input partition) instead of the previous 60-fold
+    per-token row explode (the round-1 scale finding)."""
     toks = docs.select(
         id_col, F.explode(F.split(F.col(text_col), " ")).alias("tok")
     ).filter(F.col("tok") != "")
     h = toks.select(id_col, F.md5(F.col("tok").cast("binary")).alias("hx"))
-    bits = (
-        h.select(id_col, "hx", F.explode(F.sequence(F.lit(0), F.lit(59))).alias("b"))
-        .withColumn(
-            "nib",
-            F.expr("instr('0123456789abcdef', substring(hx, cast(b / 4 as int) + 1, 1)) - 1"),
-        )
-        .withColumn(
-            "bit",
-            F.floor(F.col("nib") / F.pow(F.lit(2.0), (F.col("b") % 4).cast("double"))).cast("int")
-            % 2,
-        )
+    # 15 hex nibbles → 60 bits; nibble values extracted once each
+    nibs = h.select(
+        id_col,
+        *[
+            F.expr(f"instr('0123456789abcdef', substring(hx, {i + 1}, 1)) - 1").alias(
+                f"nib{i}"
+            )
+            for i in range(15)
+        ],
     )
-    votes = bits.groupBy(id_col, "b").agg(
-        F.sum("bit").alias("ones"), F.count(F.lit(1)).alias("n")
-    )
-    return (
-        votes.groupBy(id_col)
-        .agg(
-            F.array_sort(
-                F.collect_list(
-                    F.struct(
-                        "b",
-                        F.when(F.col("ones") * 2 >= F.col("n"), F.lit("1"))
-                        .otherwise(F.lit("0"))
-                        .alias("c"),
-                    )
-                )
-            ).alias("arr")
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for b in range(60):
+        nib, mask = F.col(f"nib{b // 4}"), 1 << (b % 4)
+        aggs.append(
+            F.sum(
+                F.when(nib.cast("int").bitwiseAND(F.lit(mask)) > 0, 1).otherwise(0)
+            ).alias(f"ones{b}")
         )
-        .select(
-            id_col,
-            F.concat_ws("", F.transform("arr", lambda s: s["c"])).alias("simhash"),
-        )
-    )
+    votes = nibs.groupBy(id_col).agg(*aggs)
+    chars = [
+        F.when(F.col(f"ones{b}") * 2 >= F.col("n"), F.lit("1")).otherwise(F.lit("0"))
+        for b in range(60)
+    ]
+    return votes.select(id_col, F.concat(*chars).alias("simhash"))

@@ -97,13 +97,15 @@ def _hyperplanes(spark, n_planes: int, dim: int) -> DataFrame:
 
 
 def lsh_buckets(
-    emb: DataFrame, n_planes: int = 8, id_col: str = "vec_id"
+    emb: DataFrame, n_planes: int = 8, id_col: str = "vec_id", dim: int | None = None
 ) -> DataFrame:
     """Random-hyperplane LSH: (vec_id, bucket) where bucket is the sign
     bitmask across planes.  Equi-join on bucket replaces the cross join
-    at scale."""
+    at scale.  Pass ``dim`` to avoid the probe job (the schema does not
+    carry array length)."""
     spark = emb.sparkSession
-    dim = len(emb.select("embedding").first()[0])
+    if dim is None:
+        dim = len(emb.select("embedding").first()[0])
     e = with_norms(emb, id_col=id_col)
     planes = _hyperplanes(spark, n_planes, dim)
     signs = e.crossJoin(F.broadcast(planes)).select(
@@ -118,13 +120,45 @@ def lsh_buckets(
     )
 
 
-def bucketed_knn(
-    emb: DataFrame, k: int = 5, n_planes: int = 6, id_col: str = "vec_id"
+#: same skew guard as dedup.LSH_MAX_BUCKET: a degenerate LSH bucket
+#: (e.g. near-zero vectors all landing on the same sign pattern) would
+#: make the self-join quadratic.  Use :func:`oversized_lsh_buckets` to
+#: log what was skipped — no silent caps.
+KNN_MAX_BUCKET = 10_000
+
+
+def oversized_lsh_buckets(
+    emb: DataFrame,
+    n_planes: int = 6,
+    id_col: str = "vec_id",
+    max_bucket: int = KNN_MAX_BUCKET,
+    dim: int | None = None,
 ) -> DataFrame:
-    """Approximate all-pairs top-k: exact cosine only within LSH buckets."""
+    """(bucket, n) for buckets the guarded kNN self-join skips."""
+    b = lsh_buckets(emb, n_planes, id_col, dim=dim)
+    return (
+        b.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > max_bucket)
+    )
+
+
+def bucketed_knn(
+    emb: DataFrame,
+    k: int = 5,
+    n_planes: int = 6,
+    id_col: str = "vec_id",
+    max_bucket: int = KNN_MAX_BUCKET,
+    dim: int | None = None,
+) -> DataFrame:
+    """Approximate all-pairs top-k: exact cosine only within LSH buckets
+    (buckets above ``max_bucket`` skipped — skew guard; the window count
+    shuffles on the same key as the self-join)."""
     e = with_norms(emb, id_col=id_col)
-    b = lsh_buckets(emb, n_planes, id_col)
-    eb = e.join(b, id_col)
+    b = lsh_buckets(emb, n_planes, id_col, dim=dim)
+    eb = e.join(b, id_col).withColumn(
+        "_bn", F.count(F.lit(1)).over(Window.partitionBy("bucket"))
+    ).filter(F.col("_bn") <= max_bucket)
     a, c = eb.alias("a"), eb.alias("c")
     sims = (
         a.join(
@@ -208,13 +242,20 @@ def ivf_knn(
 
 
 def cosine_near_duplicates(
-    emb: DataFrame, threshold_permille: int = 950, n_planes: int = 4, id_col: str = "vec_id"
+    emb: DataFrame,
+    threshold_permille: int = 950,
+    n_planes: int = 4,
+    id_col: str = "vec_id",
+    max_bucket: int = KNN_MAX_BUCKET,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs above a permille threshold, bucketed
-    by LSH; integer permille output (float-free for oracles)."""
+    by LSH (oversized buckets skipped); integer permille output
+    (float-free for oracles)."""
     e = with_norms(emb, id_col=id_col)
     b = lsh_buckets(emb, n_planes, id_col)
-    eb = e.join(b, id_col)
+    eb = e.join(b, id_col).withColumn(
+        "_bn", F.count(F.lit(1)).over(Window.partitionBy("bucket"))
+    ).filter(F.col("_bn") <= max_bucket)
     a, c = eb.alias("a"), eb.alias("c")
     return (
         a.join(
