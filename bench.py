@@ -46,6 +46,7 @@ def make_spark(cpus: int):
         SparkSession.builder.master(f"local[{cpus}]")
         .appName("sophia-rs-spark-bench")
         .config("spark.sql.shuffle.partitions", str(cpus * 3))  # 3 waves: straggler smoothing (measured +36% at 32 cores)
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")  # fast pandas<->Spark conversion (fixture ingestion)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.driver.memory", "24g")

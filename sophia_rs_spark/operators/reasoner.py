@@ -169,6 +169,32 @@ def _extract_schema_rows(df: DataFrame):
     return [(r[0], r[1], r[2]) for r in rows]
 
 
+# above this many entries a schema relation is applied via broadcast
+# join; below it, a literal map expression (pure whole-stage codegen —
+# saves a broadcast exchange per rule per round, which dominates at
+# vocabulary scale)
+_MAP_EXPR_MAX = 2000
+
+
+def _rel_apply(spark, pairs: set, src: DataFrame, key: str) -> DataFrame:
+    """Apply a (key → value) multi-relation to ``src``: inner-join
+    semantics, result = src columns + exploded ``v`` column."""
+    if len(pairs) <= _MAP_EXPR_MAX:
+        entries: dict = {}
+        for a, b in sorted(pairs):
+            entries.setdefault(a, []).append(b)
+        m = F.map_from_arrays(
+            F.array(*[F.lit(k) for k in entries]),
+            F.array(
+                *[F.array(*[F.lit(x) for x in vs]) for vs in entries.values()]
+            ),
+        )
+        # explode of a NULL array yields no rows — exactly inner-join
+        return src.select(*src.columns, F.explode(m[F.col(key)]).alias("v"))
+    df = spark.createDataFrame(sorted(pairs), f"{key} string, v string")
+    return src.join(F.broadcast(df), key).select(*src.columns, "v")
+
+
 def rdfs_saturate(
     triples: DataFrame, max_iter: int = 15, with_axioms: bool = False
 ) -> DataFrame:
@@ -212,64 +238,55 @@ def rdfs_saturate(
         "rng": set(schema.rng),
         "sc": set(schema.sc),
     }
-    for _ in range(max_iter):
-        bc = F.broadcast
-        sp_df = (
-            spark.createDataFrame(list(schema.sp), "p string, p2 string")
-            if schema.sp
-            else None
-        )
-        dom_df = (
-            spark.createDataFrame(list(schema.dom), "p string, C string")
-            if schema.dom
-            else None
-        )
-        rng_df = (
-            spark.createDataFrame(list(schema.rng), "p string, C string")
-            if schema.rng
-            else None
-        )
-        sc_df = (
-            spark.createDataFrame(list(schema.sc), "C1 string, C2 string")
-            if schema.sc
-            else None
-        )
-
+    schema_changed = False
+    for _round in range(max_iter):
+        # Composed rule pass: rdfs7 feeds rdfs2/3, whose type conclusions
+        # feed rdfs9 -- the whole common cascade lands in ONE delta round
+        # (the closed sp/sc relations make each rule one-shot-complete).
         parts = []
-        # rdfs7: (s p1 o) & (p1 ⊑ p2) → (s p2 o) — sp is closed, one shot
-        if sp_df is not None:
-            parts.append(
-                frontier.join(bc(sp_df), "p").select(
-                    "s", F.col("p2").alias("p"), "o"
-                )
+        r7 = None
+        # rdfs7: (s p1 o) & (p1 subPropertyOf p2) -> (s p2 o)
+        if schema.sp:
+            r7 = _rel_apply(spark, schema.sp, frontier, "p").select(
+                "s", F.col("v").alias("p"), "o"
             )
-        # rdfs2: (s p o) & domain(p)=C → (s type C)
-        if dom_df is not None:
-            parts.append(
-                frontier.join(bc(dom_df), "p").select(
-                    "s", F.lit(T_TYPE).alias("p"), F.col("C").alias("o")
-                )
+            parts.append(r7)
+        base2 = frontier if r7 is None else frontier.unionByName(r7)
+        type_parts = [
+            frontier.filter(F.col("p") == T_TYPE).select("s", F.col("o").alias("C1"))
+        ]
+        # rdfs2: (s p o) & domain(p)=C -> (s rdf:type C)
+        if schema.dom:
+            t = _rel_apply(spark, schema.dom, base2, "p").select(
+                "s", F.lit(T_TYPE).alias("p"), F.col("v").alias("o")
             )
-        # rdfs3: (s p o) & range(p)=C → (o type C); literal objects excluded
-        if rng_df is not None:
-            parts.append(
-                frontier.join(bc(rng_df), "p")
+            parts.append(t)
+            type_parts.append(t.select("s", F.col("o").alias("C1")))
+        # rdfs3: (s p o) & range(p)=C -> (o type C); literal objects excluded
+        if schema.rng:
+            t = (
+                _rel_apply(spark, schema.rng, base2, "p")
                 .filter(~F.col("o").startswith('"'))
                 .select(
                     F.col("o").alias("s"),
                     F.lit(T_TYPE).alias("p"),
-                    F.col("C").alias("o"),
+                    F.col("v").alias("o"),
                 )
             )
-        # rdfs9: (x type C1) & (C1 ⊑ C2) → (x type C2) — sc closed, one shot
-        if sc_df is not None:
+            parts.append(t)
+            type_parts.append(t.select("s", F.col("o").alias("C1")))
+        # rdfs9: (x type C1) & (C1 subClassOf C2) -> (x type C2) over the
+        # frontier types AND the type triples just produced by rdfs2/3
+        if schema.sc:
+            all_types = type_parts[0]
+            for tp in type_parts[1:]:
+                all_types = all_types.unionByName(tp)
             parts.append(
-                frontier.filter(F.col("p") == T_TYPE)
-                .select("s", F.col("o").alias("C1"))
-                .join(bc(sc_df), "C1")
-                .select("s", F.lit(T_TYPE).alias("p"), F.col("C2").alias("o"))
+                _rel_apply(spark, schema.sc, all_types, "C1").select(
+                    "s", F.lit(T_TYPE).alias("p"), F.col("v").alias("o")
+                )
             )
-        # container membership: rdf:_N used as a predicate → typed CMP
+        # container membership: rdf:_N used as a predicate -> typed CMP
         parts.append(
             frontier.filter(F.col("p").rlike(_CONTAINER_PRED_RE))
             .select(F.col("p").alias("s"))
@@ -288,37 +305,37 @@ def rdfs_saturate(
             for k in known[1:]:
                 all_known = all_known.unionByName(k)
             if d_sp:
-                dd = spark.createDataFrame(list(d_sp), "p string, p2 string")
                 parts.append(
-                    all_known.join(bc(dd), "p").select(
-                        "s", F.col("p2").alias("p"), "o"
+                    _rel_apply(spark, d_sp, all_known, "p").select(
+                        "s", F.col("v").alias("p"), "o"
                     )
                 )
             if d_dom:
-                dd = spark.createDataFrame(list(d_dom), "p string, C string")
                 parts.append(
-                    all_known.join(bc(dd), "p").select(
-                        "s", F.lit(T_TYPE).alias("p"), F.col("C").alias("o")
+                    _rel_apply(spark, d_dom, all_known, "p").select(
+                        "s", F.lit(T_TYPE).alias("p"), F.col("v").alias("o")
                     )
                 )
             if d_rng:
-                dd = spark.createDataFrame(list(d_rng), "p string, C string")
                 parts.append(
-                    all_known.join(bc(dd), "p")
+                    _rel_apply(spark, d_rng, all_known, "p")
                     .filter(~F.col("o").startswith('"'))
                     .select(
                         F.col("o").alias("s"),
                         F.lit(T_TYPE).alias("p"),
-                        F.col("C").alias("o"),
+                        F.col("v").alias("o"),
                     )
                 )
             if d_sc:
-                dd = spark.createDataFrame(list(d_sc), "C1 string, C2 string")
                 parts.append(
-                    all_known.filter(F.col("p") == T_TYPE)
-                    .select("s", F.col("o").alias("C1"))
-                    .join(bc(dd), "C1")
-                    .select("s", F.lit(T_TYPE).alias("p"), F.col("C2").alias("o"))
+                    _rel_apply(
+                        spark,
+                        d_sc,
+                        all_known.filter(F.col("p") == T_TYPE).select(
+                            "s", F.col("o").alias("C1")
+                        ),
+                        "C1",
+                    ).select("s", F.lit(T_TYPE).alias("p"), F.col("v").alias("o"))
                 )
             applied = {
                 "sp": set(schema.sp),
@@ -327,17 +344,24 @@ def rdfs_saturate(
                 "sc": set(schema.sc),
             }
         # schema-closure triples (rdfs5/11/12/13 conclusions) are entailed;
-        # idempotent — the anti-join below drops the already-known ones
-        ct = schema.closure_triples()
-        if ct:
-            parts.append(spark.createDataFrame(ct, "s string, p string, o string"))
+        # emitted in round 1 and whenever the schema changed — the
+        # anti-join below drops the already-known ones
+        if _round == 0 or schema_changed:
+            ct = schema.closure_triples()
+            if ct:
+                parts.append(
+                    spark.createDataFrame(ct, "s string, p string, o string")
+                )
 
         new = parts[0]
         for part in parts[1:]:
             new = new.unionByName(part)
         new = new.distinct()
         for k in known:
-            new = new.join(k, ["s", "p", "o"], "left_anti")
+            # shuffle-hash: both sides are already hash-partitioned on
+            # (s,p,o) from their distinct(), so the anti-join needs no
+            # exchange and no sort
+            new = new.join(k.hint("shuffle_hash"), ["s", "p", "o"], "left_anti")
         new = new.localCheckpoint(eager=True)
         if new.isEmpty():
             break
@@ -345,7 +369,8 @@ def rdfs_saturate(
         frontier = new
         # inferred triples may extend the schema (e.g. an inferred
         # (p type CMP) enables rdfs12) — deltas are small, absorb is cheap
-        if schema.absorb(_extract_schema_rows(new)):
+        schema_changed = schema.absorb(_extract_schema_rows(new))
+        if schema_changed:
             schema.close()
 
     out = known[0]
