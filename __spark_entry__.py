@@ -525,6 +525,20 @@ def _q_emb_ivf_knn(spark, sf):
     return ivf_knn(_read(spark, sf, "embeddings"), k=5, n_centroids=8)
 
 
+def _q_mm_features(spark, sf):
+    """Multimodal feature core: REAL PNG payloads (stdlib zlib encode)
+    decoded by the real PNG path (decode_png: chunk CRCs, inflate,
+    scanline unfilter), then a byte-value histogram — the arithmetic
+    pixel pattern makes the oracle pure SQL (multimodal.py
+    synthesize_png_assets)."""
+    from sophia_rs_spark.operators.multimodal import (
+        byte_histogram,
+        synthesize_png_assets,
+    )
+
+    return byte_histogram(synthesize_png_assets(spark, 200), dim=16)
+
+
 def _q_path_plus(spark, sf):
     """Property path `next+` over supplier chain edges (same-nation
     consecutive suppliers) — the ZeroOrMore/OneOrMore BFS fixpoint."""
@@ -658,6 +672,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # SPARQL text front-end
         "sparql_select": _q_sparql_select,
         "sparql_agg": _q_sparql_agg,
+        # multimodal (real PNG decode path)
+        "mm_features": _q_mm_features,
         # property paths + entailment
         "path_plus": _q_path_plus,
         "rdfs_closure": _q_rdfs_closure,
@@ -1123,6 +1139,23 @@ FROM documents WHERE lang = 'en'
     qs["sparql_agg"] = with_triples(
         "SELECT p, count(*) AS cnt FROM triples GROUP BY p"
     )
+
+    # arithmetic twin of the decoded PNG bytes: byte k of asset a is
+    # (a*31 + k*7) % 256 over dims (8+a%8)x(8+a%5)x3
+    qs["mm_features"] = """
+WITH a AS (SELECT unnest(generate_series(0, 199)) AS asset_id),
+dims AS (
+  SELECT asset_id,
+         (8 + asset_id % 8) * (8 + asset_id % 5) * 3 AS L
+  FROM a
+),
+b AS (
+  SELECT asset_id, CAST(((asset_id * 31 + k * 7) % 256) % 16 AS INT) AS bucket
+  FROM dims, UNNEST(generate_series(0, CAST(L - 1 AS BIGINT))) AS g(k)
+)
+SELECT asset_id, bucket, count(*) AS cnt
+FROM b GROUP BY asset_id, bucket
+""".strip()
 
     qs["path_plus"] = f"""
 WITH RECURSIVE e AS (

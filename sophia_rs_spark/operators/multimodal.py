@@ -1,12 +1,13 @@
 """Multimodal columns: image/audio/video as opaque BINARY + typed metadata.
 
-Driver-brief component: the Spark-side plumbing (schema, partitioning,
-Arrow batch shape, UDF signatures) is real and tested; the actual codec
-step is STUBBED deterministically because no image/audio libraries ship
-in this container — real decoders (`PIL`, `soundfile`, …) are detected
-with an import-try and used when present, otherwise payloads in our
-deterministic FAKE container format are decoded by the stub and foreign
-payloads raise ``NotImplementedError`` (quarantined per row).
+Driver-brief component.  Two REAL decode paths ship pure-stdlib (no
+PIL/soundfile needed): PNG (zlib inflate + chunk CRCs + all five
+scanline filters; 8-bit gray/RGB/RGBA non-interlaced) and WAV (RIFF
+PCM).  Exotic variants (16-bit/interlaced/palette PNG, non-PCM WAV) and
+foreign containers raise ``NotImplementedError`` → per-row quarantine,
+the same error-channel contract as the parsers.  The deterministic FAKE
+container remains for plumbing tests of the video path (no pure-python
+video codec is practical).
 
 FAKE container format (deterministic, seedable):
 ``b"FAKE" + kind(3s) + width(u32le) + height(u32le) + channels(u8) + body``
@@ -39,6 +40,160 @@ except ImportError:
 _MAGIC = b"FAKE"
 _HEADER = struct.Struct("<4s3sIIB")
 
+# ---------------------------------------------------------------------------
+# Real codecs (pure stdlib — no PIL/soundfile needed): PNG (8-bit,
+# non-interlaced gray/RGB/RGBA; zlib + all 5 scanline filters) and WAV
+# (RIFF PCM).  These graduate the multimodal component from stubbed to a
+# real decode path; exotic PNG variants (16-bit, interlaced, palette)
+# still raise NotImplementedError → per-row quarantine.
+# ---------------------------------------------------------------------------
+
+import binascii
+import zlib
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # color type → samples/pixel
+_COLOR_OF_CHANNELS = {1: 0, 3: 2, 4: 6}
+
+
+def _png_chunk(tag: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + tag
+        + data
+        + struct.pack(">I", binascii.crc32(tag + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(width: int, height: int, pixels: bytes, channels: int = 3) -> bytes:
+    """Minimal real PNG encoder (filter 0 scanlines, one IDAT)."""
+    if len(pixels) != width * height * channels:
+        raise ValueError("pixel buffer size mismatch")
+    ihdr = struct.pack(
+        ">IIBBBBB", width, height, 8, _COLOR_OF_CHANNELS[channels], 0, 0, 0
+    )
+    stride = width * channels
+    raw = b"".join(
+        b"\x00" + pixels[y * stride : (y + 1) * stride] for y in range(height)
+    )
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw, 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _png_unfilter(raw: bytes, width: int, height: int, channels: int) -> bytes:
+    stride = width * channels
+    out = bytearray()
+    prev = bytearray(stride)
+    pos = 0
+    for _y in range(height):
+        f = raw[pos]
+        pos += 1
+        line = bytearray(raw[pos : pos + stride])
+        pos += stride
+        if f == 0:
+            pass
+        elif f == 1:  # Sub
+            for i in range(channels, stride):
+                line[i] = (line[i] + line[i - channels]) & 0xFF
+        elif f == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif f == 3:  # Average
+            for i in range(stride):
+                a = line[i - channels] if i >= channels else 0
+                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - channels] if i >= channels else 0
+                b = prev[i]
+                c = prev[i - channels] if i >= channels else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[i] = (line[i] + pred) & 0xFF
+        else:
+            raise NotImplementedError(f"PNG filter type {f}")
+        out += line
+        prev = line
+    return bytes(out)
+
+
+def decode_png(data: bytes) -> Tuple[int, int, int, bytes]:
+    """→ (width, height, channels, raw pixel bytes)."""
+    if bytes(data[:8]) != _PNG_SIG:
+        raise NotImplementedError("not a PNG")
+    pos = 8
+    width = height = channels = None
+    idat = bytearray()
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = bytes(data[pos + 4 : pos + 8])
+        chunk = bytes(data[pos + 8 : pos + 8 + length])
+        crc = struct.unpack(">I", data[pos + 8 + length : pos + 12 + length])[0]
+        if binascii.crc32(tag + chunk) & 0xFFFFFFFF != crc:
+            raise NotImplementedError("PNG chunk CRC mismatch")
+        if tag == b"IHDR":
+            width, height, depth, color, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", chunk
+            )
+            if depth != 8 or interlace != 0 or color not in _PNG_CHANNELS:
+                raise NotImplementedError(
+                    f"PNG variant unsupported (depth={depth}, color={color}, "
+                    f"interlace={interlace})"
+                )
+            channels = _PNG_CHANNELS[color]
+        elif tag == b"IDAT":
+            idat += chunk
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if width is None or not idat:
+        raise NotImplementedError("PNG missing IHDR/IDAT")
+    raw = zlib.decompress(bytes(idat))
+    return width, height, channels, _png_unfilter(raw, width, height, channels)
+
+
+def encode_wav(
+    pcm: bytes, sample_rate: int = 16000, channels: int = 1, bits: int = 16
+) -> bytes:
+    """Minimal real RIFF/WAVE PCM encoder."""
+    block = channels * bits // 8
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, sample_rate, sample_rate * block, block, bits
+    )
+    body = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(pcm)) + pcm
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+def decode_wav(data: bytes) -> Tuple[int, int, int, bytes]:
+    """→ (n_frames, sample_rate, channels, pcm bytes)."""
+    if bytes(data[:4]) != b"RIFF" or bytes(data[8:12]) != b"WAVE":
+        raise NotImplementedError("not a WAV")
+    pos = 12
+    rate = channels = block = None
+    pcm = None
+    while pos + 8 <= len(data):
+        tag = bytes(data[pos : pos + 4])
+        (length,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        chunk = bytes(data[pos + 8 : pos + 8 + length])
+        if tag == b"fmt ":
+            audio_fmt, channels, rate, _br, block, _bits = struct.unpack(
+                "<HHIIHH", chunk[:16]
+            )
+            if audio_fmt != 1:
+                raise NotImplementedError(f"WAV codec {audio_fmt} (non-PCM)")
+        elif tag == b"data":
+            pcm = chunk
+        pos += 8 + length + (length & 1)
+    if rate is None or pcm is None:
+        raise NotImplementedError("WAV missing fmt/data chunk")
+    return len(pcm) // block, rate, channels, pcm
+
 
 def encode_fake_asset(asset_id: int, kind: str, width: int, height: int, channels: int = 3) -> bytes:
     """Deterministic fake binary payload (body = xxh64 keystream)."""
@@ -54,16 +209,25 @@ def encode_fake_asset(asset_id: int, kind: str, width: int, height: int, channel
 
 
 def decode_asset(payload: bytes) -> Tuple[str, int, int, int, bytes]:
-    """(kind, width, height, channels, body) — stub decoder for the FAKE
-    format; real formats require a codec library (NotImplementedError
-    when absent)."""
-    if bytes(payload[:4]) == _MAGIC:
+    """(kind, width, height, channels, body) — format dispatch:
+
+    - PNG → real decode (stdlib zlib + scanline unfilter), body = pixels
+    - WAV → real decode (RIFF PCM), (width, height) = (frames, rate)
+    - FAKE container → deterministic stub (test plumbing)
+    - anything else → NotImplementedError (per-row quarantine)
+    """
+    head = bytes(payload[:12])
+    if head[:8] == _PNG_SIG:
+        w, h, c, pixels = decode_png(bytes(payload))
+        return "img", w, h, c, pixels
+    if head[:4] == b"RIFF" and head[8:12] == b"WAVE":
+        frames, rate, ch, pcm = decode_wav(bytes(payload))
+        return "aud", frames, rate, ch, pcm
+    if head[:4] == _MAGIC:
         magic, kind, w, h, c = _HEADER.unpack(bytes(payload[: _HEADER.size]))
         return kind.decode().strip(), w, h, c, bytes(payload[_HEADER.size :])
-    if _HAVE_PIL:
-        raise NotImplementedError("real codec path not wired in this round")
     raise NotImplementedError(
-        "no codec library available for non-FAKE payloads in this container"
+        "unsupported container (PNG/WAV/FAKE decodable; others quarantined)"
     )
 
 
@@ -90,6 +254,62 @@ def synthesize_assets(spark: SparkSession, n: int, partitions: int = 8) -> DataF
             )
 
     return ids.mapInPandas(gen, schema=ASSET_SCHEMA)
+
+
+def synthesize_png_assets(
+    spark: SparkSession, n: int, partitions: int = 8
+) -> DataFrame:
+    """REAL PNG payloads with an arithmetic pixel pattern — byte k of
+    asset a is ``(a*31 + k*7) % 256``, dims ``(8 + a%8) × (8 + a%5)`` ×3
+    channels — so a pure-SQL oracle can recompute the decoded bytes
+    without a PNG decoder while Spark exercises the real zlib+unfilter
+    path end-to-end."""
+    ids = spark.range(n).repartition(partitions)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                a = int(i)
+                w, h, c = 8 + a % 8, 8 + a % 5, 3
+                pixels = bytes(((a * 31 + k * 7) % 256) for k in range(w * h * c))
+                payload = encode_png(w, h, pixels, c)
+                rows.append((a, "img", payload, w, h, c, len(payload)))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "asset_id", "kind", "payload", "width", "height",
+                    "channels", "n_bytes",
+                ],
+            )
+
+    return ids.mapInPandas(gen, schema=ASSET_SCHEMA)
+
+
+def byte_histogram(assets: DataFrame, dim: int = 16) -> DataFrame:
+    """(asset_id, bucket, cnt): integer byte-value histogram of the
+    DECODED body — the oracle-checkable core of extract_features
+    (which normalizes this to floats)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                try:
+                    _, _, _, _, body = decode_asset(payload)
+                except NotImplementedError:
+                    continue  # quarantine path covered by decode_assets
+                counts = [0] * dim
+                for b in body:
+                    counts[b % dim] += 1
+                for bucket, cnt in enumerate(counts):
+                    if cnt:
+                        rows.append((int(aid), bucket, cnt))
+            yield pd.DataFrame(rows, columns=["asset_id", "bucket", "cnt"])
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        run, schema="asset_id bigint, bucket int, cnt bigint"
+    )
 
 
 DECODED_SCHEMA = (

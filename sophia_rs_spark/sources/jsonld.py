@@ -45,12 +45,62 @@ STATIC_CONTEXTS: Dict[str, Dict[str, Any]] = {
 
 _KEYWORDS = {
     "@context", "@id", "@type", "@value", "@language", "@direction",
-    "@list", "@graph", "@vocab", "@base",
+    "@list", "@graph", "@vocab", "@base", "@version",
 }
+
+RDF_JSON = f"{RDF}JSON"
+I18N_NS = "https://www.w3.org/ns/i18n#"
+
+# JSON-LD 1.1 features rejected under processing mode json-ld-1.0
+# (options.rs:106-124 processing_mode; json-ld-api §4.4)
+_V11_KEYWORDS = {"@json", "@direction", "@nest", "@included", "@version"}
 
 
 class JsonLdError(ValueError):
     pass
+
+
+def _jcs_number(v) -> str:
+    """RFC 8785 (JCS) number serialization — the ES6 Number::toString
+    subset we can hit from Python floats/ints."""
+    if isinstance(v, int):
+        return str(v)
+    if v != v or v in (float("inf"), float("-inf")):
+        raise JsonLdError("@json literal cannot contain NaN/Infinity")
+    if v == int(v) and abs(v) < 1e21:
+        return str(int(v))
+    r = repr(v)  # shortest round-trip, like ES6
+    if "e" in r:
+        mant, _, exp = r.partition("e")
+        exp_i = int(exp)
+        if mant.endswith(".0"):
+            mant = mant[:-2]
+        return f"{mant}e{'+' if exp_i >= 0 else ''}{exp_i}"
+    return r
+
+
+def _jcs(value) -> str:
+    """JSON Canonicalization Scheme (RFC 8785): sorted keys, no
+    whitespace, ES6 numbers — the rdf:JSON lexical form (json-ld-api
+    §8.7 toRdf uses JCS for @json literals)."""
+    if value is None:
+        return "null"
+    if isinstance(value, bool):
+        return "true" if value else "false"
+    if isinstance(value, (int, float)):
+        return _jcs_number(value)
+    if isinstance(value, str):
+        return json.dumps(value, ensure_ascii=False)
+    if isinstance(value, list):
+        return "[" + ",".join(_jcs(v) for v in value) + "]"
+    if isinstance(value, dict):
+        items = sorted(value.items(), key=lambda kv: kv[0])
+        return (
+            "{"
+            + ",".join(f"{json.dumps(k, ensure_ascii=False)}:{_jcs(v)}" for k, v in items)
+            + "}"
+        )
+    raise JsonLdError(f"unserializable @json value {type(value)}")
 
 
 def _canon_double(v: float) -> str:
@@ -73,20 +123,41 @@ class _Ctx:
         self.vocab: Optional[str] = None
         self.base = base
         self.language: Optional[str] = None
+        self.direction: Optional[str] = None
 
     def clone(self) -> "_Ctx":
         c = _Ctx(self.base)
         c.terms = dict(self.terms)
         c.vocab = self.vocab
         c.language = self.language
+        c.direction = self.direction
         return c
 
 
 class _JsonLdToRdf:
-    def __init__(self, url: str):
+    def __init__(
+        self,
+        url: str,
+        rdf_direction: Optional[str] = None,
+        processing_mode: str = "json-ld-1.1",
+    ):
+        """``rdf_direction`` mirrors `jsonld/src/options.rs:125,352-365`:
+        None (default) emits RDF 1.2 initial-text-direction literals
+        (``"lex"@tag--dir`` — sophia's native representation);
+        'i18n-datatype' emits ``"lex"^^<https://www.w3.org/ns/i18n#lang_dir>``;
+        'compound-literal' emits a bnode with rdf:value/language/direction.
+        ``processing_mode='json-ld-1.0'`` rejects 1.1-only keywords."""
         self.url = url
         self.counter = 0
         self.triples: List[Tuple[str, str, str, Optional[str]]] = []
+        if rdf_direction not in (None, "i18n-datatype", "compound-literal"):
+            raise JsonLdError(f"invalid rdfDirection {rdf_direction!r}")
+        self.rdf_direction = rdf_direction
+        self.mode_10 = processing_mode == "json-ld-1.0"
+
+    def _check_11(self, kw: str):
+        if self.mode_10 and kw in _V11_KEYWORDS:
+            raise JsonLdError(f"{kw} requires JSON-LD 1.1 (processing mode is 1.0)")
 
     def _fresh_bnode(self) -> str:
         self.counter += 1
@@ -124,6 +195,16 @@ class _JsonLdToRdf:
                     )
                 elif k == "@language":
                     out.language = v
+                elif k == "@direction":
+                    self._check_11("@direction")
+                    if v not in (None, "ltr", "rtl"):
+                        raise JsonLdError(f"invalid @direction {v!r}")
+                    out.direction = v
+                elif k == "@version":
+                    if v == 1.1 and self.mode_10:
+                        raise JsonLdError(
+                            "@version 1.1 in context under processing mode 1.0"
+                        )
                 else:
                     out.terms[k] = v
         return out
@@ -155,17 +236,39 @@ class _JsonLdToRdf:
     # -- values -------------------------------------------------------------
 
     def _literal(self, lex: str, dt: Optional[str] = None, lang: Optional[str] = None,
-                 dir_: Optional[str] = None) -> str:
+                 dir_: Optional[str] = None, graph: Optional[str] = None) -> str:
+        if dir_ is not None:
+            return self._dir_literal(lex, lang, dir_, graph)
         if lang is not None:
-            tag = lang.lower()
-            if dir_ is not None:
-                return f'"{escape_literal(lex)}"@{tag}--{dir_}'
-            return f'"{escape_literal(lex)}"@{tag}'
+            return f'"{escape_literal(lex)}"@{lang.lower()}'
         if dt is None or dt == f"{XSD}string":
             return f'"{escape_literal(lex)}"'
         return f'"{escape_literal(lex)}"^^<{dt}>'
 
-    def _scalar_to_term(self, ctx: _Ctx, v: Any, tdef: Dict[str, Any]) -> str:
+    def _dir_literal(
+        self, lex: str, lang: Optional[str], dir_: str, graph: Optional[str]
+    ) -> str:
+        """Directional literal per the rdfDirection option
+        (json-ld-api §8.7 steps 10-12; options.rs:352-365)."""
+        tag = (lang or "").lower()
+        if self.rdf_direction is None:
+            # RDF 1.2 initial-text-direction literal (sophia-native)
+            if not tag:
+                return f'"{escape_literal(lex)}"'
+            return f'"{escape_literal(lex)}"@{tag}--{dir_}'
+        if self.rdf_direction == "i18n-datatype":
+            return f'"{escape_literal(lex)}"^^<{I18N_NS}{tag}_{dir_}>'
+        # compound-literal: fresh bnode carrying value/language/direction
+        node = self._fresh_bnode()
+        self.triples.append((node, f"<{RDF}value>", f'"{escape_literal(lex)}"', graph))
+        if tag:
+            self.triples.append((node, f"<{RDF}language>", f'"{tag}"', graph))
+        self.triples.append((node, f"<{RDF}direction>", f'"{dir_}"', graph))
+        return node
+
+    def _scalar_to_term(
+        self, ctx: _Ctx, v: Any, tdef: Dict[str, Any], graph: Optional[str] = None
+    ) -> str:
         t_type = tdef.get("@type")
         if isinstance(v, bool):
             return self._literal("true" if v else "false", f"{XSD}boolean")
@@ -187,13 +290,21 @@ class _JsonLdToRdf:
             dt = self._expand_iri(ctx, t_type, vocab=True)
             return self._literal(v, dt)
         lang = tdef.get("@language", ctx.language)
-        return self._literal(v, lang=lang)
+        dir_ = tdef.get("@direction", ctx.direction) if lang is not None else None
+        return self._literal(v, lang=lang, dir_=dir_, graph=graph)
 
-    def _value_object(self, ctx: _Ctx, v: Dict[str, Any]) -> str:
+    def _value_object(
+        self, ctx: _Ctx, v: Dict[str, Any], graph: Optional[str] = None
+    ) -> str:
         val = v["@value"]
         lang = v.get("@language")
         dir_ = v.get("@direction")
+        if dir_ is not None:
+            self._check_11("@direction")
         if "@type" in v:
+            if v["@type"] == "@json":
+                self._check_11("@json")
+                return self._literal(_jcs(val), RDF_JSON)
             dt = self._expand_iri(ctx, v["@type"], vocab=True)
             if isinstance(val, bool):
                 val = "true" if val else "false"
@@ -206,7 +317,9 @@ class _JsonLdToRdf:
             if val.is_integer() and abs(val) < 1e21:
                 return self._literal(str(int(val)), f"{XSD}integer")
             return self._literal(_canon_double(val), f"{XSD}double")
-        return self._literal(str(val), lang=lang, dir_=dir_)
+        if dir_ is None and lang is not None:
+            dir_ = ctx.direction  # context default direction
+        return self._literal(str(val), lang=lang, dir_=dir_, graph=graph)
 
     # -- nodes --------------------------------------------------------------
 
@@ -223,7 +336,7 @@ class _JsonLdToRdf:
         if "@context" in node:
             ctx = self._apply_context(ctx, node["@context"])
         if "@value" in node:
-            return self._value_object(ctx, node)
+            return self._value_object(ctx, node, graph)
         if "@list" in node:
             return self._process_list(ctx, node["@list"], graph)
         subject = self._node_id(ctx, node)
@@ -250,6 +363,7 @@ class _JsonLdToRdf:
             if key == "@nest" or (
                 isinstance(ctx.terms.get(key), str) and ctx.terms[key] == "@nest"
             ):
+                self._check_11("@nest")
                 # @nest: nested object's properties belong to THIS subject
                 for nested in value if isinstance(value, list) else [value]:
                     if isinstance(nested, dict):
@@ -271,6 +385,7 @@ class _JsonLdToRdf:
                 return
             if key == "@included":
                 # @included: sibling node objects (JSON-LD 1.1)
+                self._check_11("@included")
                 for inc in value if isinstance(value, list) else [value]:
                     if isinstance(inc, dict):
                         self.process_node(ctx, inc, graph)
@@ -307,15 +422,20 @@ class _JsonLdToRdf:
 
     def _value_to_term(self, ctx: _Ctx, v: Any, tdef: Dict[str, Any],
                        graph: Optional[str]) -> Optional[str]:
-        if v is None:
+        if v is None and tdef.get("@type") != "@json":
             return None
+        if tdef.get("@type") == "@json":
+            # @json-typed term: the WHOLE value (object/array/scalar/null)
+            # becomes one rdf:JSON literal (json-ld-api §8.7 step 8)
+            self._check_11("@json")
+            return self._literal(_jcs(v), RDF_JSON)
         if isinstance(v, dict):
             if "@value" in v:
-                return self._value_object(ctx, v)
+                return self._value_object(ctx, v, graph)
             if "@list" in v:
                 return self._process_list(ctx, v["@list"], graph, tdef)
             return self.process_node(ctx, v, graph)
-        return self._scalar_to_term(ctx, v, tdef)
+        return self._scalar_to_term(ctx, v, tdef, graph)
 
     def _process_list(self, ctx: _Ctx, items: List[Any], graph: Optional[str],
                       tdef: Optional[Dict[str, Any]] = None) -> str:
@@ -351,14 +471,18 @@ class _JsonLdToRdf:
 
 
 def parse_jsonld_document(
-    url: str, text: str
+    url: str,
+    text: str,
+    *,
+    rdf_direction: Optional[str] = None,
+    processing_mode: str = "json-ld-1.1",
 ) -> List[Tuple[int, Optional[str], Optional[str], Optional[str], Optional[str], Optional[str]]]:
     """Parse one JSON-LD document → rows (line, s, p, o, g, error)."""
     try:
         doc = json.loads(text)
     except json.JSONDecodeError as e:
         return [(e.lineno, None, None, None, None, f"L{e.lineno}: invalid JSON: {e.msg}")]
-    proc = _JsonLdToRdf(url)
+    proc = _JsonLdToRdf(url, rdf_direction=rdf_direction, processing_mode=processing_mode)
     try:
         proc.run(doc)
     except JsonLdError as e:

@@ -334,3 +334,102 @@ def test_type_id_coercion_bnode_scoped(spark):
     b = [r for r in parse_jsonld_document("http://b.example/", doc) if r[5] is None]
     assert a[0][3].startswith("_:") and b[0][3].startswith("_:")
     assert a[0][3] != b[0][3]
+
+
+class TestJsonLiteralsAndDirection:
+    """Round-2 option surface: @json literals (RFC 8785 JCS lexical
+    forms, rdf:JSON datatype), rdfDirection modes, processing mode 1.0
+    (jsonld/src/options.rs:125,352-365)."""
+
+    RDFNS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+
+    def _one(self, doc, **kw):
+        from sophia_rs_spark.sources.jsonld import parse_jsonld_document
+
+        rows = parse_jsonld_document("http://d.example/", doc, **kw)
+        errs = [r[5] for r in rows if r[5]]
+        assert errs == [], errs
+        return [(r[1], r[2], r[3]) for r in rows]
+
+    def test_json_literal_value_object(self):
+        doc = ('{"@context":{"@vocab":"http://x/"},"@id":"http://x/s",'
+               '"p":{"@value":{"b":2,"a":[1,true,null]},"@type":"@json"}}')
+        (s, p, o), = self._one(doc)
+        assert o == f'"{{\\"a\\":[1,true,null],\\"b\\":2}}"^^<{self.RDFNS}JSON>'
+
+    def test_json_literal_term_scoped(self):
+        doc = ('{"@context":{"@vocab":"http://x/","p":{"@type":"@json"}},'
+               '"@id":"http://x/s","p":{"config":{"z":1.5,"y":"t\\"xt"}}}')
+        (s, p, o), = self._one(doc)
+        assert o.endswith(f'"^^<{self.RDFNS}JSON>')
+        assert '{\\"config\\":{\\"y\\":\\"t\\\\\\"xt\\",\\"z\\":1.5}}' in o
+
+    def test_json_literal_null_and_array(self):
+        doc = ('{"@context":{"@vocab":"http://x/","p":{"@type":"@json"}},'
+               '"@id":"http://x/s","p":null}')
+        (s, p, o), = self._one(doc)
+        assert o == f'"null"^^<{self.RDFNS}JSON>'
+
+    def test_rdf_direction_default_rdf12(self):
+        doc = ('{"@context":{"@vocab":"http://x/"},"@id":"http://x/s",'
+               '"p":{"@value":"x","@language":"AR","@direction":"rtl"}}')
+        (s, p, o), = self._one(doc)
+        assert o == '"x"@ar--rtl'
+
+    def test_rdf_direction_i18n(self):
+        doc = ('{"@context":{"@vocab":"http://x/"},"@id":"http://x/s",'
+               '"p":{"@value":"x","@language":"AR","@direction":"rtl"}}')
+        (s, p, o), = self._one(doc, rdf_direction="i18n-datatype")
+        assert o == '"x"^^<https://www.w3.org/ns/i18n#ar_rtl>'
+
+    def test_rdf_direction_compound(self):
+        doc = ('{"@context":{"@vocab":"http://x/"},"@id":"http://x/s",'
+               '"p":{"@value":"x","@language":"ar","@direction":"rtl"}}')
+        trips = self._one(doc, rdf_direction="compound-literal")
+        by_p = {}
+        node = None
+        for s, p, o in trips:
+            if p == "<http://x/p>":
+                node = o
+            by_p[p] = o
+        assert node and node.startswith("_:")
+        assert by_p[f"<{self.RDFNS}value>"] == '"x"'
+        assert by_p[f"<{self.RDFNS}language>"] == '"ar"'
+        assert by_p[f"<{self.RDFNS}direction>"] == '"rtl"'
+
+    def test_context_default_direction(self):
+        doc = ('{"@context":{"@vocab":"http://x/","@language":"he",'
+               '"@direction":"rtl"},"@id":"http://x/s","p":"shalom"}')
+        (s, p, o), = self._one(doc)
+        assert o == '"shalom"@he--rtl'
+
+    def test_processing_mode_10_rejects_11_features(self):
+        from sophia_rs_spark.sources.jsonld import parse_jsonld_document
+
+        for doc in (
+            '{"@context":{"@vocab":"http://x/"},"@id":"http://x/s",'
+            '"p":{"@value":{"a":1},"@type":"@json"}}',
+            '{"@context":{"@vocab":"http://x/","@direction":"rtl"},'
+            '"@id":"http://x/s","p":"x"}',
+            '{"@context":{"@vocab":"http://x/","@version":1.1},'
+            '"@id":"http://x/s","p":"x"}',
+        ):
+            rows = parse_jsonld_document(
+                "http://d.example/", doc, processing_mode="json-ld-1.0"
+            )
+            assert any(r[5] for r in rows), doc
+        # but 1.1 (default) accepts all three
+        for doc in (
+            '{"@context":{"@vocab":"http://x/","@version":1.1},'
+            '"@id":"http://x/s","p":"x"}',
+        ):
+            rows = parse_jsonld_document("http://d.example/", doc)
+            assert not any(r[5] for r in rows)
+
+    def test_jcs_numbers(self):
+        from sophia_rs_spark.sources.jsonld import _jcs
+
+        assert _jcs({"n": 1.0}) == '{"n":1}'
+        assert _jcs([10, 1.5, 0.5]) == "[10,1.5,0.5]"
+        assert _jcs(1e25) == "1e+25"
+        assert _jcs({"k": True, "a": None}) == '{"a":null,"k":true}'
