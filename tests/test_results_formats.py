@@ -1,0 +1,101 @@
+"""SPARQL results formats (JSON/XML/CSV/TSV) — results.rs:16-147 parity."""
+
+import json
+import xml.etree.ElementTree as ET
+
+import pytest
+
+from sophia_rs_spark.sparql import query
+from sophia_rs_spark.sparql.results import (
+    bindings_to_csv,
+    bindings_to_json,
+    bindings_to_tsv,
+    bindings_to_xml,
+    boolean_to_json,
+    boolean_to_xml,
+    term_to_json,
+    to_json_str,
+)
+
+PFX = "PREFIX : <http://example.org/ns/>\n"
+
+
+@pytest.fixture(scope="module")
+def data(spark):
+    NS = "http://example.org/ns/"
+    rows = [
+        (f"<{NS}a>", f"<{NS}name>", '"Ann"', None),
+        (f"<{NS}a>", f"<{NS}note>", '"x,y\\n"@en--rtl', None),
+        (f"<{NS}a>", f"<{NS}age>", '"42"^^<http://www.w3.org/2001/XMLSchema#integer>', None),
+        ("_:b1", f"<{NS}name>", '"Anon"', None),
+    ]
+    return spark.createDataFrame(rows, "s string, p string, o string, g string")
+
+
+class TestTermToJson:
+    def test_kinds(self):
+        assert term_to_json("<http://x/>") == {"type": "uri", "value": "http://x/"}
+        assert term_to_json("_:b7") == {"type": "bnode", "value": "b7"}
+        assert term_to_json('"hi"') == {"type": "literal", "value": "hi"}
+        assert term_to_json('"hi"@en') == {
+            "type": "literal", "value": "hi", "xml:lang": "en"}
+        assert term_to_json('"hi"@ar--rtl') == {
+            "type": "literal", "value": "hi", "xml:lang": "ar", "its:dir": "rtl"}
+        assert term_to_json('"5"^^<http://www.w3.org/2001/XMLSchema#integer>') == {
+            "type": "literal", "value": "5",
+            "datatype": "http://www.w3.org/2001/XMLSchema#integer"}
+        assert term_to_json(None) is None
+
+    def test_escaped_lexical_decoded(self):
+        assert term_to_json('"a\\nb"')["value"] == "a\nb"
+        assert term_to_json('"q\\"x"')["value"] == 'q"x'
+
+    def test_triple_term(self):
+        t = term_to_json('<<( <x:s> <x:p> "v"@en )>>')
+        assert t["type"] == "triple"
+        assert t["value"]["subject"] == {"type": "uri", "value": "x:s"}
+        assert t["value"]["object"] == {
+            "type": "literal", "value": "v", "xml:lang": "en"}
+
+    def test_plain_values(self):
+        assert term_to_json(5) == {
+            "type": "literal", "value": "5",
+            "datatype": "http://www.w3.org/2001/XMLSchema#integer"}
+        assert term_to_json(True)["value"] == "true"
+
+
+class TestDocuments:
+    def test_select_json(self, spark, data):
+        got = query(data, PFX + "SELECT ?s ?n WHERE { ?s :name ?n }")
+        doc = bindings_to_json(got)
+        assert doc["head"]["vars"] == ["s", "n"]
+        assert len(doc["results"]["bindings"]) == 2
+        types = {b["s"]["type"] for b in doc["results"]["bindings"]}
+        assert types == {"uri", "bnode"}
+        json.loads(to_json_str(doc))  # valid JSON
+
+    def test_ask_json_and_xml(self, spark, data):
+        assert boolean_to_json(True) == {"head": {}, "boolean": True}
+        assert "<boolean>false</boolean>" in boolean_to_xml(False)
+
+    def test_select_xml_parses(self, spark, data):
+        got = query(data, PFX + "SELECT ?s ?o WHERE { ?s :note ?o }")
+        xml = bindings_to_xml(got)
+        root = ET.fromstring(xml)
+        ns = "{http://www.w3.org/2005/sparql-results#}"
+        lits = root.findall(f".//{ns}literal")
+        assert len(lits) == 1
+        assert lits[0].text == "x,y\n"
+        assert lits[0].get("{http://www.w3.org/XML/1998/namespace}lang") == "en"
+
+    def test_csv_quoting(self, spark, data):
+        got = query(data, PFX + "SELECT ?o WHERE { ?s :note ?o }")
+        csv = bindings_to_csv(got)
+        assert csv.startswith("o\r\n")
+        assert '"x,y\n"' in csv
+
+    def test_tsv_keeps_encoding(self, spark, data):
+        got = query(data, PFX + "SELECT ?o WHERE { ?s :age ?o }")
+        tsv = bindings_to_tsv(got)
+        assert tsv.splitlines()[0] == "?o"
+        assert '"42"^^<http://www.w3.org/2001/XMLSchema#integer>' in tsv
