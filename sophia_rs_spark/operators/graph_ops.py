@@ -12,28 +12,77 @@ Matchers (`api/src/term/matcher/_trait.rs`): a position matcher is
 - str         → constant term (canonical encoding)
 - list[str]   → any-of (IN)
 - Column      → arbitrary boolean expression over the position column
+- callable    → position-independent matcher: called with the column
+                name, returns a boolean Column (the factories below:
+                ``not_`` `_not.rs:7`, ``of_kind`` `_trait.rs:127`,
+                ``with_datatype`` `_datatype_matcher.rs:28`,
+                ``with_language`` `_language_tag_matcher.rs:29`)
 """
 
 from __future__ import annotations
 
-from typing import Iterable, Optional, Union
+from typing import Callable, Iterable, Optional, Union
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-Matcher = Union[None, str, Iterable[str], Column]
+Matcher = Union[None, str, Iterable[str], Column, Callable[[str], Column]]
 
 DEFAULT_GRAPH = object()  # sentinel: match the default graph (g IS NULL)
 
 
-def _apply(df: DataFrame, col: str, m: Matcher) -> DataFrame:
+def _cond(col: str, m: Matcher) -> Optional[Column]:
     if m is None:
-        return df
+        return None
     if isinstance(m, Column):
-        return df.filter(m)
+        return m
     if isinstance(m, str):
-        return df.filter(F.col(col) == m)
-    return df.filter(F.col(col).isin(list(m)))
+        return F.col(col) == m
+    if callable(m):
+        return m(col)
+    return F.col(col).isin(list(m))
+
+
+def _apply(df: DataFrame, col: str, m: Matcher) -> DataFrame:
+    c = _cond(col, m)
+    return df if c is None else df.filter(c)
+
+
+# --- matcher factories (position-independent, like sophia's) ---------------
+
+
+def not_(m: Matcher) -> Callable[[str], Column]:
+    """`Not` matcher (`matcher/_not.rs:7`)."""
+    return lambda col: ~_cond(col, m)
+
+
+def of_kind(kind: str) -> Callable[[str], Column]:
+    """Match by term kind (`matcher/_trait.rs:127`):
+    'iri' | 'literal' | 'bnode' | 'triple' | 'variable'."""
+    from ..functions import sparql_fns as FN
+
+    code = {"bnode": 0, "iri": 1, "literal": 2, "triple": 3, "variable": 4}[kind]
+    return lambda col: FN.kind(F.col(col)) == code
+
+
+def with_datatype(dt_iri: str) -> Callable[[str], Column]:
+    """Match literals by datatype (`matcher/_datatype_matcher.rs:28`),
+    including the implicit xsd:string / rdf:langString rules."""
+    from ..functions import sparql_fns as FN
+
+    return lambda col: FN.datatype(F.col(col)) == dt_iri
+
+
+def with_language(tag: str) -> Callable[[str], Column]:
+    """Match language-tagged literals by BCP47 basic range
+    (`matcher/_language_tag_matcher.rs:29`): exact tag or prefix-dash."""
+    from ..functions import sparql_fns as FN
+
+    t = tag.lower()
+    return lambda col: (
+        (F.lower(FN.lang(F.col(col))) == t)
+        | F.lower(FN.lang(F.col(col))).startswith(t + "-")
+    )
 
 
 def triples_matching(

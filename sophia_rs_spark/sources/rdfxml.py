@@ -12,7 +12,8 @@ elements; classic statement reification on property elements), and
 property attributes on node elements (common in the wild).
 
 Also rdf:parseType="Collection" (rdf:first/rest/nil chains).
-Omissions (documented, negligible web prevalence): rdf:bagID.
+rdf:bagID (1999-only, removed in the 2004 REC) is rejected with a
+parse error — the same behavior as oxrdfxml, the reference's parser.
 """
 
 from __future__ import annotations
@@ -86,6 +87,14 @@ class _RdfXmlParser:
     def node_element(self, el: ET.Element, lang: Optional[str], base: str) -> str:
         lang = el.get(_XML_LANG, lang)
         base = el.get(_XML_BASE, base)
+        if el.get(_RDF + "bagID") is not None:
+            # rdf:bagID was removed in RDF/XML (2004); oxrdfxml — the
+            # reference's parser — rejects it as an unexpected rdf:*
+            # attribute, so we error (→ quarantine) rather than silently
+            # emitting an rdf:bagID property triple
+            raise RdfXmlError(
+                "rdf:bagID is not RDF/XML (removed in the 2004 REC)"
+            )
         if el.get(_RDF + "about") is not None:
             subject = self._iri(el.get(_RDF + "about"), base)
         elif el.get(_RDF + "ID") is not None:

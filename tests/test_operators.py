@@ -208,3 +208,49 @@ class TestSparqlFns:
         df = spark.createDataFrame([(v,) for v in vals], "t string")
         got = [r["t"] for r in df.orderBy(*FN.order_key(F.col("t"))).collect()]
         assert got == ["_:b", "<http://a>", '"zzz"']  # bnode < iri < literal
+
+
+class TestMatcherFactories:
+    """Position-independent matchers (matcher/_not.rs, _datatype_matcher.rs,
+    _language_tag_matcher.rs, _trait.rs:127)."""
+
+    @pytest.fixture(scope="class")
+    def mdata(self, spark):
+        XSD = "http://www.w3.org/2001/XMLSchema#"
+        rows = [
+            ("<x:a>", "<x:p>", '"plain"', None),
+            ("<x:a>", "<x:p>", '"tagged"@en', None),
+            ("<x:a>", "<x:p>", '"regional"@en-GB', None),
+            ("<x:a>", "<x:p>", '"hebrew"@he', None),
+            ("<x:a>", "<x:q>", f'"5"^^<{XSD}integer>', None),
+            ("<x:a>", "<x:q>", "_:b1", None),
+            ("<x:b>", "<x:q>", "<x:c>", None),
+        ]
+        return spark.createDataFrame(rows, "s string, p string, o string, g string")
+
+    def test_of_kind(self, mdata):
+        from sophia_rs_spark.operators.graph_ops import of_kind, triples_matching
+
+        assert triples_matching(mdata, o=of_kind("literal")).count() == 5
+        assert triples_matching(mdata, o=of_kind("bnode")).count() == 1
+        assert triples_matching(mdata, o=of_kind("iri")).count() == 1
+
+    def test_not(self, mdata):
+        from sophia_rs_spark.operators.graph_ops import not_, of_kind, triples_matching
+
+        assert triples_matching(mdata, o=not_(of_kind("literal"))).count() == 2
+        assert triples_matching(mdata, p=not_("<x:p>")).count() == 3
+
+    def test_with_datatype(self, mdata):
+        from sophia_rs_spark.operators.graph_ops import triples_matching, with_datatype
+
+        XSD = "http://www.w3.org/2001/XMLSchema#"
+        assert triples_matching(mdata, o=with_datatype(f"{XSD}integer")).count() == 1
+        # implicit xsd:string for plain literals
+        assert triples_matching(mdata, o=with_datatype(f"{XSD}string")).count() == 1
+
+    def test_with_language(self, mdata):
+        from sophia_rs_spark.operators.graph_ops import triples_matching, with_language
+
+        assert triples_matching(mdata, o=with_language("en")).count() == 2  # en + en-GB
+        assert triples_matching(mdata, o=with_language("he")).count() == 1

@@ -182,3 +182,19 @@ def test_parse_type_collection():
     firsts = {x[2] for x in t if x[1] == f"<{RDF}first>"}
     assert firsts == {"<http://e/a>", "<http://e/b>"}
     assert any(x[2] == f"<{RDF}nil>" for x in t)
+
+
+def test_bagid_rejected_to_quarantine():
+    """rdf:bagID (RDF 1999-only, removed in the 2004 REC) must be
+    rejected like oxrdfxml does — not emitted as a property triple."""
+    from sophia_rs_spark.sources.rdfxml import parse_rdfxml_document
+
+    doc = (
+        '<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#" '
+        'xmlns:ex="http://x/">'
+        '<rdf:Description rdf:about="http://x/s" rdf:bagID="b1">'
+        "<ex:p>v</ex:p></rdf:Description></rdf:RDF>"
+    )
+    rows = parse_rdfxml_document("http://d.example/", doc)
+    assert any(r[5] and "bagID" in r[5] for r in rows)
+    assert not any(r[2] and "bagID" in r[2] for r in rows if r[5] is None)
