@@ -525,6 +525,15 @@ def _q_emb_ivf_knn(spark, sf):
     return ivf_knn(_read(spark, sf, "embeddings"), k=5, n_centroids=8)
 
 
+def _q_emb_ivf_knn2(spark, sf):
+    """IVF with a 2-cluster probe list (the production recall lever):
+    query side probes its 2 nearest centroids, corpus stays in its home
+    cluster — fan-out linear in n_probe."""
+    from sophia_rs_spark.operators.similarity import ivf_knn
+
+    return ivf_knn(_read(spark, sf, "embeddings"), k=5, n_centroids=8, n_probe=2)
+
+
 def _q_mm_features(spark, sf):
     """Multimodal feature core: REAL PNG payloads (stdlib zlib encode)
     decoded by the real PNG path (decode_png: chunk CRCs, inflate,
@@ -669,6 +678,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_knn": _q_emb_knn,
         "emb_knn_bucketed": _q_emb_knn_bucketed,
         "emb_ivf_knn": _q_emb_ivf_knn,
+        "emb_ivf_knn2": _q_emb_ivf_knn2,
         # SPARQL text front-end
         "sparql_select": _q_sparql_select,
         "sparql_agg": _q_sparql_agg,
@@ -1221,6 +1231,38 @@ sims AS (
   SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
          list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS sim
   FROM j a JOIN j b
+    ON a.centroid_id = b.centroid_id AND a.vec_id <> b.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC,
+                            neighbor_id) AS rank
+  FROM sims)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 5
+""".strip()
+
+    qs["emb_ivf_knn2"] = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+c AS (SELECT vec_id AS centroid_id, v AS cv, nrm AS cn FROM n WHERE vec_id < 8),
+asg AS (
+  SELECT vec_id, centroid_id, rk FROM (
+    SELECT n.vec_id, c.centroid_id,
+           row_number() OVER (
+             PARTITION BY n.vec_id
+             ORDER BY list_dot_product(n.v, c.cv) / (n.nrm * c.cn) DESC,
+                      c.centroid_id) AS rk
+    FROM n, c) WHERE rk <= 2
+),
+probes AS (SELECT n.vec_id, n.v, n.nrm, asg.centroid_id
+           FROM n JOIN asg USING (vec_id)),
+home AS (SELECT n.vec_id, n.v, n.nrm, asg.centroid_id
+         FROM n JOIN asg USING (vec_id) WHERE asg.rk = 1),
+sims AS (
+  SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS sim
+  FROM probes a JOIN home b
     ON a.centroid_id = b.centroid_id AND a.vec_id <> b.vec_id
 ),
 ranked AS (

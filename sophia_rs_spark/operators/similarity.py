@@ -183,11 +183,19 @@ def bucketed_knn(
     )
 
 
-def ivf_assign(emb: DataFrame, n_centroids: int = 8, id_col: str = "vec_id") -> DataFrame:
+def ivf_assign(
+    emb: DataFrame,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    n_probe: int = 1,
+) -> DataFrame:
     """IVF-style coarse quantization with deterministic centroids (the
     first ``n_centroids`` vectors by id — a seeded-kmeans stand-in that
     keeps the assignment fully reproducible and oracle-checkable):
-    (vec_id, centroid_id) by max cosine, ties to the lower centroid id."""
+    (vec_id, centroid_id, probe_rank) — each vector's ``n_probe``
+    closest centroids by cosine, ties to the lower centroid id.
+    ``probe_rank == 1`` is the home cluster (where the vector *lives*);
+    ranks 2..n_probe are the query-side probe list."""
     e = with_norms(emb, id_col=id_col)
     cents = e.filter(F.col(id_col) < n_centroids).select(
         F.col(id_col).alias("centroid_id"),
@@ -204,20 +212,32 @@ def ivf_assign(emb: DataFrame, n_centroids: int = 8, id_col: str = "vec_id") -> 
     w = Window.partitionBy(id_col).orderBy(F.desc("sim"), F.asc("centroid_id"))
     return (
         sims.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
-        .select(id_col, "centroid_id")
+        .filter(F.col("rk") <= n_probe)
+        .select(id_col, "centroid_id", F.col("rk").alias("probe_rank"))
     )
 
 
 def ivf_knn(
-    emb: DataFrame, k: int = 5, n_centroids: int = 8, id_col: str = "vec_id"
+    emb: DataFrame,
+    k: int = 5,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    n_probe: int = 1,
 ) -> DataFrame:
-    """IVF search: exact cosine top-k within each vector's own cluster —
-    the cluster equi-join replaces the full cross join at scale (probe
-    lists >1 cluster in production; 1 here keeps the oracle simple)."""
-    assign = ivf_assign(emb, n_centroids, id_col)
-    e = with_norms(emb, id_col=id_col).join(assign, id_col)
-    a, c = e.alias("a"), e.alias("c")
+    """IVF search: exact cosine top-k over the probed clusters — the
+    cluster equi-join replaces the full cross join at scale.
+
+    ``n_probe`` clusters are probed on the QUERY side (the standard IVF
+    recall lever); corpus vectors live in their home cluster only, so
+    the join fan-out grows linearly with n_probe, never quadratically."""
+    assign = ivf_assign(emb, n_centroids, id_col, n_probe=n_probe)
+    e = with_norms(emb, id_col=id_col)
+    probes = e.join(assign, id_col)  # query side: n_probe rows per vector
+    home = e.join(
+        assign.filter(F.col("probe_rank") == 1).select(id_col, "centroid_id"),
+        id_col,
+    )
+    a, c = probes.alias("a"), home.alias("c")
     sims = (
         a.join(
             c,
@@ -232,6 +252,7 @@ def ivf_knn(
                 / (F.col("a.norm") * F.col("c.norm"))
             ).alias("sim"),
         )
+        .dropDuplicates(["query_id", "neighbor_id"])
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (

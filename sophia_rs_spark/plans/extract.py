@@ -228,6 +228,24 @@ def _term_kind_col(c) -> F.Column:
     )
 
 
+def write_bucketed_terms(
+    terms: DataFrame, table_name: str, path: str, buckets: int = 64
+) -> None:
+    """Persist the term dictionary bucketed by ``term_id`` — the 100 TB
+    co-location path: any table keyed by term_id written with the SAME
+    bucketing joins against it with NO exchange on either side (replaces
+    sophia's in-memory TermIndexMap lookups with shuffle-free joins).
+    """
+    (
+        terms.write.mode("overwrite")
+        .bucketBy(buckets, "term_id")
+        .sortBy("term_id")
+        .option("path", path)
+        .format("parquet")
+        .saveAsTable(table_name)
+    )
+
+
 def encode_nquads(quads: DataFrame) -> DataFrame:
     """Canonical N-Quads line per quad (`turtle/src/serializer/nq.rs`):
     pure column concat — JVM-side, codegen-friendly."""

@@ -85,3 +85,34 @@ def test_bgp_on_parquet_pushes_constants(spark, graph_parquet):
 def test_canonicalize_broadcasts_component_map(spark):
     plan = plan_of(e.queries()["link_canonicalized"](spark, SF))
     assert "BroadcastHashJoin" in plan
+
+
+def test_bucketed_term_table_join_has_no_exchange(spark, tmp_path):
+    """100 TB co-location: the term dictionary and an id-keyed usage
+    table written with the SAME bucketing join with no shuffle exchange
+    on either side (extract.py write_bucketed_terms)."""
+    from pyspark.sql import functions as F
+
+    from sophia_rs_spark.plans.extract import write_bucketed_terms
+
+    terms = spark.range(1000).select(
+        F.xxhash64(F.col("id").cast("string")).alias("term_id"),
+        F.col("id").cast("string").alias("term"),
+    )
+    usage = spark.range(5000).select(
+        F.xxhash64((F.col("id") % 1000).cast("string")).alias("term_id"),
+        (F.col("id") * 3).alias("cnt"),
+    )
+    write_bucketed_terms(terms, "bt_terms", str(tmp_path / "bt_terms"), buckets=8)
+    write_bucketed_terms(usage, "bt_usage", str(tmp_path / "bt_usage"), buckets=8)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = spark.table("bt_terms").join(spark.table("bt_usage"), "term_id")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert j.count() == 5000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS bt_terms")
+        spark.sql("DROP TABLE IF EXISTS bt_usage")

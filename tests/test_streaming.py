@@ -108,3 +108,62 @@ def test_stateful_sessionize_matches_batch(spark, tmp_path):
         for r in got_df.collect()
     }
     assert got == expected
+
+
+def test_watermark_drops_late_pages(spark, tmp_path):
+    """Late-data semantics end-to-end: a page older than the watermark,
+    arriving in a later micro-batch, must NOT reopen its (already
+    finalized, append-emitted) window."""
+    import datetime as dt
+    import time
+
+    base = dt.datetime(2024, 1, 1, 10, 0, 0)
+    p = str(tmp_path / "pages_late")
+    os.makedirs(p)
+
+    def mk(rows):
+        return spark.createDataFrame(
+            [
+                (f"http://x/{i}", ts, bytearray(b"<html></html>"), "", "en")
+                for i, ts in enumerate(rows)
+            ],
+            "url string, warc_ts timestamp, html binary, text string, lang string",
+        )
+
+    # batch A: five pages in [10:00,10:05) + one at 10:30 that pushes the
+    # watermark (10m) to 10:20, past the first window's end
+    mk([base + dt.timedelta(minutes=m) for m in (0, 1, 2, 3, 4)]
+       + [base + dt.timedelta(minutes=30)]).coalesce(1).write.mode("append").parquet(p)
+    time.sleep(1.1)  # file-source orders batches by mod time
+    # batch B: a current page — the advanced watermark takes effect
+    # (Spark applies a new watermark starting with the NEXT batch)
+    mk([base + dt.timedelta(minutes=31)]).coalesce(1).write.mode("append").parquet(p)
+    time.sleep(1.1)
+    # batch C: one LATE page at 10:01 — beyond the watermark, must drop
+    mk([base + dt.timedelta(minutes=1)]).coalesce(1).write.mode("append").parquet(p)
+
+    stream = (
+        spark.readStream.schema(
+            "url string, warc_ts timestamp, html binary, text string, lang string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(p)
+    )
+    metrics = page_rate_metrics(stream, watermark="10 minutes")
+    q = (
+        metrics.writeStream.format("memory")
+        .queryName("late_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["window_start"].isoformat(), r["n_pages"])
+        for r in spark.sql("select * from late_test").collect()
+    }
+    # the 10:00-10:05 window closed with 5 pages; the late 10:01 page was
+    # dropped (6 would mean the watermark failed to finalize the window)
+    assert ("2024-01-01T10:00:00", 5) in got
+    assert ("2024-01-01T10:00:00", 6) not in got
+    assert ("2024-01-01T10:00:00", 1) not in got
