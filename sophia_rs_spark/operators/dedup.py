@@ -62,32 +62,35 @@ def minhash_signatures(
     oracle encoding byte-identical; r≥2 sharpens the curve against
     low-similarity false candidates at scale)."""
     sh = word_shingles(docs, k, text_col, id_col)
-    spark = docs.sparkSession
     r = rows_per_band
-    seed_df = spark.range(bands * r).select(
-        (F.col("id") / r).cast("int").alias("band"),
-        (F.col("id") % r).cast("int").alias("row"),
-        F.col("id").cast("int").alias("seed"),  # == band when r = 1
+    # one MIN aggregate per (band, row) seed — computed map-side
+    # (partial aggregation), so the shuffle carries ONE row of bands*r
+    # digests per (doc × partition) instead of a bands*r-fold crossJoin
+    # row blowup; seed == band when r = 1 (round-1 encoding preserved)
+    mins = sh.groupBy(id_col).agg(
+        *[
+            F.min(
+                F.md5(
+                    F.concat(
+                        F.lit(str(seed)), F.lit(":"), F.col("shingle")
+                    ).cast("binary")
+                )
+            ).alias(f"m{seed}")
+            for seed in range(bands * r)
+        ]
     )
-    seeded = sh.crossJoin(F.broadcast(seed_df))
-    mins = seeded.groupBy(id_col, "band", "row").agg(
-        F.min(
-            F.md5(
-                F.concat(
-                    F.col("seed").cast("string"), F.lit(":"), F.col("shingle")
-                ).cast("binary")
-            )
-        ).alias("mh")
-    )
-    return (
-        mins.groupBy(id_col, "band")
-        .agg(F.array_sort(F.collect_list(F.struct("row", "mh"))).alias("arr"))
-        .select(
-            id_col,
-            "band",
-            F.concat_ws("|", F.transform("arr", lambda s: s["mh"])).alias("minhash"),
+    per_band = [
+        F.struct(
+            F.lit(band).alias("band"),
+            F.concat_ws(
+                "|", *[F.col(f"m{band * r + row}") for row in range(r)]
+            ).alias("minhash"),
         )
-    )
+        for band in range(bands)
+    ]
+    return mins.select(
+        id_col, F.explode(F.array(*per_band)).alias("x")
+    ).select(id_col, F.col("x.band").alias("band"), F.col("x.minhash").alias("minhash"))
 
 
 #: buckets above this size are excluded from the self-join: one hot
