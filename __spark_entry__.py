@@ -534,6 +534,23 @@ def _q_emb_ivf_knn2(spark, sf):
     return ivf_knn(_read(spark, sf, "embeddings"), k=5, n_centroids=8, n_probe=2)
 
 
+def _q_sparql_agg_distinct(spark, sf):
+    """DISTINCT-in-aggregate through the text front-end
+    (sparql11-query §18.5.1): distinct segments per nation."""
+    from sophia_rs_spark.sparql import query as sparql_query
+
+    t = spark_triples(spark, sf).select("s", "p", "o")
+    return sparql_query(
+        t,
+        f"""
+        PREFIX voc: <{VOC}>
+        SELECT ?n (COUNT(DISTINCT ?seg) AS ?nseg)
+        WHERE {{ ?c voc:inNation ?n . ?c voc:segment ?seg }}
+        GROUP BY ?n
+        """,
+    )
+
+
 def _q_mm_features(spark, sf):
     """Multimodal feature core: REAL PNG payloads (stdlib zlib encode)
     decoded by the real PNG path (decode_png: chunk CRCs, inflate,
@@ -682,6 +699,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # SPARQL text front-end
         "sparql_select": _q_sparql_select,
         "sparql_agg": _q_sparql_agg,
+        "sparql_agg_distinct": _q_sparql_agg_distinct,
         # multimodal (real PNG decode path)
         "mm_features": _q_mm_features,
         # property paths + entailment
@@ -1166,6 +1184,16 @@ b AS (
 SELECT asset_id, bucket, count(*) AS cnt
 FROM b GROUP BY asset_id, bucket
 """.strip()
+
+    qs["sparql_agg_distinct"] = with_triples(
+        f"""
+SELECT t1.o AS n, count(DISTINCT t2.o) AS nseg
+FROM triples t1
+JOIN triples t2 ON t2.s = t1.s AND t2.p = '{P_SEGMENT}'
+WHERE t1.p = '{P_IN_NATION}'
+GROUP BY t1.o
+""".strip()
+    )
 
     qs["path_plus"] = f"""
 WITH RECURSIVE e AS (

@@ -477,22 +477,44 @@ def _select_df(ctx: _Ctx, q: A.Query):
         aggs = []
         for a in q.aggregates:
             if a.fn == "count" and a.arg is None:
-                aggs.append(F.count(F.lit(1)).alias(a.alias))
+                if a.distinct:  # COUNT(DISTINCT *) = distinct solutions
+                    aggs.append(
+                        F.count_distinct(*[F.col(c) for c in df.columns]).alias(
+                            a.alias
+                        )
+                    )
+                else:
+                    aggs.append(F.count(F.lit(1)).alias(a.alias))
                 continue
             c = _term_col(a.arg, df)
             if a.fn == "count":
-                aggs.append(F.count(c).alias(a.alias))
+                aggs.append(
+                    (F.count_distinct(c) if a.distinct else F.count(c)).alias(a.alias)
+                )
             elif a.fn in ("sum", "avg"):
                 nv = _num_from_col(c)
-                aggs.append((F.sum(nv) if a.fn == "sum" else F.avg(nv)).alias(a.alias))
+                if a.distinct:
+                    # AVG(DISTINCT) = sum over the distinct value set /
+                    # its cardinality (sparql11-query §18.5.1.4)
+                    e = (
+                        F.sum_distinct(nv)
+                        if a.fn == "sum"
+                        else F.sum_distinct(nv) / F.count_distinct(nv)
+                    )
+                else:
+                    e = F.sum(nv) if a.fn == "sum" else F.avg(nv)
+                aggs.append(e.alias(a.alias))
             elif a.fn in ("min", "max"):
                 aggs.append((F.min(c) if a.fn == "min" else F.max(c)).alias(a.alias))
             elif a.fn == "group_concat":
                 lexc = F.when(
                     c.cast("string").startswith('"'), FN.lex(c.cast("string"))
                 ).otherwise(c.cast("string"))
+                coll = F.collect_list(lexc)
+                if a.distinct:
+                    coll = F.array_distinct(coll)
                 aggs.append(
-                    F.concat_ws(a.sep, F.array_sort(F.collect_list(lexc))).alias(a.alias)
+                    F.concat_ws(a.sep, F.array_sort(coll)).alias(a.alias)
                 )
             elif a.fn == "sample":
                 aggs.append(F.first(c, ignorenulls=True).alias(a.alias))

@@ -481,6 +481,9 @@ class _P:
             self.expect_op("(")
             args = []
             sep = None
+            dflag = False
+            if fn in self._AGG_FNS and self.kw("DISTINCT"):
+                dflag = True  # COUNT(DISTINCT ?x) etc.
             if not self.op(")"):
                 if fn == "COUNT" and self.op("*"):
                     args = []
@@ -494,8 +497,8 @@ class _P:
                     sraw = self.next()
                     sep = unescape(sraw[1][1:-1])
                 self.expect_op(")")
-            if sep is not None:
-                return Expr("call", (fn, tuple(args), sep))
+            if sep is not None or dflag:
+                return Expr("call", (fn, tuple(args), sep, dflag))
             return Expr("call", (fn, tuple(args)))
         # term constant
         term = self.parse_term()
@@ -762,10 +765,11 @@ class _P:
     def _as_aggregate(self, e: Expr, alias: str, sep: str) -> Optional[Aggregate]:
         if e.op == "call" and e.args[0] in self._AGG_FNS:
             fn, args = e.args[0], e.args[1]
-            if len(e.args) > 2:  # GROUP_CONCAT(...; SEPARATOR="x")
-                sep = e.args[2]
+            if len(e.args) > 2 and e.args[2] is not None:
+                sep = e.args[2]  # GROUP_CONCAT(...; SEPARATOR="x")
+            distinct = bool(e.args[3]) if len(e.args) > 3 else False
             arg = args[0] if args else None
-            return Aggregate(fn.lower(), arg, False, sep, alias)
+            return Aggregate(fn.lower(), arg, distinct, sep, alias)
         return None
 
     def _parse_modifiers(self, q: Query):

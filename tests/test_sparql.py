@@ -536,3 +536,58 @@ class TestNewBuiltins:
         assert len(set(b0s)) == len(b0s)  # fresh per row
         assert len({r["b1"] for r in got}) == 1  # same label → same bnode
         assert all(r["b0"].startswith("_:") and r["b1"].startswith("_:") for r in got)
+
+
+class TestDistinctAggregates:
+    """DISTINCT inside aggregate calls (sparql11-query §18.5.1)."""
+
+    @pytest.fixture(scope="class")
+    def adata(self, spark):
+        NS = "http://example.org/ns/"
+        rows = [
+            (f"<{NS}a>", f"<{NS}tag>", '"x"', None),
+            (f"<{NS}a>", f"<{NS}tag>", '"x"', None),
+            (f"<{NS}a>", f"<{NS}tag>", '"y"', None),
+            (f"<{NS}b>", f"<{NS}tag>", '"x"', None),
+            (f"<{NS}a>", f"<{NS}n>", f'"2"^^<{XSD}integer>', None),
+            (f"<{NS}a>", f"<{NS}n>", f'"2"^^<{XSD}integer>', None),
+            (f"<{NS}a>", f"<{NS}n>", f'"4"^^<{XSD}integer>', None),
+        ]
+        return spark.createDataFrame(rows, "s string, p string, o string, g string")
+
+    def test_count_distinct(self, adata):
+        got = query(
+            adata,
+            PFX + "SELECT ?s (COUNT(DISTINCT ?t) AS ?n) WHERE { ?s :tag ?t } "
+            "GROUP BY ?s",
+        )
+        vals = dict(rows_of(got))
+        assert vals["<http://example.org/ns/a>"] == 2
+        assert vals["<http://example.org/ns/b>"] == 1
+        # plain COUNT counts duplicates
+        got2 = query(
+            adata,
+            PFX + "SELECT ?s (COUNT(?t) AS ?n) WHERE { ?s :tag ?t } GROUP BY ?s",
+        )
+        assert dict(rows_of(got2))["<http://example.org/ns/a>"] == 3
+
+    def test_sum_avg_distinct(self, adata):
+        got = query(
+            adata,
+            PFX + "SELECT (SUM(DISTINCT ?v) AS ?s) (AVG(DISTINCT ?v) AS ?a) "
+            "WHERE { ?x :n ?v }",
+        ).collect()[0]
+        assert got["s"] == 6.0  # 2 + 4
+        assert got["a"] == 3.0
+        plain = query(
+            adata, PFX + "SELECT (SUM(?v) AS ?s) WHERE { ?x :n ?v }"
+        ).collect()[0]
+        assert plain["s"] == 8.0
+
+    def test_group_concat_distinct(self, adata):
+        got = query(
+            adata,
+            PFX + 'SELECT (GROUP_CONCAT(DISTINCT ?t; SEPARATOR=",") AS ?c) '
+            "WHERE { ?x :tag ?t }",
+        ).collect()[0]
+        assert got["c"] == "x,y"
