@@ -289,6 +289,23 @@ def xsd_double(term: Column) -> Column:
     )
 
 
+def xsd_decimal(term: Column) -> Column:
+    """xsd:decimal(): exact decimal lexical or boolean mapping; NULL on
+    error (float syntax like '1e3' is not a decimal lexical)."""
+    l = lex(term)
+    return (
+        F.when(l == "true", F.lit(1).cast("decimal(38,10)"))
+        .when(l == "false", F.lit(0).cast("decimal(38,10)"))
+        .when(l.rlike(r"^[+-]?(\d+(\.\d*)?|\.\d+)$"), l.try_cast("decimal(38,10)"))
+        .otherwise(F.lit(None).cast("decimal(38,10)"))
+    )
+
+
+def xsd_datetime(term: Column) -> Column:
+    """xsd:dateTime() constructor: lexical → timestamp, NULL on error."""
+    return lex(term).try_cast("timestamp")
+
+
 # --- EBV / boolean layer ----------------------------------------------------
 
 

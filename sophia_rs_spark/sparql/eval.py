@@ -287,6 +287,26 @@ def _call(fn: str, cols: List[Column], raw_args) -> Column:
         return acc(cols[0].cast("string"))
     if fn == "ISTRIPLE":
         return FN.is_triple(cols[0].cast("string"))
+    if fn.startswith("XSD:"):
+        # xsd:* constructor casts (function.rs:426-451 Custom dispatch);
+        # plain computed values are wrapped as simple literals first
+        typ = fn[4:]
+        t = F.when(
+            cols[0].cast("string").rlike('^["<_]'), cols[0].cast("string")
+        ).otherwise(F.concat(F.lit('"'), cols[0].cast("string"), F.lit('"')))
+        if typ == "boolean":
+            return FN.xsd_boolean(t)
+        if typ == "integer":
+            return FN.xsd_integer(t)
+        if typ in ("double", "float"):
+            return FN.xsd_double(t)
+        if typ == "decimal":
+            return FN.xsd_decimal(t)
+        if typ == "string":
+            return s(cols[0])
+        if typ == "dateTime":
+            return FN.xsd_datetime(t)
+        raise A.SparqlError(f"cast to xsd:{typ} not supported")
     if fn == "NOW":
         # fixed per query evaluation (exec.rs:76 `state.now()`)
         return F.lit(_query_now_literal())

@@ -500,10 +500,20 @@ class _P:
             if sep is not None or dflag:
                 return Expr("call", (fn, tuple(args), sep, dflag))
             return Expr("call", (fn, tuple(args)))
-        # term constant
+        # term constant — or an xsd:* constructor cast call
+        # (function.rs:426-451 Custom(iri) dispatch)
         term = self.parse_term()
         if isinstance(term, Var):
             return Expr("var", (term.name,))
+        if (
+            isinstance(term, str)
+            and term.startswith("<http://www.w3.org/2001/XMLSchema#")
+            and self.op("(")
+        ):
+            typ = term[len("<http://www.w3.org/2001/XMLSchema#"):-1]
+            arg = self.parse_expr()
+            self.expect_op(")")
+            return Expr("call", (f"XSD:{typ}", (arg,)))
         return Expr("term", (term,))
 
     # -- groups ------------------------------------------------------------

@@ -591,3 +591,31 @@ class TestDistinctAggregates:
             "WHERE { ?x :tag ?t }",
         ).collect()[0]
         assert got["c"] == "x,y"
+
+
+def test_xsd_constructor_casts(spark, data):
+    """xsd:* constructor calls (function.rs:426-451 Custom dispatch)."""
+    got = query(
+        data,
+        PFX + "SELECT ?i ?d ?s ?b WHERE { :alice :age ?a "
+        "BIND(xsd:integer(?a) AS ?i) BIND(xsd:double(?a) AS ?d) "
+        'BIND(xsd:string(?a) AS ?s) BIND(xsd:boolean("true") AS ?b) }',
+    ).collect()[0]
+    assert got["i"] == 42
+    assert got["d"] == 42.0
+    assert got["s"] == "42"
+    assert got["b"] is True
+    # cast errors are NULL (error-poisoning)
+    got2 = query(
+        data,
+        PFX + 'SELECT ?i WHERE { :alice :name ?n BIND(xsd:integer(?n) AS ?i) }',
+    ).collect()[0]
+    assert got2["i"] is None
+    # dateTime
+    got3 = query(
+        data,
+        PFX + 'SELECT ?t WHERE { :alice :name ?n '
+        'BIND(xsd:dateTime("2020-01-02T03:04:05"'
+        "^^<http://www.w3.org/2001/XMLSchema#dateTime>) AS ?t) }",
+    ).collect()[0]
+    assert got3["t"].year == 2020 and got3["t"].second == 5
