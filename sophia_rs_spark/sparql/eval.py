@@ -444,10 +444,26 @@ def evaluate(triples: DataFrame, q: A.Query):
     bool (ask)."""
     global _NOW_LITERAL
     _NOW_LITERAL = None  # repin NOW() for this evaluation
-    ctx = _Ctx(triples, None)
-    # default scope: if no g column, everything; with g, the default graph
     if "g" not in triples.columns:
-        ctx = _Ctx(triples.withColumn("g", F.lit(None).cast("string")), None)
+        triples = triples.withColumn("g", F.lit(None).cast("string"))
+    if q.from_graphs or q.from_named:
+        # dataset clauses (exec.rs:70-117): FROM graphs compose an ad-hoc
+        # default graph; FROM NAMED restricts what GRAPH can see.  When
+        # either clause is present the other side defaults to empty.
+        default_part = (
+            triples.filter(F.col("g").isin(q.from_graphs)).withColumn(
+                "g", F.lit(None).cast("string")
+            )
+            if q.from_graphs
+            else triples.limit(0)
+        )
+        named_part = (
+            triples.filter(F.col("g").isin(q.from_named))
+            if q.from_named
+            else triples.limit(0)
+        )
+        triples = default_part.unionByName(named_part)
+    ctx = _Ctx(triples, None)
 
     if q.form == "ask":
         return B.ask(_eval_group(ctx, q.where)[0])

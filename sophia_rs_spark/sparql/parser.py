@@ -140,6 +140,8 @@ class Query:
     limit: Optional[int] = None
     offset: int = 0
     template: List[TriplePattern] = field(default_factory=list)  # construct
+    from_graphs: List[str] = field(default_factory=list)  # FROM <g>
+    from_named: List[str] = field(default_factory=list)  # FROM NAMED <g>
 
 
 # ---------------------------------------------------------------------------
@@ -163,6 +165,7 @@ _PN_LOCAL = (
 _KEYWORDS = (
     "PREFIX|BASE|SELECT|ASK|CONSTRUCT|DESCRIBE|WHERE|FILTER|OPTIONAL|MINUS|UNION|"
     "BIND|VALUES|GRAPH|DISTINCT|REDUCED|ORDER|GROUP|HAVING|BY|ASC|DESC|"
+    "FROM|NAMED|"
     "LIMIT|OFFSET|AS|IN|NOT|EXISTS|UNDEF|"
     "COUNT|SUM|AVG|MIN|MAX|GROUP_CONCAT|SAMPLE|SEPARATOR|"
     "REGEX|STR|LANG|DATATYPE|BOUND|IRI|URI|STRLEN|UCASE|LCASE|CONTAINS|"
@@ -755,6 +758,7 @@ class _P:
                         variables.append(alias)
                     continue
                 break
+        from_graphs, from_named = self._parse_dataset_clauses()
         if self.kw("WHERE"):
             where = self.parse_group()
         else:
@@ -767,8 +771,27 @@ class _P:
             distinct=distinct,
             aggregates=aggregates,
         )
+        q.from_graphs = from_graphs
+        q.from_named = from_named
         self._parse_modifiers(q)
         return q
+
+    def _parse_dataset_clauses(self):
+        """FROM <g> (composed ad-hoc default graph — exec.rs:108-117) and
+        FROM NAMED <g> dataset clauses."""
+        from_graphs: List[str] = []
+        from_named: List[str] = []
+        while self.kw("FROM"):
+            named = self.kw("NAMED")
+            t = self.next()
+            if t[0] == "iri":
+                g = self._iri(t[1])
+            elif t[0] == "pname":
+                g = self._pname(t[1], t[2])
+            else:
+                raise SparqlError(f"expected IRI after FROM at {t[2]}")
+            (from_named if named else from_graphs).append(g)
+        return from_graphs, from_named
 
     _AGG_FNS = {"COUNT", "SUM", "AVG", "MIN", "MAX", "GROUP_CONCAT", "SAMPLE"}
 

@@ -619,3 +619,47 @@ def test_xsd_constructor_casts(spark, data):
         "^^<http://www.w3.org/2001/XMLSchema#dateTime>) AS ?t) }",
     ).collect()[0]
     assert got3["t"].year == 2020 and got3["t"].second == 5
+
+
+class TestDatasetClauses:
+    """FROM / FROM NAMED (exec.rs:70-117: FROM graphs compose an ad-hoc
+    default graph; FROM NAMED restricts GRAPH)."""
+
+    @pytest.fixture(scope="class")
+    def gdata(self, spark):
+        NS = "http://example.org/ns/"
+        rows = [
+            (f"<{NS}a>", f"<{NS}p>", '"default"', None),
+            (f"<{NS}a>", f"<{NS}p>", '"one"', "<x:g1>"),
+            (f"<{NS}b>", f"<{NS}p>", '"two"', "<x:g2>"),
+            (f"<{NS}c>", f"<{NS}p>", '"three"', "<x:g3>"),
+        ]
+        return spark.createDataFrame(rows, "s string, p string, o string, g string")
+
+    def test_from_composes_default_graph(self, gdata):
+        got = query(
+            gdata,
+            PFX + "SELECT ?o FROM <x:g1> FROM <x:g2> WHERE { ?s :p ?o }",
+        )
+        assert {r["o"] for r in got.collect()} == {'"one"', '"two"'}
+
+    def test_from_excludes_real_default(self, gdata):
+        got = query(gdata, PFX + "SELECT ?o FROM <x:g1> WHERE { ?s :p ?o }")
+        assert {r["o"] for r in got.collect()} == {'"one"'}
+
+    def test_from_named_restricts_graph(self, gdata):
+        got = query(
+            gdata,
+            PFX + "SELECT ?g ?o FROM NAMED <x:g2> WHERE { GRAPH ?g { ?s :p ?o } }",
+        )
+        rows = got.collect()
+        assert {(r["g"], r["o"]) for r in rows} == {("<x:g2>", '"two"')}
+        # and the default graph is empty when only FROM NAMED is given
+        got2 = query(
+            gdata, PFX + "SELECT ?o FROM NAMED <x:g2> WHERE { ?s :p ?o }"
+        )
+        assert got2.count() == 0
+
+    def test_no_clause_unchanged(self, gdata):
+        got = query(gdata, PFX + "SELECT ?o WHERE { ?s :p ?o }")
+        assert {r["o"] for r in got.collect()} == {'"default"'}
