@@ -507,6 +507,10 @@ def _select_df(ctx: _Ctx, q: A.Query):
     subquery results with the right compatibility semantics."""
     df, maybe = _eval_group(ctx, q.where)
 
+    # computed group keys: GROUP BY (expr AS ?v) binds before grouping
+    for ge, galias in q.group_exprs:
+        df = df.withColumn(galias, _term_col(ge, df))
+
     # aggregates
     if q.aggregates or q.group_by:
         maybe |= {a.alias for a in q.aggregates}  # agg over empty → NULL

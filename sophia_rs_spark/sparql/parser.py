@@ -142,6 +142,7 @@ class Query:
     template: List[TriplePattern] = field(default_factory=list)  # construct
     from_graphs: List[str] = field(default_factory=list)  # FROM <g>
     from_named: List[str] = field(default_factory=list)  # FROM NAMED <g>
+    group_exprs: List[Tuple[Expr, str]] = field(default_factory=list)  # GROUP BY (e AS ?v)
 
 
 # ---------------------------------------------------------------------------
@@ -813,6 +814,17 @@ class _P:
                 if t is not None and t[0] == "var":
                     self.next()
                     q.group_by.append(t[1][1:])
+                elif t is not None and t[0] == "op" and t[1] == "(":
+                    # GROUP BY (expr AS ?v) — computed group key
+                    self.next()
+                    e = self.parse_expr()
+                    self.expect_kw("AS")
+                    v = self.next()
+                    if v[0] != "var":
+                        raise SparqlError("expected variable after AS in GROUP BY")
+                    self.expect_op(")")
+                    q.group_exprs.append((e, v[1][1:]))
+                    q.group_by.append(v[1][1:])
                 else:
                     break
         if self.kw("HAVING"):

@@ -663,3 +663,14 @@ class TestDatasetClauses:
     def test_no_clause_unchanged(self, gdata):
         got = query(gdata, PFX + "SELECT ?o WHERE { ?s :p ?o }")
         assert {r["o"] for r in got.collect()} == {'"default"'}
+
+
+def test_group_by_expression(spark, data):
+    """GROUP BY (expr AS ?v) computed group keys."""
+    got = query(
+        data,
+        PFX + "SELECT ?initial (COUNT(*) AS ?n) WHERE { ?s :name ?nm } "
+        "GROUP BY (SUBSTR(STR(?nm), 1, 1) AS ?initial)",
+    )
+    vals = dict(rows_of(got))
+    assert vals == {"A": 1, "B": 1, "C": 1}
