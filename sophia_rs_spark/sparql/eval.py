@@ -166,6 +166,16 @@ def _bool(e: A.Expr, df: DataFrame, triples: DataFrame) -> Column:
     raise A.SparqlError(f"cannot compile boolean {op}")
 
 
+def _args_compatible(lc: Column, rc: Column) -> Column:
+    """Binary string-function argument compatibility (sparql11-query
+    §17.4.3.1.1): the second arg must be a simple/xsd:string literal or
+    share the first's language tag — otherwise the call is an error
+    (NULL).  Non-literal values count as plain strings."""
+    ll = F.coalesce(FN.lang(lc.cast("string")), F.lit(""))
+    rl = F.coalesce(FN.lang(rc.cast("string")), F.lit(""))
+    return (rl == "") | (ll == rl)
+
+
 def _call(fn: str, cols: List[Column], raw_args) -> Column:
     s = lambda c: F.when(c.cast("string").startswith('"'), FN.lex(c.cast("string"))).otherwise(
         F.when(c.cast("string").startswith("<"), FN.str_(c.cast("string"))).otherwise(c.cast("string"))
@@ -187,22 +197,39 @@ def _call(fn: str, cols: List[Column], raw_args) -> Column:
         return F.upper(s(cols[0]))
     if fn == "LCASE":
         return F.lower(s(cols[0]))
-    if fn == "CONTAINS":
-        return s(cols[0]).contains(s(cols[1]))
-    if fn == "STRSTARTS":
-        return s(cols[0]).startswith(s(cols[1]))
-    if fn == "STRENDS":
-        return s(cols[0]).endswith(s(cols[1]))
+    if fn in ("CONTAINS", "STRSTARTS", "STRENDS"):
+        op = {
+            "CONTAINS": lambda a, b: a.contains(b),
+            "STRSTARTS": lambda a, b: a.startswith(b),
+            "STRENDS": lambda a, b: a.endswith(b),
+        }[fn]
+        return F.when(
+            _args_compatible(cols[0], cols[1]), op(s(cols[0]), s(cols[1]))
+        ).otherwise(F.lit(None).cast("boolean"))
     if fn == "SUBSTR":
+        # XPath fn:substring: positions ROUND (test.rs:213-214), and the
+        # window is [start, start+len) over 1-based positions — a
+        # negative start eats into the length rather than counting from
+        # the end (test.rs:209: SUBSTR("foobar", -2, 6) = "foo")
+        st = F.round(n(cols[1]), 0).cast("int")
+        begin = F.greatest(st, F.lit(1))
         if len(cols) == 2:
-            return s(cols[0]).substr(n(cols[0 + 1]).cast("int"), F.lit(2147483647))
-        return s(cols[0]).substr(n(cols[1]).cast("int"), n(cols[2]).cast("int"))
+            return s(cols[0]).substr(begin, F.lit(2147483647))
+        ln = F.round(n(cols[2]), 0).cast("int")
+        eff = F.greatest(st + ln - begin, F.lit(0))
+        return s(cols[0]).substr(begin, eff)
     if fn == "REPLACE":
-        return F.regexp_replace(s(cols[0]), s(cols[1]), s(cols[2]))
+        pat = s(cols[1])
+        if len(cols) >= 4:  # REPLACE(str, pat, rep, flags)
+            pat = F.concat(F.lit("(?"), s(cols[3]), F.lit(")"), pat)
+        return F.regexp_replace(s(cols[0]), pat, s(cols[2]))
     if fn == "CONCAT":
         return F.concat(*[s(c) for c in cols])
     if fn == "REGEX":
-        return F.regexp_like(s(cols[0]), s(cols[1]))
+        pat = s(cols[1])
+        if len(cols) >= 3:  # REGEX(str, pat, flags)
+            pat = F.concat(F.lit("(?"), s(cols[2]), F.lit(")"), pat)
+        return F.regexp_like(s(cols[0]), pat)
     if fn == "ABS":
         return F.abs(n(cols[0]))
     if fn == "CEIL":
@@ -246,15 +273,27 @@ def _call(fn: str, cols: List[Column], raw_args) -> Column:
     if fn == "STRBEFORE":
         src, sep = s(cols[0]), s(cols[1])
         i = F.instr(src, sep)
-        return F.when(i > 0, F.substring(src, F.lit(1), (i - 1).cast("int"))).otherwise(F.lit(""))
+        return F.when(
+            _args_compatible(cols[0], cols[1]),
+            F.when(i > 0, F.substring(src, F.lit(1), (i - 1).cast("int"))).otherwise(
+                F.lit("")
+            ),
+        ).otherwise(F.lit(None).cast("string"))
     if fn == "STRAFTER":
         src, sep = s(cols[0]), s(cols[1])
         i = F.instr(src, sep)
         return F.when(
-            i > 0, src.substr(i + F.length(sep), F.length(src))
-        ).otherwise(F.lit(""))
+            _args_compatible(cols[0], cols[1]),
+            F.when(i > 0, src.substr(i + F.length(sep), F.length(src))).otherwise(
+                F.lit("")
+            ),
+        ).otherwise(F.lit(None).cast("string"))
     if fn == "ENCODE_FOR_URI":
-        return F.replace(F.url_encode(s(cols[0])), F.lit("+"), F.lit("%20"))
+        # XPath fn:encode-for-uri unreserved set is A-Za-z0-9~.-_ —
+        # java's URLEncoder escapes '~' and keeps '*', fix both
+        e = F.replace(F.url_encode(s(cols[0])), F.lit("+"), F.lit("%20"))
+        e = F.replace(e, F.lit("%7E"), F.lit("~"))
+        return F.replace(e, F.lit("*"), F.lit("%2A"))
     if fn == "SHA384":
         return F.sha2(s(cols[0]).cast("binary"), 384)
     if fn == "SHA512":

@@ -1,0 +1,176 @@
+"""Function-library battery ported from the reference's
+`sparql/src/function/test.rs` (659 cases; representative sample per
+function, adjusted for the documented value-plane deviation: computed
+BIND results are plain Spark values, not retyped RDF literals)."""
+
+import pytest
+
+from sophia_rs_spark.sparql import query
+
+PFX = "PREFIX : <http://example.org/ns/>\n"
+
+
+@pytest.fixture(scope="module")
+def unit(spark):
+    # one-row dataset so BIND-only queries have a binding to extend
+    return spark.createDataFrame(
+        [("<x:s>", "<x:p>", "<x:o>", None)], "s string, p string, o string, g string"
+    )
+
+
+def _eval(spark_df, expr):
+    got = query(
+        spark_df, PFX + f"SELECT ?r WHERE {{ ?s ?p ?o BIND({expr} AS ?r) }}"
+    ).collect()
+    assert len(got) == 1
+    return got[0]["r"]
+
+
+# test.rs:232-240 — STRLEN counts code points, lang/dir-tag stripped
+@pytest.mark.parametrize(
+    "lit,exp",
+    [
+        ('"foobar"', 6),
+        ('"foobar"@en', 6),
+        ('"foobar"@en--ltr', 6),
+        ('"\\u00e9"', 1),
+        ('"⛄"', 1),
+        ('"⛄"@en--rtl', 1),
+    ],
+)
+def test_strlen(unit, lit, exp):
+    assert _eval(unit, f"STRLEN({lit})") == exp
+
+
+# test.rs:204-229 — SUBSTR: XPath rounding, negative/overlong ranges
+@pytest.mark.parametrize(
+    "args,exp",
+    [
+        ('"foobar", 4', "bar"),
+        ('"foobar", 4, 1', "b"),
+        ('"foobar", -2, 6', "foo"),
+        ('"foobar", -2', "foobar"),
+        ('"foobar", 4, 0', ""),
+        ('"foobar", 4, -1', ""),
+        ('"foobar", 0.9, 1.1', "f"),
+        ('"foobar", 1.1, 0.9', "f"),
+        ('"食べ物", 1, 1', "食"),
+        ('"食べ物", 2', "べ物"),
+    ],
+)
+def test_substr(unit, args, exp):
+    assert _eval(unit, f"SUBSTR({args})") == exp
+
+
+# test.rs:249-263 — REPLACE regex semantics incl. flags and groups
+@pytest.mark.parametrize(
+    "args,exp",
+    [
+        ('"abcd", "X", "Z"', "abcd"),
+        ('"abcd", "b", "Z"', "aZcd"),
+        ('"abcb", "B", "Z", "i"', "aZcZ"),
+        ('"abcb", "B.", "Z", "i"', "aZb"),
+        ('"abracadabra", "bra", "*"', "a*cada*"),
+        ('"abracadabra", "a.*a", "*"', "*"),
+        ('"abracadabra", "a", ""', "brcdbr"),
+        ('"AAAA", "A+", "b"', "b"),
+        ('"AAAA", "A+?", "b"', "bbbb"),
+        ('"darted", "^(.*?)d(.*)$", "$1c$2"', "carted"),
+    ],
+)
+def test_replace(unit, args, exp):
+    assert _eval(unit, f"REPLACE({args})") == exp
+
+
+# test.rs:282-316 — UCASE/LCASE full-unicode case mapping (lexical plane)
+@pytest.mark.parametrize(
+    "fn,lit,exp",
+    [
+        ("UCASE", '"foo"', "FOO"),
+        ("UCASE", '"fooBAR 1!⛄xY"', "FOOBAR 1!⛄XY"),
+        ("UCASE", '"àéîôù"', "ÀÉÎÔÙ"),
+        ("LCASE", '"FOO"@en', "foo"),
+        ("LCASE", '"ÀÉÎÔÙ"@fr--ltr', "àéîôù"),
+    ],
+)
+def test_case_mapping(unit, fn, lit, exp):
+    assert _eval(unit, f"{fn}({lit})") == exp
+
+
+# test.rs:325-334 — ENCODE_FOR_URI
+@pytest.mark.parametrize(
+    "lit,exp",
+    [
+        ('"Los Angeles"', "Los%20Angeles"),
+        ('"Los Angeles"@en', "Los%20Angeles"),
+        ('"~bébé"', "~b%C3%A9b%C3%A9"),
+        ('"100% organic"', "100%25%20organic"),
+        ('"⛄"', "%E2%9B%84"),
+    ],
+)
+def test_encode_for_uri(unit, lit, exp):
+    assert _eval(unit, f"ENCODE_FOR_URI({lit})") == exp
+
+
+# test.rs:343+ — CONTAINS/STRSTARTS/STRENDS incl. the argument-
+# compatibility rule: incompatible language tags are an ERROR (NULL)
+@pytest.mark.parametrize(
+    "fn,l,r,exp",
+    [
+        ("CONTAINS", '"foobar"', '"oba"', True),
+        ("CONTAINS", '"foobar"@en', '"oba"', True),
+        ("CONTAINS", '"foobar"@en', '"oba"@en', True),
+        ("CONTAINS", '"foobar"@en', '"oba"@es', None),
+        ("CONTAINS", '"foobar"', '"oba"@en', None),
+        ("STRSTARTS", '"foobar"@en', '"foo"@en', True),
+        ("STRSTARTS", '"foobar"@en', '"bar"@es', None),
+        ("STRENDS", '"foobar"', '"bar"', True),
+        ("STRENDS", '"foobar"@en', '"foo"@es', None),
+    ],
+)
+def test_binary_string_compat(unit, fn, l, r, exp):
+    assert _eval(unit, f"{fn}({l}, {r})") == exp
+
+
+# STRBEFORE/STRAFTER empty-separator and no-match rules + compatibility
+@pytest.mark.parametrize(
+    "fn,l,r,exp",
+    [
+        ("STRBEFORE", '"abc"', '"b"', "a"),
+        ("STRBEFORE", '"abc"', '"xyz"', ""),
+        ("STRBEFORE", '"abc"', '""', ""),
+        ("STRAFTER", '"abc"', '"b"', "c"),
+        ("STRAFTER", '"abc"', '"xyz"', ""),
+        ("STRAFTER", '"abc"', '""', "abc"),
+        ("STRAFTER", '"abc"@en', '"b"@es', None),
+    ],
+)
+def test_strbefore_strafter(unit, fn, l, r, exp):
+    assert _eval(unit, f"{fn}({l}, {r})") == exp
+
+
+# REGEX with flags
+@pytest.mark.parametrize(
+    "args,exp",
+    [
+        ('"abracadabra", "BRA"', False),
+        ('"abracadabra", "BRA", "i"', True),
+        ('"abc", "^ABC$", "i"', True),
+    ],
+)
+def test_regex_flags(unit, args, exp):
+    assert _eval(unit, f"REGEX({args})") == exp
+
+
+# test.rs:143-149 — CONCAT over mixed-language args (lexical plane)
+@pytest.mark.parametrize(
+    "args,exp",
+    [
+        ('"foo", "bar"', "foobar"),
+        ('"foo"@en, "bar"@en', "foobar"),
+        ('"foo"@en, "bar"@es', "foobar"),
+        ('"foo"@en--ltr, "bar"', "foobar"),
+    ],
+)
+def test_concat(unit, args, exp):
+    assert _eval(unit, f"CONCAT({args})") == exp
