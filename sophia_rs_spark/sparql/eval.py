@@ -166,13 +166,16 @@ def _bool(e: A.Expr, df: DataFrame, triples: DataFrame) -> Column:
     raise A.SparqlError(f"cannot compile boolean {op}")
 
 
+_FULL_TAG_RE = r'"@([A-Za-z0-9-]+(?:--(?:ltr|rtl))?)$'
+
+
 def _args_compatible(lc: Column, rc: Column) -> Column:
     """Binary string-function argument compatibility (sparql11-query
-    §17.4.3.1.1): the second arg must be a simple/xsd:string literal or
-    share the first's language tag — otherwise the call is an error
-    (NULL).  Non-literal values count as plain strings."""
-    ll = F.coalesce(FN.lang(lc.cast("string")), F.lit(""))
-    rl = F.coalesce(FN.lang(rc.cast("string")), F.lit(""))
+    §17.4.3.1.1 + RDF 1.2 directions, function test.rs:343-400): the
+    second arg must be a simple/xsd:string literal or carry the first's
+    FULL language+direction tag — otherwise error (NULL)."""
+    ll = F.regexp_extract(lc.cast("string"), _FULL_TAG_RE, 1)
+    rl = F.regexp_extract(rc.cast("string"), _FULL_TAG_RE, 1)
     return (rl == "") | (ll == rl)
 
 

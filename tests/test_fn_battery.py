@@ -174,3 +174,87 @@ def test_regex_flags(unit, args, exp):
 )
 def test_concat(unit, args, exp):
     assert _eval(unit, f"CONCAT({args})") == exp
+
+
+# test.rs:393-400 — direction is part of the compatibility tag
+@pytest.mark.parametrize(
+    "fn,l,r,exp",
+    [
+        ("CONTAINS", '"foobar"@en--ltr', '"oba"@en--ltr', True),
+        ("CONTAINS", '"foobar"@en--ltr', '"oba"', True),
+        ("CONTAINS", '"foobar"@en', '"bar"@en--ltr', None),
+        ("CONTAINS", '"foobar"@en--ltr', '"bar"@en', None),
+        ("STRSTARTS", '"foobar"@en--ltr', '"bar"@en--rtl', None),
+    ],
+)
+def test_direction_compat(unit, fn, l, r, exp):
+    assert _eval(unit, f"{fn}({l}, {r})") == exp
+
+
+# test.rs numeric battery (ABS/CEIL/FLOOR/ROUND on typed literals)
+XSDI = '^^<http://www.w3.org/2001/XMLSchema#integer>'
+XSDD = '^^<http://www.w3.org/2001/XMLSchema#double>'
+
+
+@pytest.mark.parametrize(
+    "expr,exp",
+    [
+        (f'ABS("-3"{XSDI})', 3.0),
+        (f'ABS("2.5"{XSDD})', 2.5),
+        (f'CEIL("2.2"{XSDD})', 3),
+        (f'FLOOR("2.8"{XSDD})', 2),
+        (f'ROUND("2.5"{XSDD})', 3.0),
+        (f'ROUND("-2.5"{XSDD})', -3.0),
+    ],
+)
+def test_numeric(unit, expr, exp):
+    assert _eval(unit, expr) == exp
+
+
+# datetime accessors over canonical xsd:dateTime terms
+DT = '"2010-06-21T11:28:01Z"^^<http://www.w3.org/2001/XMLSchema#dateTime>'
+
+
+@pytest.mark.parametrize(
+    "fn,exp",
+    [
+        ("YEAR", 2010), ("MONTH", 6), ("DAY", 21),
+        ("HOURS", 11), ("MINUTES", 28), ("SECONDS", 1),
+    ],
+)
+def test_datetime_accessors(unit, fn, exp):
+    assert _eval(unit, f"{fn}({DT})") == exp
+
+
+def test_tz_timezone(unit):
+    assert _eval(unit, f"TZ({DT})") == "Z"
+    assert _eval(unit, f"TIMEZONE({DT})") == (
+        '"PT0S"^^<http://www.w3.org/2001/XMLSchema#dayTimeDuration>'
+    )
+    naive = '"2010-06-21T11:28:01"^^<http://www.w3.org/2001/XMLSchema#dateTime>'
+    assert _eval(unit, f"TZ({naive})") == ""
+    assert _eval(unit, f"TIMEZONE({naive})") is None
+
+
+def test_hashes(unit):
+    import hashlib
+
+    for fn, h in [("MD5", hashlib.md5), ("SHA1", hashlib.sha1),
+                  ("SHA256", hashlib.sha256), ("SHA384", hashlib.sha384),
+                  ("SHA512", hashlib.sha512)]:
+        assert _eval(unit, f'{fn}("foo")') == h(b"foo").hexdigest()
+
+
+# LANGMATCHES basic ranges
+@pytest.mark.parametrize(
+    "tag,rng,exp",
+    [
+        ('"en"', '"en"', True),
+        ('"en-GB"', '"en"', True),
+        ('"en"', '"*"', True),
+        ('"fr"', '"en"', False),
+        ('""', '"*"', False),
+    ],
+)
+def test_langmatches(unit, tag, rng, exp):
+    assert _eval(unit, f"LANGMATCHES({tag}, {rng})") == exp
