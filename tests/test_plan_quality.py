@@ -116,3 +116,21 @@ def test_bucketed_term_table_join_has_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS bt_terms")
         spark.sql("DROP TABLE IF EXISTS bt_usage")
+
+
+def test_front_end_bgp_keeps_equi_join_fast_path(spark):
+    """The compatibility-join support must not degrade plain BGP chains:
+    no shared var can be unbound, so the plan stays hash-join (no
+    BroadcastNestedLoopJoin / CartesianProduct from the compat path)."""
+    from sophia_rs_spark.sparql import query
+
+    NS = "http://example.org/ns/"
+    rows = [(f"<{NS}s{i}>", f"<{NS}p{i%3}>", f"<{NS}o{i%5}>", None) for i in range(50)]
+    df = spark.createDataFrame(rows, "s string, p string, o string, g string")
+    got = query(
+        df,
+        f"PREFIX : <{NS}> SELECT ?a ?c WHERE {{ ?a :p0 ?b . ?b :p1 ?c . ?c :p2 ?d }}",
+    )
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
