@@ -379,12 +379,103 @@ def rdfs_saturate(
     return out
 
 
-def entails(graph: DataFrame, query: DataFrame) -> bool:
-    """`ReasonableGraph::entails` (`reasoner/src/_graph_impl.rs:91-99`):
-    after saturation, the query graph is entailed iff it is a subset —
-    left_anti join empty.  (Bnode-free queries only, as in round 1.)"""
-    saturated = rdfs_saturate(graph)
-    missing = query.select("s", "p", "o").join(
-        saturated, ["s", "p", "o"], "left_anti"
+def _is_existential(enc: str) -> bool:
+    """True if the canonical term is (or contains, inside a triple term)
+    a blank node or variable — an existential in the probe graph.
+    Split-based: literals whose TEXT contains '_:' are still ground."""
+    if enc.startswith("_:") or enc.startswith("?"):
+        return True
+    if enc.startswith("<<("):
+        from ..functions.triple_terms import split_triple_term
+
+        parts = split_triple_term(enc)
+        return parts is not None and any(_is_existential(p) for p in parts)
+    return False
+
+
+def _var_name(enc: str) -> str:
+    return "eb_" + enc[2:] if enc.startswith("_:") else "ev_" + enc[1:]
+
+
+def entails(graph: DataFrame, query: DataFrame, saturate: bool = True) -> bool:
+    """`ReasonableGraph::entails` (`reasoner/src/_graph_impl.rs:91-99`,
+    battery `reasoner/src/test.rs:70-95`): the probe graph is entailed
+    iff a homomorphism into the saturated graph exists — blank nodes and
+    variables in the probe are existentials (same label must map to the
+    SAME term), including inside triple terms (matched structurally via
+    the SUBJECT/PREDICATE/OBJECT accessors).  Ground probes reduce to
+    the subset check.  ``saturate=False`` gives simple entailment."""
+    from ..functions import triple_terms as TT
+    from ..operators import bgp as B
+
+    base = (
+        rdfs_saturate(graph)
+        if saturate
+        else graph.select("s", "p", "o").distinct()
     )
-    return missing.limit(1).count() == 0
+    rows = [(r[0], r[1], r[2]) for r in query.select("s", "p", "o").collect()]
+    if not rows:
+        return True  # the empty graph is entailed by anything
+    if not any(_is_existential(t) for row in rows for t in row):
+        missing = query.select("s", "p", "o").join(
+            base, ["s", "p", "o"], "left_anti"
+        )
+        return missing.limit(1).count() == 0
+
+    fresh = [0]
+    var_exprs: dict = {}  # existential label → [(position var, builder)]
+    pos_conds: list = []  # (position var, fn Column→bool) after the join
+
+    def tt_constraints(enc: str, path, vname: str):
+        """Structural constraints for a triple-term pattern: ``path`` is
+        the accessor chain from position column ``vname`` to this term."""
+        parts = TT.split_triple_term(enc)
+        accs = (TT.tt_subject, TT.tt_predicate, TT.tt_object)
+        for acc, part in zip(accs, parts):
+            p = path + (acc,)
+
+            def build(col, _p=p):
+                for a in _p:
+                    col = a(col)
+                return col
+
+            if part.startswith("_:") or part.startswith("?"):
+                var_exprs.setdefault(_var_name(part), []).append((vname, build))
+            elif part.startswith("<<(") and _is_existential(part):
+                tt_constraints(part, p, vname)
+            else:
+                pos_conds.append(
+                    (vname, lambda col, _b=build, _v=part: _b(col) == _v)
+                )
+
+    patterns = []
+    for s, p, o in rows:
+        pat = []
+        for term in (s, p, o):
+            if term.startswith("_:") or term.startswith("?"):
+                pat.append(B.v(_var_name(term)))
+            elif term.startswith("<<(") and _is_existential(term):
+                fresh[0] += 1
+                vname = f"ett_{fresh[0]}"
+                pat.append(B.v(vname))
+                tt_constraints(term, (), vname)
+            else:
+                pat.append(term)
+        patterns.append(tuple(pat))
+
+    df = B.bgp(base, patterns)
+    for vname, fn in pos_conds:
+        df = df.filter(fn(F.col(vname)))
+    # same existential label everywhere → equal values across all its
+    # occurrences (column occurrences are already unified by the BGP
+    # join; tie tt-embedded occurrences to them / to each other)
+    for label, occurrences in var_exprs.items():
+        exprs = []
+        if label in df.columns:
+            exprs.append(F.col(label))
+        for occ in occurrences:
+            vname, builder = occ
+            exprs.append(builder(F.col(vname)))
+        for e in exprs[1:]:
+            df = df.filter(exprs[0] == e)
+    return df.limit(1).count() > 0
