@@ -397,14 +397,24 @@ def _var_name(enc: str) -> str:
     return "eb_" + enc[2:] if enc.startswith("_:") else "ev_" + enc[1:]
 
 
-def entails(graph: DataFrame, query: DataFrame, saturate: bool = True) -> bool:
+def entails(
+    graph: DataFrame,
+    query: DataFrame,
+    saturate: bool = True,
+    d: Optional[str] = None,
+) -> bool:
     """`ReasonableGraph::entails` (`reasoner/src/_graph_impl.rs:91-99`,
     battery `reasoner/src/test.rs:70-95`): the probe graph is entailed
     iff a homomorphism into the saturated graph exists — blank nodes and
     variables in the probe are existentials (same label must map to the
     SAME term), including inside triple terms (matched structurally via
     the SUBJECT/PREDICATE/OBJECT accessors).  Ground probes reduce to
-    the subset check.  ``saturate=False`` gives simple entailment."""
+    the subset check.  ``saturate=False`` gives simple entailment.
+
+    ``d="sparql"`` adds SPARQL D-entailment (`reasoner/src/
+    d_entailment.rs` Sparql): literals of recognized datatypes compare
+    by VALUE (1 ≡ 01 ≡ "1"^^xsd:int ≡ 1.0) and ill-typed literals raise
+    :class:`~..operators.validate.IllTypedError`."""
     from ..functions import triple_terms as TT
     from ..operators import bgp as B
 
@@ -413,13 +423,41 @@ def entails(graph: DataFrame, query: DataFrame, saturate: bool = True) -> bool:
         if saturate
         else graph.select("s", "p", "o").distinct()
     )
+    if d == "sparql":
+        from ..operators.validate import _ILL_MARK, d_normalize_column_batch
+
+        def _norm(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                yield pd.DataFrame(
+                    {c: d_normalize_column_batch(pdf[c]) for c in ("s", "p", "o")}
+                )
+
+        base = base.mapInPandas(_norm, schema="s string, p string, o string")
+        ill = base.filter(
+            F.col("s").startswith(_ILL_MARK)
+            | F.col("p").startswith(_ILL_MARK)
+            | F.col("o").startswith(_ILL_MARK)
+        ).limit(1).collect()
+        if ill:
+            from ..operators.validate import IllTypedError
+
+            bad = next(v for v in ill[0] if v and v.startswith(_ILL_MARK))
+            raise IllTypedError(bad[len(_ILL_MARK):])
+        base = base.localCheckpoint(eager=True)
     rows = [(r[0], r[1], r[2]) for r in query.select("s", "p", "o").collect()]
+    if d == "sparql":
+        from ..operators.validate import d_normalize
+
+        rows = [tuple(d_normalize(t) for t in row) for row in rows]
     if not rows:
         return True  # the empty graph is entailed by anything
     if not any(_is_existential(t) for row in rows for t in row):
-        missing = query.select("s", "p", "o").join(
-            base, ["s", "p", "o"], "left_anti"
+        probe = graph.sparkSession.createDataFrame(
+            rows, "s string, p string, o string"
         )
+        missing = probe.join(base, ["s", "p", "o"], "left_anti")
         return missing.limit(1).count() == 0
 
     fresh = [0]

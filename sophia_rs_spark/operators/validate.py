@@ -9,6 +9,8 @@ RDF (lexical fidelity is preserved end-to-end); D-entailment merely
 
 from __future__ import annotations
 
+import re as _re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -52,3 +54,151 @@ def ill_typed_literals(triples: DataFrame) -> DataFrame:
 
     t = atoms(triples).filter(F.col("kind") == 2).select("term").distinct()
     return t.filter(is_ill_typed(F.col("term")))
+
+
+# ---------------------------------------------------------------------------
+# SPARQL D-entailment value normalization (reasoner/src/d_entailment.rs:
+# Sparql recognizes the xsd numeric tower + boolean + dateTime + string;
+# ill-typed literals are an ERROR, and literals are compared by VALUE —
+# 1, 01, "1"^^xsd:int and 1.0 all share the decimal value space).
+# ---------------------------------------------------------------------------
+
+
+class IllTypedError(ValueError):
+    pass
+
+
+_DECIMAL_FAMILY_RANGES = {
+    # datatype → (min, max) or None for unbounded; lexical must be integer
+    # digits unless noted
+    "integer": None,
+    "long": (-(2**63), 2**63 - 1),
+    "int": (-(2**31), 2**31 - 1),
+    "short": (-(2**15), 2**15 - 1),
+    "byte": (-(2**7), 2**7 - 1),
+    "nonNegativeInteger": (0, None),
+    "positiveInteger": (1, None),
+    "negativeInteger": (None, -1),
+    "nonPositiveInteger": (None, 0),
+    "unsignedLong": (0, 2**64 - 1),
+    "unsignedInt": (0, 2**32 - 1),
+    "unsignedShort": (0, 2**16 - 1),
+    "unsignedByte": (0, 2**8 - 1),
+}
+
+_INT_RE = _re.compile(r"^[+-]?\d+$")
+_DEC_RE = _re.compile(r"^[+-]?(\d+(\.\d*)?|\.\d+)$")
+_FLT_RE = _re.compile(r"^([+-]?(\d+(\.\d*)?|\.\d+)([eE][+-]?\d+)?|[+-]?INF|NaN)$")
+_BOOL_MAP = {"true": "true", "1": "true", "false": "false", "0": "false"}
+_DT_RE = _re.compile(
+    r"^-?\d{4,}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}(\.\d+)?(Z|[+-]\d{2}:\d{2})?$"
+)
+
+
+def _canon_decimal(lex_s: str) -> str:
+    from decimal import Decimal
+
+    d = Decimal(lex_s)
+    if d == d.to_integral_value():
+        return str(int(d))
+    s = format(d.normalize(), "f")
+    return s
+
+
+def _canon_float(lex_s: str) -> str:
+    if lex_s in ("INF", "+INF"):
+        return "INF"
+    if lex_s == "-INF":
+        return "-INF"
+    if lex_s == "NaN":
+        return "NaN"
+    return repr(float(lex_s))
+
+
+def d_normalize(enc: str) -> str:
+    """Value-canonical form of a canonical term under SPARQL D-entailment
+    (test battery `reasoner/src/test.rs:160-260`): decimal-family
+    literals collapse to one value key, double/float to theirs, booleans
+    to true/false, timezoned dateTimes to the UTC instant.  Raises
+    :class:`IllTypedError` for recognized datatypes with lexicals
+    outside the lexical space or value range.  Recurses into triple
+    terms."""
+    if enc.startswith("<<("):
+        from ..functions.triple_terms import split_triple_term
+
+        parts = split_triple_term(enc)
+        if parts is None:
+            return enc
+        s, p, o = (d_normalize(x) for x in parts)
+        return f"<<( {s} {p} {o} )>>"
+    if not enc.startswith('"'):
+        return enc
+    m = _re.match(r'^"((?:[^"\\]|\\.)*)"\^\^<([^>]*)>$', enc)
+    if m is None:
+        return enc  # plain / language-tagged: already canonical
+    lex_s, dt = m.group(1), m.group(2)
+    if not dt.startswith(XSD):
+        return enc
+    typ = dt[len(XSD):]
+    try:
+        if typ == "decimal":
+            if not _DEC_RE.match(lex_s):
+                raise IllTypedError(enc)
+            return f'"\x01dec:{_canon_decimal(lex_s)}"'
+        if typ in _DECIMAL_FAMILY_RANGES:
+            if not _INT_RE.match(lex_s):
+                raise IllTypedError(enc)
+            v = int(lex_s)
+            rng = _DECIMAL_FAMILY_RANGES[typ]
+            if rng is not None:
+                lo, hi = rng
+                if (lo is not None and v < lo) or (hi is not None and v > hi):
+                    raise IllTypedError(enc)
+            return f'"\x01dec:{v}"'
+        if typ in ("double", "float"):
+            if not _FLT_RE.match(lex_s):
+                raise IllTypedError(enc)
+            return f'"\x01{typ}:{_canon_float(lex_s)}"'
+        if typ == "boolean":
+            if lex_s not in _BOOL_MAP:
+                raise IllTypedError(enc)
+            return f'"\x01bool:{_BOOL_MAP[lex_s]}"'
+        if typ == "dateTime":
+            if not _DT_RE.match(lex_s):
+                raise IllTypedError(enc)
+            from datetime import datetime, timezone
+
+            body = lex_s
+            if body.endswith("Z"):
+                body = body[:-1] + "+00:00"
+            try:
+                dtv = datetime.fromisoformat(body)
+            except ValueError:
+                raise IllTypedError(enc)
+            if dtv.tzinfo is not None:
+                return f'"\x01dtz:{dtv.astimezone(timezone.utc).isoformat()}"'
+            return f'"\x01dtn:{dtv.isoformat()}"'
+    except IllTypedError:
+        raise
+    except (ValueError, ArithmeticError):
+        raise IllTypedError(enc)
+    return enc
+
+
+_ILL_MARK = "\x00illtyped:"
+
+
+def d_normalize_column_batch(series):
+    """pandas helper: normalize a series of canonical terms; ill-typed
+    terms map to a marker the caller turns into an error (a pandas UDF
+    cannot usefully raise)."""
+    out = []
+    for enc in series:
+        if enc is None:
+            out.append(None)
+            continue
+        try:
+            out.append(d_normalize(enc))
+        except IllTypedError:
+            out.append(_ILL_MARK + enc)
+    return out

@@ -61,3 +61,64 @@ def test_simple_entail(spark, g1, g2, exp, name):
     assert entails(graph, probe, saturate=False) is exp
     # RDFS saturation must not change simple-entailment verdicts here
     assert entails(graph, probe) is exp
+
+
+XSD_PFX = "PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>\n"
+
+D_CASES = [
+    (":s :p 01 .", ":s :p 1 .", "graph non-normalized integer"),
+    (":s :p 1 .", ":s :p 01 .", "probe non-normalized integer"),
+    (":s :p 1.00 .", ":s :p 1.0 .", "graph non-normalized decimal"),
+    (":s :p 1.0 .", ":s :p 1.00 .", "probe non-normalized decimal"),
+    (":s :p 10e-1 .", ":s :p 1e0 .", "graph non-normalized double"),
+    (":s :p 1e0 .", ":s :p 10e-1 .", "probe non-normalized double"),
+    (':s :p "1"^^xsd:boolean.', ":s :p true .", "graph non-normalized boolean"),
+    (":s :p true .", ':s :p "1"^^xsd:boolean.', "probe non-normalized boolean"),
+    (':s :p "01"^^xsd:int .', ':s :p "1"^^xsd:int .', "graph non-normalized int"),
+    (':s :p "1"^^xsd:int .', ':s :p "01"^^xsd:int .', "probe non-normalized int"),
+    (":s :p <<( :a :b 01 )>>.", ":s :p <<( :a :b 1 )>>.", "tt integer"),
+    (":s :p <<( :a :b 1.0 )>>.", ":s :p <<( :a :b 1.00 )>>.", "tt decimal"),
+    (":s :p <<( :a :b 10e-1 )>>.", ":s :p <<( :a :b 1e0 )>>.", "tt double"),
+    (':s :p <<( :a :b "1"^^xsd:boolean)>>.', ":s :p <<( :a :b true )>>.", "tt boolean"),
+    (":s :p 1 .", ":s :p 1.0 .", "integer entails decimal"),
+    (":s :p 1.0 .", ":s :p 1 .", "decimal entails integer"),
+    (':s :p "1"^^xsd:int .', ":s :p 1.0 .", "int entails decimal"),
+    (":s :p 1.0 .", ':s :p "1"^^xsd:int .', "decimal entails int"),
+    (":s :p <<( :a :b 1 )>>.", ":s :p <<( :a :b 1.0 )>>.", "tt integer entails decimal"),
+    (":s :p <<( :a :b 1.0 )>>.", ':s :p <<( :a :b "1"^^xsd:int )>>.', "tt decimal entails int"),
+]
+
+
+@pytest.mark.parametrize("g1,g2,name", D_CASES, ids=[c[2] for c in D_CASES])
+def test_d_sparql_entailment(spark, g1, g2, name):
+    graph = _df(spark, XSD_PFX + g1, "http://g1.example/")
+    probe = _df(spark, XSD_PFX + g2, "http://g2.example/")
+    # simple entailment (no D) does NOT equate the variants...
+    assert entails(graph, probe, saturate=False) is False
+    # ...SPARQL D-entailment does (reasoner/src/test.rs:212-260)
+    assert entails(graph, probe, saturate=False, d="sparql") is True
+
+
+ILL_CASES = [
+    ':s :p "foo"^^xsd:integer.',
+    ':s :p "foo"^^xsd:decimal.',
+    ':s :p "foo"^^xsd:double.',
+    ':s :p "foo"^^xsd:boolean.',
+    ':s :p "foo"^^xsd:dateTime.',
+    ':s :p "foo"^^xsd:int.',
+    ':s :p "299"^^xsd:byte.',
+    ':s :p "-1"^^xsd:positiveInteger.',
+    ':a1 :p1 <<( :a :b "c"^^xsd:integer )>>.',
+]
+
+
+@pytest.mark.parametrize("g1", ILL_CASES)
+def test_d_sparql_ill_typed(spark, g1):
+    from sophia_rs_spark.operators.validate import IllTypedError
+
+    graph = _df(spark, XSD_PFX + g1, "http://g1.example/")
+    probe = _df(spark, XSD_PFX + ":x :y :z.", "http://g2.example/")
+    # without D: no error (ill-typed literals are legal RDF)
+    entails(graph, probe, saturate=False)
+    with pytest.raises(IllTypedError):
+        entails(graph, probe, saturate=False, d="sparql")
