@@ -88,7 +88,11 @@ _DECIMAL_FAMILY_RANGES = {
 
 _INT_RE = _re.compile(r"^[+-]?\d+$")
 _DEC_RE = _re.compile(r"^[+-]?(\d+(\.\d*)?|\.\d+)$")
-_FLT_RE = _re.compile(r"^([+-]?(\d+(\.\d*)?|\.\d+)([eE][+-]?\d+)?|[+-]?INF|NaN)$")
+# inf/nan case-insensitively, like the reference's recognizer (Rust
+# f64 parsing in sophia's Sparql D — test.rs:41-42 uses "+inf"/"nan")
+_FLT_RE = _re.compile(
+    r"^([+-]?(\d+(\.\d*)?|\.\d+)([eE][+-]?\d+)?|[+-]?(?i:inf)|(?i:nan))$"
+)
 _BOOL_MAP = {"true": "true", "1": "true", "false": "false", "0": "false"}
 _DT_RE = _re.compile(
     r"^-?\d{4,}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}(\.\d+)?(Z|[+-]\d{2}:\d{2})?$"
@@ -106,11 +110,12 @@ def _canon_decimal(lex_s: str) -> str:
 
 
 def _canon_float(lex_s: str) -> str:
-    if lex_s in ("INF", "+INF"):
+    low = lex_s.lower()
+    if low in ("inf", "+inf"):
         return "INF"
-    if lex_s == "-INF":
+    if low == "-inf":
         return "-INF"
-    if lex_s == "NaN":
+    if low == "nan":
         return "NaN"
     return repr(float(lex_s))
 

@@ -122,3 +122,36 @@ def test_d_sparql_ill_typed(spark, g1):
     entails(graph, probe, saturate=False)
     with pytest.raises(IllTypedError):
         entails(graph, probe, saturate=False, d="sparql")
+
+
+def test_literal_normalization_sparql(spark):
+    """reasoner/src/test.rs:33-70: under SPARQL D-recognition the two
+    list graphs normalize to the same values (01=1, 1.00=1.0, 1000e-3=
+    1e0, +inf/INF, nan/NaN, "01"^^int="1"^^int; unrecognized datatypes
+    keep lexical identity)."""
+    from sophia_rs_spark.operators.c14n import isomorphic
+    from sophia_rs_spark.operators.validate import d_normalize
+
+    g1 = (XSD_PFX + '<x:s> <x:p> ( 01 1.00 1000e-3 "+inf"^^xsd:double '
+          '"nan"^^xsd:float "01"^^xsd:int "foo"^^<x:unrecognized> ).')
+    g2 = (XSD_PFX + '<x:s> <x:p> ( 1 1.0 1e0 "INF"^^xsd:double '
+          '"NaN"^^xsd:float "1"^^xsd:int "foo"^^<x:unrecognized> ).')
+    q1 = [
+        tuple(d_normalize(t) for t in (r[1], r[2], r[3])) + (None,)
+        for r in parse_turtle_document("http://a.example/", g1)
+    ]
+    q2 = [
+        tuple(d_normalize(t) for t in (r[1], r[2], r[3])) + (None,)
+        for r in parse_turtle_document("http://b.example/", g2)
+    ]
+    assert isomorphic(q1, q2)
+    # and WITHOUT normalization they differ
+    r1 = [
+        (r[1], r[2], r[3], None)
+        for r in parse_turtle_document("http://a.example/", g1)
+    ]
+    r2 = [
+        (r[1], r[2], r[3], None)
+        for r in parse_turtle_document("http://b.example/", g2)
+    ]
+    assert not isomorphic(r1, r2)
