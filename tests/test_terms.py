@@ -222,3 +222,58 @@ class TestRelativize:
             r = iri.relativize(b, t, max_parents=5)
             if r is not None:
                 assert iri.resolve(b, r) == t, (b, t, r)
+
+
+class TestReferenceIriBattery:
+    """The reference's complete IRI battery (`iri/src/test.rs`):
+    RELATIVE_IRIS (RFC 3986 §5.4.1 + §5.4.2 verbatim) against resolve(),
+    NEGATIVE_IRIS against the validator."""
+
+    RELATIVE = [
+        ("g:h", "g:h"), ("g", "http://a/b/c/g"), ("./g", "http://a/b/c/g"),
+        ("g/", "http://a/b/c/g/"), ("/g", "http://a/g"), ("//g", "http://g"),
+        ("?y", "http://a/b/c/d;p?y"), ("g?y", "http://a/b/c/g?y"),
+        ("#s", "http://a/b/c/d;p?q#s"), ("g#s", "http://a/b/c/g#s"),
+        ("g?y#s", "http://a/b/c/g?y#s"), (";x", "http://a/b/c/;x"),
+        ("g;x", "http://a/b/c/g;x"), ("g;x?y#s", "http://a/b/c/g;x?y#s"),
+        ("", "http://a/b/c/d;p?q"), (".", "http://a/b/c/"),
+        ("./", "http://a/b/c/"), ("..", "http://a/b/"), ("../", "http://a/b/"),
+        ("../g", "http://a/b/g"), ("../..", "http://a/"),
+        ("../../", "http://a/"), ("../../g", "http://a/g"),
+        ("../../../g", "http://a/g"), ("../../../../g", "http://a/g"),
+        ("/./g", "http://a/g"), ("/../g", "http://a/g"),
+        ("g.", "http://a/b/c/g."), (".g", "http://a/b/c/.g"),
+        ("g..", "http://a/b/c/g.."), ("..g", "http://a/b/c/..g"),
+        ("./../g", "http://a/b/g"), ("./g/.", "http://a/b/c/g/"),
+        ("g/./h", "http://a/b/c/g/h"), ("g/../h", "http://a/b/c/h"),
+        ("g;x=1/./y", "http://a/b/c/g;x=1/y"),
+        ("g;x=1/../y", "http://a/b/c/y"),
+        ("g?y/./x", "http://a/b/c/g?y/./x"),
+        ("g?y/../x", "http://a/b/c/g?y/../x"),
+        ("g#s/./x", "http://a/b/c/g#s/./x"),
+        ("g#s/../x", "http://a/b/c/g#s/../x"),
+    ]
+
+    def test_relative_iris(self):
+        for ref, expected in self.RELATIVE:
+            assert iri.resolve("http://a/b/c/d;p?q", ref) == expected, ref
+
+    NEGATIVE = [
+        "http://[/", "http://a/[", "http://a/]", "http://a/|", "http://a/ ",
+        "[", "]", "|", " ",
+    ]
+
+    def test_negative_iris(self):
+        for bad in self.NEGATIVE:
+            assert not iri.is_valid_iri_ref(bad), bad
+
+    POSITIVE = [
+        "http:", "http://example.org", "http://127.0.0.1", "http://[::]",
+        "http://%0D", "http://example.org/", "http://éxample.org/",
+        "http://user:pw@example.org:1234/", "http://example.org/foo/bar/baz",
+        "http://example.org/foo/.././/bar",
+    ]
+
+    def test_positive_iris(self):
+        for good in self.POSITIVE:
+            assert iri.is_valid_iri_ref(good), good
