@@ -63,10 +63,9 @@ def _pattern_df(ctx: _Ctx, tp: A.TriplePattern) -> DataFrame:
     for term in (tp.s, tp.p, tp.o):
         pat.append(B.v(term.name) if isinstance(term, A.Var) else term)
     if gvar:
-        df = B.match_pattern(
-            t.withColumnRenamed("g", gvar), [*pat, B.v(gvar)]
-        )
-        return df
+        # the g position participates like any other: Var(gvar) projects
+        # g (and unifies if gvar repeats an s/p/o variable)
+        return B.match_pattern(t, [*pat, B.v(gvar)])
     return B.match_pattern(t, pat)
 
 

@@ -194,7 +194,7 @@ TOKEN_RE = re.compile(
     | (?P<boolean>(?i:true|false)(?![{_PN_CHARS}:]))
     | (?P<pname>(?:{_PN_PREFIX})?:(?:{_PN_LOCAL})?)
     | (?P<dtsep>\^\^)
-    | (?P<op>&&|\|\||!=|<=|>=|[=<>!*/+\-|^?;,.(){{}}])
+    | (?P<op>&&|\|\||!=|<=|>=|[=<>!*/+\-|^?;,.(){{}}\[\]])
     """
 )
 
@@ -225,6 +225,7 @@ class _P:
         self.base = base
         self.prefixes: dict[str, str] = {}
         self.bnode_ctr = 0
+        self._anon = 0
 
     def peek(self, k: int = 0):
         j = self.pos + k
@@ -317,7 +318,14 @@ class _P:
         if k == "kw" and raw.upper() == "A":
             return RDF_TYPE_T
         if k == "op" and raw == "[":
-            raise SparqlError("anonymous bnodes not supported in query patterns")
+            # [] = anonymous bnode pattern — a fresh existential variable
+            # (property lists inside [...] are not supported in queries)
+            if self.op("]"):
+                self._anon += 1
+                return Var(f"anonb{self._anon}")
+            raise SparqlError(
+                "bnode property lists not supported in query patterns"
+            )
         raise SparqlError(f"bad term {raw!r} at {pos}")
 
     # -- property paths --------------------------------------------------------
