@@ -40,18 +40,20 @@ def reverse(pairs: DataFrame) -> DataFrame:
 
 
 def sequence(p1: DataFrame, p2: DataFrame) -> DataFrame:
-    """`path1/path2` (exec.rs:358-378): join on the intermediate node."""
+    """`path1/path2` (exec.rs:358-378): join on the intermediate node.
+    BAG semantics — each derivation counts (sparql test.rs "alt of
+    seqs": duplicate rows per distinct mid node); only the closure
+    paths (* + ?) are set-based per the SPARQL spec."""
     a, b = p1.alias("a"), p2.alias("b")
-    return (
-        a.join(b, F.col("a.dst") == F.col("b.src"))
-        .select(F.col("a.src").alias("src"), F.col("b.dst").alias("dst"))
-        .distinct()
+    return a.join(b, F.col("a.dst") == F.col("b.src")).select(
+        F.col("a.src").alias("src"), F.col("b.dst").alias("dst")
     )
 
 
 def alternative(p1: DataFrame, p2: DataFrame) -> DataFrame:
-    """`path1|path2` (exec.rs:379-382)."""
-    return p1.unionByName(p2).distinct()
+    """`path1|path2` (exec.rs:379-382).  BAG semantics (a pair reachable
+    through both arms appears twice, test.rs "alt with multiple paths")."""
+    return p1.unionByName(p2)
 
 
 def negated_property_set(triples: DataFrame, predicates: List[str]) -> DataFrame:

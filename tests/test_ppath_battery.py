@@ -1,0 +1,115 @@
+"""Property-path battery ported from `sparql/src/test.rs:254-711`
+(test_ppath over dataset_ppath): bag semantics for alt/seq, set
+semantics for closures, triple terms as graph nodes, inverse paths."""
+
+import pytest
+
+from sophia_rs_spark.sources.turtle import parse_turtle_document
+from sophia_rs_spark.sparql import query
+
+DATA = """
+PREFIX : <x:>
+
+:a1 :p :b1.
+:b1 :p :c1.
+:c1 :p :d1.
+:d1 :p :e1.
+
+:a2 :q :b2.
+:b2 :q :c2.
+:c2 :q :d2.
+:d2 :q :e2, :b2.
+
+:a1 :r :a2.
+:b1 :r :b2.
+:c1 :r :c2.
+:d1 :r :d2.
+:e1 :r :e2.
+
+:a1 :s :b1.
+
+:d1 :t <<( :a1 :b1 :c1 )>>.
+:d2 :t <<( :a2 :b1 :c2 )>>.
+"""
+
+QPFX = "PREFIX : <x:> "
+
+TT1 = "<<( <x:a1> <x:b1> <x:c1> )>>"
+TT2 = "<<( <x:a2> <x:b1> <x:c2> )>>"
+
+CASES = [
+    ("SELECT ?s ?o { ?s :q|:z ?o }",
+     [("<x:a2>", "<x:b2>"), ("<x:b2>", "<x:c2>"), ("<x:c2>", "<x:d2>"),
+      ("<x:d2>", "<x:b2>"), ("<x:d2>", "<x:e2>")], "alt"),
+    ("SELECT ?s ?o { ?s :p|:s ?o }",
+     [("<x:a1>", "<x:b1>"), ("<x:a1>", "<x:b1>"), ("<x:b1>", "<x:c1>"),
+      ("<x:c1>", "<x:d1>"), ("<x:d1>", "<x:e1>")], "alt with multiple paths"),
+    ("SELECT ?s ?o { ?s (:p/:r)|(:r/:q) ?o }",
+     [("<x:a1>", "<x:b2>"), ("<x:a1>", "<x:b2>"), ("<x:b1>", "<x:c2>"),
+      ("<x:b1>", "<x:c2>"), ("<x:c1>", "<x:d2>"), ("<x:c1>", "<x:d2>"),
+      ("<x:d1>", "<x:b2>"), ("<x:d1>", "<x:e2>"), ("<x:d1>", "<x:e2>")],
+     "alt of seqs"),
+    ("SELECT ?s ?o { ?s (:p|:s)/:p ?o }",
+     [("<x:a1>", "<x:c1>"), ("<x:a1>", "<x:c1>"), ("<x:b1>", "<x:d1>"),
+      ("<x:c1>", "<x:e1>")], "seq with multiple paths"),
+    ("SELECT ?s ?o { ?s (:p/:r)|(:q/^:r) ?o }",
+     [("<x:a1>", "<x:b2>"), ("<x:a2>", "<x:b1>"), ("<x:b1>", "<x:c2>"),
+      ("<x:b2>", "<x:c1>"), ("<x:c1>", "<x:d2>"), ("<x:c2>", "<x:d1>"),
+      ("<x:d1>", "<x:e2>"), ("<x:d2>", "<x:b1>"), ("<x:d2>", "<x:e1>")],
+     "alt of seqs with rev"),
+]
+
+
+@pytest.fixture(scope="module")
+def ds(spark):
+    rows = parse_turtle_document("x:doc", DATA)
+    bad = [r[5] for r in rows if r[5]]
+    assert bad == [], bad
+    df = spark.createDataFrame(
+        [(r[1], r[2], r[3], None) for r in rows],
+        "s string, p string, o string, g string",
+    )
+    df.cache().count()
+    yield df
+    df.unpersist()
+
+
+@pytest.mark.parametrize("q,exp,name", CASES, ids=[c[2] for c in CASES])
+def test_ppath(ds, q, exp, name):
+    got = query(ds, QPFX + q)
+    vals = sorted((r["s"], r["o"]) for r in got.collect())
+    assert vals == sorted(exp), name
+
+
+def test_ppath_star_includes_tt_nodes(ds):
+    """:p* — set semantics; triple terms are nodes and appear in the
+    zero-length pairs (test.rs ':p*' case)."""
+    got = query(ds, QPFX + "SELECT ?s ?o { ?s :p* ?o }")
+    vals = {(r["s"], r["o"]) for r in got.collect()}
+    # zero-length pairs for tt nodes
+    assert (TT1, TT1) in vals and (TT2, TT2) in vals
+    # full :p chain from a1
+    for dst in ("<x:a1>", "<x:b1>", "<x:c1>", "<x:d1>", "<x:e1>"):
+        assert ("<x:a1>", dst) in vals
+    # no cross-chain pairs
+    assert ("<x:a2>", "<x:b1>") not in vals
+    # set semantics: no duplicates
+    rows = [(r["s"], r["o"]) for r in got.collect()]
+    assert len(rows) == len(set(rows))
+
+
+def test_ppath_plus_and_zero_or_one(ds):
+    got = query(ds, QPFX + "SELECT ?s ?o { ?s :p+ ?o }")
+    vals = {(r["s"], r["o"]) for r in got.collect()}
+    assert ("<x:a1>", "<x:e1>") in vals and ("<x:a1>", "<x:a1>") not in vals
+    got2 = query(ds, QPFX + "SELECT ?s ?o { ?s :q? ?o }")
+    v2 = {(r["s"], r["o"]) for r in got2.collect()}
+    assert ("<x:a2>", "<x:b2>") in v2  # one step
+    assert ("<x:a1>", "<x:a1>") in v2  # zero-length for every node
+    assert (TT1, TT1) in v2
+
+
+def test_ppath_negated_set(ds):
+    got = query(ds, QPFX + "SELECT ?s ?o { :a1 !(:p|:r|:t|:d) ?o . BIND(:a1 AS ?s) }")
+    vals = {r["o"] for r in got.collect()}
+    assert vals == {"<x:b1>"}  # only :s remains from a1
