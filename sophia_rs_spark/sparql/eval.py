@@ -110,7 +110,14 @@ def _term_col(e: A.Expr, df: DataFrame) -> Column:
     if e.op == "arith":
         sym, l, r = e.args
         ln, rn = _num_from_col(_term_col(l, df)), _num_from_col(_term_col(r, df))
-        return {"+": ln + rn, "-": ln - rn, "*": ln * rn, "/": ln / rn}[sym]
+        if sym == "/":
+            # division by zero is an evaluation error (NULL) in the
+            # integer/decimal plane (xpath op:numeric-divide); doubles
+            # would give INF — documented deviation, we error for both
+            return F.when(rn != 0.0, ln / rn).otherwise(
+                F.lit(None).cast("double")
+            )
+        return {"+": ln + rn, "-": ln - rn, "*": ln * rn}[sym]
     raise A.SparqlError(f"cannot compile {e.op} as value")
 
 
@@ -162,6 +169,13 @@ def _bool(e: A.Expr, df: DataFrame, triples: DataFrame) -> Column:
         return c.cast("boolean")
     if op == "var":
         return FN.ebv(F.col(e.args[0]))
+    if op in ("term", "arith", "neg"):
+        # EBV of a constant / computed value (sparql11-query 17.2.2):
+        # canonical terms through FN.ebv, plain numerics non-zero
+        c = _term_col(e, df)
+        return F.when(
+            c.cast("string").rlike('^["<_]'), FN.ebv(c.cast("string"))
+        ).otherwise(c.cast("string").try_cast("double") != 0.0)
     raise A.SparqlError(f"cannot compile boolean {op}")
 
 
@@ -179,8 +193,13 @@ def _args_compatible(lc: Column, rc: Column) -> Column:
 
 
 def _call(fn: str, cols: List[Column], raw_args) -> Column:
+    # string view: lexical form for terms; plain computed values via
+    # cast, with integral doubles rendered integer-style ("1", not
+    # "1.0" — arithmetic flattens to double in our value plane)
     s = lambda c: F.when(c.cast("string").startswith('"'), FN.lex(c.cast("string"))).otherwise(
-        F.when(c.cast("string").startswith("<"), FN.str_(c.cast("string"))).otherwise(c.cast("string"))
+        F.when(c.cast("string").startswith("<"), FN.str_(c.cast("string"))).otherwise(
+            F.regexp_replace(c.cast("string"), r"^(-?\d+)\.0$", "$1")
+        )
     )
     n = _num_from_col
     if fn == "STR":

