@@ -692,6 +692,7 @@ class _P:
                     targets.append(self.parse_term(allow_var=False))
                 else:
                     break
+            from_graphs, from_named = self._parse_dataset_clauses()
             where = Group()
             if self.kw("WHERE") or (
                 self.peek() is not None
@@ -700,6 +701,8 @@ class _P:
             ):
                 where = self.parse_group()
             q = Query("describe", [], [], where)
+            q.from_graphs = from_graphs
+            q.from_named = from_named
             q.template = [
                 TriplePattern(t, RDF_TYPE_T, t) for t in targets
             ]  # reuse template slot to carry targets
