@@ -330,7 +330,12 @@ class TestDescribe:
             data, PFX + 'DESCRIBE ?s WHERE { ?s :name ?n FILTER(LANG(?n) = "en") }'
         )
         rows = {(r["s"], r["p"]) for r in got.collect()}
-        assert rows == {("<http://example.org/ns/carol>", "<http://example.org/ns/name>")}
+        # symmetric CBD (test.rs:2352-2455): carol's outgoing name AND
+        # the incoming bob-knows-carol edge
+        assert rows == {
+            ("<http://example.org/ns/carol>", "<http://example.org/ns/name>"),
+            ("<http://example.org/ns/bob>", "<http://example.org/ns/knows>"),
+        }
 
 
 class TestCompatJoinSemantics:
