@@ -232,7 +232,11 @@ def construct(
     parts = []
     for s, p, o in templates:
         cols = [
-            (F.col(t.name) if isinstance(t, Var) else F.lit(t)).alias(pos)
+            (
+                F.col(t.name)
+                if isinstance(t, Var)
+                else (t if isinstance(t, Column) else F.lit(t))
+            ).alias(pos)
             for t, pos in ((s, "s"), (p, "p"), (o, "o"))
         ]
         part = df.select(*cols).filter(

@@ -548,14 +548,26 @@ def evaluate(triples: DataFrame, q: A.Query):
 
     if q.form == "construct":
         df, _cm = _eval_group(ctx, q.where)
-        tmpl = [
-            (
-                t.s if not isinstance(t.s, A.Var) else B.v(t.s.name),
-                t.p if not isinstance(t.p, A.Var) else B.v(t.p.name),
-                t.o if not isinstance(t.o, A.Var) else B.v(t.o.name),
+        # bnodes in the template ([] or _:label) mint a fresh bnode per
+        # SOLUTION (same label → same bnode within one solution); keyed
+        # by a hash of the full binding (construct_iter.rs bnode map)
+        sol_cols = [F.col(c) for c in df.columns] or [F.lit(0)]
+
+        def inst(t):
+            if isinstance(t, A.Var):
+                if t.name in df.columns:
+                    return B.v(t.name)
+                label = t.name  # unbound var in template = bnode-like
+            elif isinstance(t, str) and t.startswith("_:"):
+                label = t[2:]
+            else:
+                return t
+            return F.concat(
+                F.lit(f"_:ct{label}x"),
+                F.lower(F.hex(F.xxhash64(*sol_cols))),
             )
-            for t in q.template
-        ]
+
+        tmpl = [(inst(t.s), inst(t.p), inst(t.o)) for t in q.template]
         return B.construct(df, tmpl)
 
     return _select_df(ctx, q)[0]

@@ -711,8 +711,11 @@ class _P:
         if self.kw("CONSTRUCT"):
             tmpl_group = self.parse_group()
             template = [e for e in tmpl_group.elements if isinstance(e, TriplePattern)]
-            self.expect_kw("WHERE")
+            from_graphs, from_named = self._parse_dataset_clauses()
+            self.kw("WHERE")  # optional before the group
             q = Query("construct", [], [], self.parse_group(), template=template)
+            q.from_graphs = from_graphs
+            q.from_named = from_named
             self._parse_modifiers(q)
             self._check_end()
             return q

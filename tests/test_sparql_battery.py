@@ -198,3 +198,39 @@ def test_multiple_aggregates_battery(spark, ds):
     assert got["cy"] == 7 and got["cdy"] == 5
     assert float(got["ay"]) == 13.0 and float(got["ady"]) == 13.0
     assert float(str(got["miny"]).strip('"').split('"')[0] if isinstance(got["miny"], str) else got["miny"]) >= 0  # see below
+
+
+# test.rs:2294-2305 — CONSTRUCT battery (template bnodes fresh per
+# solution; the generalized-collection template case is out of scope)
+def test_construct_simple(ds):
+    got = query(ds, QPFX + "CONSTRUCT { <x:s> <x:p> <x:o> } {}")
+    assert [tuple(r) for r in got.collect()] == [("<x:s>", "<x:p>", "<x:o>")]
+
+
+def test_construct_template_bnodes(ds):
+    got = query(
+        ds, QPFX + "CONSTRUCT { [] a ?o } { VALUES ?o { 1 2 } }"
+    ).collect()
+    assert len(got) == 2
+    subs = {r["s"] for r in got}
+    objs = {r["o"] for r in got}
+    assert len(subs) == 2 and all(s.startswith("_:") for s in subs)
+    assert objs == {
+        '"1"^^<http://www.w3.org/2001/XMLSchema#integer>',
+        '"2"^^<http://www.w3.org/2001/XMLSchema#integer>',
+    }
+
+
+def test_construct_shared_template_bnode(ds):
+    # same [] label twice in one template row → same bnode per solution
+    got = query(
+        ds,
+        QPFX + "CONSTRUCT { _:n <x:p1> ?o . _:n <x:p2> ?o } "
+        "{ VALUES ?o { 1 2 } }",
+    ).collect()
+    by_o = {}
+    for r in got:
+        by_o.setdefault(r["o"], set()).add(r["s"])
+    for o, subs in by_o.items():
+        assert len(subs) == 1  # same bnode across the two triples
+    assert len({next(iter(s)) for s in by_o.values()}) == 2  # fresh per solution
