@@ -211,7 +211,12 @@ def _call(fn: str, cols: List[Column], raw_args) -> Column:
     if fn == "BOUND":
         return cols[0].isNotNull()
     if fn in ("IRI", "URI"):
-        return FN.iri_term(s(cols[0]))
+        # valid on IRIs (pass-through) and string literals only —
+        # bnodes/triple terms error to NULL (function.rs:84-107)
+        c = cols[0].cast("string")
+        return F.when(FN.is_iri(c), c).when(
+            FN.is_blank(c) | FN.is_triple(c), F.lit(None).cast("string")
+        ).otherwise(FN.iri_term(s(cols[0])))
     if fn == "STRLEN":
         return F.length(s(cols[0]))
     if fn == "UCASE":
@@ -583,7 +588,18 @@ def _select_df(ctx: _Ctx, q: A.Query):
     for ge, galias in q.group_exprs:
         df = df.withColumn(galias, _term_col(ge, df))
 
-    # aggregates
+    # aggregates — inside GRAPH ?g the subquery is evaluated per active
+    # graph (exec.rs "single active graph"): the graph var joins the
+    # grouping keys implicitly and stays bound for the enclosing group
+    group_by = list(q.group_by)
+    gname = ctx.graph.name if isinstance(ctx.graph, A.Var) else None
+    if (
+        (q.aggregates or q.group_by)
+        and gname
+        and gname in df.columns
+        and gname not in group_by
+    ):
+        group_by.insert(0, gname)
     if q.aggregates or q.group_by:
         maybe |= {a.alias for a in q.aggregates}  # agg over empty → NULL
         aggs = []
@@ -632,8 +648,8 @@ def _select_df(ctx: _Ctx, q: A.Query):
                 aggs.append(F.first(c, ignorenulls=True).alias(a.alias))
             else:
                 raise A.SparqlError(f"unsupported aggregate {a.fn}")
-        if q.group_by:
-            df = df.groupBy(*q.group_by).agg(*aggs)
+        if group_by:
+            df = df.groupBy(*group_by).agg(*aggs)
         else:
             df = df.agg(*aggs)
 
@@ -656,7 +672,10 @@ def _select_df(ctx: _Ctx, q: A.Query):
         df = df.orderBy(*keys)
 
     if q.variables:
-        df = df.select(*[v for v in q.variables if v in df.columns])
+        keep = [v for v in q.variables if v in df.columns]
+        if gname and gname in df.columns and gname not in keep:
+            keep.append(gname)  # the active-graph var stays visible
+        df = df.select(*keep)
     if q.distinct:
         df = df.dropDuplicates()
     if q.offset:

@@ -533,6 +533,14 @@ class _P:
     def parse_group(self) -> Group:
         self.expect_op("{")
         g = Group()
+        # GroupGraphPattern ::= '{' ( SubSelect | GroupGraphPatternSub ) '}'
+        # — SELECT directly after '{' is a subselect (e.g. GRAPH ?g { SELECT … })
+        t0 = self.peek()
+        if t0 is not None and t0[0] == "kw" and t0[1].upper() == "SELECT":
+            q = self.parse_query_body()
+            self.expect_op("}")
+            g.elements.append(SubSelect(q))
+            return g
         while True:
             t = self.peek()
             if t is None:

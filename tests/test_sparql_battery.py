@@ -234,3 +234,59 @@ def test_construct_shared_template_bnode(ds):
     for o, subs in by_o.items():
         assert len(subs) == 1  # same bnode across the two triples
     assert len({next(iter(s)) for s in by_o.values()}) == 2  # fresh per solution
+
+
+# test.rs:962-1023 — GRAPH scoping of nested OPTIONAL/NOT EXISTS/MINUS/join
+GRAPH_OPT_DATA = """
+PREFIX : <x:>
+:g {
+  :s1 :p :o1.
+  :s2 :p :o2.
+  :a1 :q :s1.
+}
+"""
+
+GRAPH_OPT_CASES = [
+    ("SELECT ?g ?x { GRAPH ?g { ?x :p []. } }",
+     [("<x:g>", "<x:s1>"), ("<x:g>", "<x:s2>")], "graph only"),
+    ("SELECT ?g ?x { GRAPH ?g { ?x :p []. OPTIONAL { ?a :q ?x } } }",
+     [("<x:g>", "<x:s1>"), ("<x:g>", "<x:s2>")], "graph and optional"),
+    ("SELECT ?g ?x { GRAPH ?g { ?x :p []. FILTER NOT EXISTS { ?a :q ?x } } }",
+     [("<x:g>", "<x:s2>")], "graph and filter not exists"),
+    ("SELECT ?g ?x { GRAPH ?g { ?x :p []. MINUS { ?a :q ?x } } }",
+     [("<x:g>", "<x:s2>")], "graph and minus"),
+    ("SELECT ?g ?x { GRAPH ?g { ?x :p []. { ?a :q ?x } } }",
+     [("<x:g>", "<x:s1>")], "graph and join"),
+]
+
+
+@pytest.fixture(scope="module")
+def gods(spark):
+    rows = parse_turtle_document("x:doc2", GRAPH_OPT_DATA, quads=True)
+    assert not [r[5] for r in rows if r[5]]
+    df = spark.createDataFrame(
+        [(r[1], r[2], r[3], r[4]) for r in rows],
+        "s string, p string, o string, g string",
+    )
+    df.cache().count()
+    yield df
+    df.unpersist()
+
+
+@pytest.mark.parametrize("q,exp,name", GRAPH_OPT_CASES, ids=[c[2] for c in GRAPH_OPT_CASES])
+def test_graph_and_optional(gods, q, exp, name):
+    got = query(gods, "PREFIX : <x:> " + q)
+    vals = sorted((r["g"], r["x"]) for r in got.collect())
+    assert vals == sorted(exp), name
+
+
+def test_count_in_graph(ds):
+    """test.rs:1025-1046: subquery under GRAPH ?g aggregates PER active
+    graph; IRI(bnode graph name) errors to unbound."""
+    got = query(
+        ds,
+        "SELECT (IRI(?g) as ?h) ?c { GRAPH ?g { SELECT (COUNT(*) as ?c) "
+        "{ ?s ?p ?o } } }",
+    ).collect()
+    rows = {( _norm(r["h"]) if r["h"] else None, int(r["c"])) for r in got}
+    assert rows == {(None, 1), ("<https://example.org/test#g>", 2)}
