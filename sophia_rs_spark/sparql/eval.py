@@ -107,6 +107,9 @@ def _term_col(e: A.Expr, df: DataFrame) -> Column:
         return _call(e.args[0], [ _term_col(a, df) for a in e.args[1] ], e.args[1])
     if e.op == "neg":
         return -_num(e.args[0], df)
+    if e.op in ("cmp", "and", "or", "not", "in"):
+        # boolean expression used as a value (BIND((?a = ?b) AS ?x))
+        return _bool(e, df, df)
     if e.op == "arith":
         sym, l, r = e.args
         ln, rn = _num_from_col(_term_col(l, df)), _num_from_col(_term_col(r, df))
@@ -133,6 +136,28 @@ def _num_from_col(c: Column) -> Column:
     )
 
 
+_RECOGNIZED_DTS = None  # built lazily (needs FN constants)
+
+
+def _lit_unrecognized(term_str: Column) -> Column:
+    """Literal with an unrecognized datatype OR an ill-formed lexical for
+    a recognized one — the operands that poison = / != (test.rs matrix)."""
+    global _RECOGNIZED_DTS
+    from ..operators.validate import is_ill_typed
+    from ..terms.model import RDF, XSD
+
+    if _RECOGNIZED_DTS is None:
+        _RECOGNIZED_DTS = FN._NUMERIC_DTS + [
+            f"{XSD}string",
+            f"{RDF}langString",
+            f"{RDF}dirLangString",
+            f"{XSD}boolean",
+            f"{XSD}dateTime",
+            f"{XSD}date",
+        ]
+    return ~FN.datatype(term_str).isin(_RECOGNIZED_DTS) | is_ill_typed(term_str)
+
+
 def _bool(e: A.Expr, df: DataFrame, triples: DataFrame) -> Column:
     op = e.op
     if op == "and":
@@ -144,10 +169,13 @@ def _bool(e: A.Expr, df: DataFrame, triples: DataFrame) -> Column:
     if op == "cmp":
         sym, l, r = e.args
         lc, rc = _term_col(l, df), _term_col(r, df)
+        ls, rs = lc.cast("string"), rc.cast("string")
         ln, rn = _num_from_col(lc), _num_from_col(rc)
         numeric = ln.isNotNull() & rn.isNotNull()
-        lex_l = F.when(lc.cast("string").startswith('"'), FN.lex(lc.cast("string"))).otherwise(lc.cast("string"))
-        lex_r = F.when(rc.cast("string").startswith('"'), FN.lex(rc.cast("string"))).otherwise(rc.cast("string"))
+        ldt, rdt = FN.xsd_datetime(ls), FN.xsd_datetime(rs)
+        both_dt = ldt.isNotNull() & rdt.isNotNull()
+        lex_l = F.when(ls.startswith('"'), FN.lex(ls)).otherwise(ls)
+        lex_r = F.when(rs.startswith('"'), FN.lex(rs)).otherwise(rs)
         ops = {
             "=": lambda a, b: a == b,
             "!=": lambda a, b: a != b,
@@ -156,7 +184,36 @@ def _bool(e: A.Expr, df: DataFrame, triples: DataFrame) -> Column:
             "<=": lambda a, b: a <= b,
             ">=": lambda a, b: a >= b,
         }
-        return F.when(numeric, ops[sym](ln, rn)).otherwise(ops[sym](lex_l, lex_r))
+        if sym in ("=", "!="):
+            # RDFterm-equal + D (matrix `sparql/src/test.rs:2048-2158`):
+            # same term → equal; numeric/dateTime by value; two literals
+            # where either has an unrecognized datatype or an ill-formed
+            # lexical → type error (NULL); anything else → not equal.
+            # Plain computed values count as simple literals.
+            def termify(c):
+                return F.when(c.rlike('^["<_]'), c).otherwise(
+                    F.concat(F.lit('"'), c, F.lit('"'))
+                )
+
+            lt, rt = termify(ls), termify(rs)
+            eq = (
+                F.when(lt.eqNullSafe(rt), F.lit(True))
+                .when(numeric, ln == rn)
+                .when(both_dt, ldt == rdt)
+                .when(
+                    lt.startswith('"')
+                    & rt.startswith('"')
+                    & (_lit_unrecognized(lt) | _lit_unrecognized(rt)),
+                    F.lit(None).cast("boolean"),
+                )
+                .otherwise(F.lit(False))
+            )
+            return eq if sym == "=" else ~eq
+        return (
+            F.when(numeric, ops[sym](ln, rn))
+            .when(both_dt, ops[sym](ldt, rdt))
+            .otherwise(ops[sym](lex_l, lex_r))
+        )
     if op == "in":
         target, items = e.args
         tc = _term_col(target, df)

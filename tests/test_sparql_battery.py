@@ -290,3 +290,84 @@ def test_count_in_graph(ds):
     ).collect()
     rows = {( _norm(r["h"]) if r["h"] else None, int(r["c"])) for r in got}
     assert rows == {(None, 1), ("<https://example.org/test#g>", 2)}
+
+
+# test.rs:2048-2158 — RDFterm-equal matrix (= / != incl. type errors)
+EQ_TERMS = {
+    "iri": "<x:xyz>", "bnode": "_:xyz", "string": '"xyz"',
+    "langString": '"xyz"@en', "dirLangString": '"xyz"@en--ltr',
+    "unrecognized": '"xyz"^^<x:unrecognized>',
+    "illformed": '"xyz"^^xsd:integer',
+    "tterm": '<<( _:xyz <x:xyz> "xyz" )>>',
+    "iri2": "<x:xyz2>", "string2": '"xyz2"',
+    "unrecognized2": '"xyz2"^^<x:unrecognized>',
+    "illformed2": '"xyz2"^^xsd:integer',
+}
+
+EQ_MATRIX = [
+    ("iri", "iri", True), ("iri", "bnode", False), ("iri", "string", False),
+    ("iri", "unrecognized", False), ("iri", "illformed", False),
+    ("iri", "tterm", False),
+    ("bnode", "bnode", True), ("bnode", "string", False),
+    ("string", "string", True), ("string", "langString", False),
+    ("string", "dirLangString", False), ("string", "unrecognized", None),
+    ("string", "illformed", None), ("string", "tterm", False),
+    ("langString", "langString", True), ("langString", "dirLangString", False),
+    ("langString", "unrecognized", None),
+    ("dirLangString", "dirLangString", True),
+    ("unrecognized", "bnode", False), ("unrecognized", "string", None),
+    ("unrecognized", "unrecognized", True), ("unrecognized", "illformed", None),
+    ("unrecognized", "tterm", False),
+    ("illformed", "illformed", True), ("illformed", "tterm", False),
+    ("tterm", "tterm", True),
+    ("iri", "iri2", False), ("string", "string2", False),
+    ("unrecognized", "unrecognized2", None), ("illformed", "illformed2", None),
+]
+
+
+@pytest.mark.parametrize(
+    "k1,k2,exp", EQ_MATRIX, ids=[f"{a}-{b}" for a, b, _ in EQ_MATRIX]
+)
+def test_term_equality_matrix(spark, k1, k2, exp):
+    rows = []
+    for name, enc in EQ_TERMS.items():
+        doc = f'PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>\n<x:{name}> <x:p> {enc}.\n'
+        parsed = parse_turtle_document("x:eqdoc", doc)
+        assert not [r[5] for r in parsed if r[5]], (name, parsed)
+        rows += [(r[1], r[2], r[3], None) for r in parsed]
+    df = spark.createDataFrame(rows, "s string, p string, o string, g string")
+    got = query(
+        df,
+        "PREFIX : <x:> SELECT ?eq ?neq { "
+        f"<x:{k1}> :p ?v1. <x:{k2}> :p ?v2. "
+        "BIND((?v1 = ?v2) AS ?eq) BIND((?v1 != ?v2) AS ?neq) }",
+    ).collect()[0]
+    if exp is None:
+        assert got["eq"] is None and got["neq"] is None
+    else:
+        assert got["eq"] is exp and got["neq"] is (not exp)
+
+
+# test.rs:2210-2231 — strict < over values (numeric/string/lang/bool/dateTime)
+LT_CASES = [
+    ("42", "43"), ("42", "43.0"), ("42", "43e0"), ("42.0", "43e0"),
+    ('""', '"a"'), ('"a"', '"ab"'), ('"a"', '"b"'), ('"10"', '"2"'),
+    ('""@en', '"a"@en'), ('"a"@en', '"b"@en'),
+    ('""@en--ltr', '"a"@en--ltr'),
+    ("false", "true"),
+    ('"2024-03-25T00:00:00Z"^^xsd:dateTime',
+     '"2024-03-25T00:00:01Z"^^xsd:dateTime'),
+    # timezone-aware: 01:00+01:00 is the SAME instant as 00:00Z
+    ('"2024-03-25T00:00:00Z"^^xsd:dateTime',
+     '"2024-03-25T01:00:01+01:00"^^xsd:dateTime'),
+]
+
+
+@pytest.mark.parametrize("e1,e2", LT_CASES, ids=[f"{a}<{b}" for a, b in LT_CASES])
+def test_expr_lt(ds, e1, e2):
+    got = query(
+        ds,
+        "PREFIX xsd: <http://www.w3.org/2001/XMLSchema#> "
+        f"SELECT ?lt ?ge {{ BIND(({e1} < {e2}) AS ?lt) BIND(({e1} >= {e2}) AS ?ge) }}",
+    ).collect()[0]
+    assert got["lt"] is True and got["ge"] is False
