@@ -44,8 +44,18 @@ class _Ctx:
         return t.filter(F.col("g") == self.graph).drop("g")
 
 
+def _qterm(t):
+    """Blank-node labels in QUERY patterns are variables scoped to the
+    query (sparql11-query §4.1.4) — not matches on skolemized data
+    bnodes (test.rs:152-162)."""
+    if isinstance(t, str) and t.startswith("_:"):
+        return A.Var("bnq_" + t[2:])
+    return t
+
+
 def _pattern_df(ctx: _Ctx, tp: A.TriplePattern) -> DataFrame:
     t = ctx.scoped()
+    tp = A.TriplePattern(_qterm(tp.s), tp.p, _qterm(tp.o))
     gvar = ctx.graph.name if isinstance(ctx.graph, A.Var) else None
 
     if isinstance(tp.p, A.PathExpr):
@@ -539,8 +549,17 @@ def _eval_group(ctx: _Ctx, g: A.Group):
             }
             join(vdf, undef)
         elif isinstance(el, A.GraphClause):
-            sub, sm = _eval_group(_Ctx(ctx.all, el.name), el.group)
-            join(sub, sm)
+            if not el.group.elements:
+                # GRAPH <g> {} / GRAPH ?g {}: matches iff the graph
+                # EXISTS in the dataset (test.rs:185-188)
+                sc = _Ctx(ctx.all, el.name).scoped()
+                if isinstance(el.name, A.Var):
+                    join(sc.select(F.col("g").alias(el.name.name)).distinct())
+                else:
+                    join(sc.limit(1).select())  # ≤1 zero-column row
+            else:
+                sub, sm = _eval_group(_Ctx(ctx.all, el.name), el.group)
+                join(sub, sm)
         else:
             raise A.SparqlError(f"unknown group element {el!r}")
 

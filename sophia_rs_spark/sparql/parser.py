@@ -189,7 +189,7 @@ TOKEN_RE = re.compile(
     | (?P<double>[+-]?(?:\d+\.\d*|\.\d+|\d+)[eE][+-]?\d+)
     | (?P<decimal>[+-]?\d*\.\d+)
     | (?P<integer>[+-]?\d+)
-    | (?P<bnode>_:[{_PN_CHARS_U}0-9][{_PN_CHARS}.]*)
+    | (?P<bnode>_:[{_PN_CHARS_U}0-9](?:[{_PN_CHARS}.]*[{_PN_CHARS}])?)
     | (?P<kw>(?i:{_KEYWORDS})(?![{_PN_CHARS}:]))
     | (?P<boolean>(?i:true|false)(?![{_PN_CHARS}:]))
     | (?P<pname>(?:{_PN_PREFIX})?:(?:{_PN_LOCAL})?)
@@ -683,7 +683,11 @@ class _P:
             break
 
         if self.kw("ASK"):
+            from_graphs, from_named = self._parse_dataset_clauses()
+            self.kw("WHERE")  # optional
             q = Query("ask", [], [], self.parse_group())
+            q.from_graphs = from_graphs
+            q.from_named = from_named
             self._check_end()
             return q
         if self.kw("DESCRIBE"):

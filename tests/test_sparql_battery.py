@@ -371,3 +371,90 @@ def test_expr_lt(ds, e1, e2):
         f"SELECT ?lt ?ge {{ BIND(({e1} < {e2}) AS ?lt) BIND(({e1} >= {e2}) AS ?ge) }}",
     ).collect()[0]
     assert got["lt"] is True and got["ge"] is False
+
+
+# test.rs:152-217 — repeated vars/bnodes, empty-GRAPH asks, 2-var selects,
+# UNION with disjoint vars, REDUCED/DISTINCT
+def test_multiple_occurrences_variable(spark):
+    rows = [
+        ("<t:a>", "<t:p>", "<t:a>", None),
+        ("<t:a>", "<t:p>", "<t:b>", None),
+        ("<t:c>", "<t:p>", "<t:a>", None),
+    ]
+    df = spark.createDataFrame(rows, "s string, p string, o string, g string")
+    got = query(df, "SELECT ?x { ?x <t:p> ?x }")
+    assert [r["x"] for r in got.collect()] == ["<t:a>"]
+    # bnode in the probe acts as a plain variable inside a query
+    got2 = query(df, "SELECT ?x { ?x <t:p> _:y. _:y <t:p> _:y. }")
+    assert sorted(r["x"] for r in got2.collect()) == ["<t:a>", "<t:c>"]
+
+
+GRAPH_ASK_CASES = [
+    ("SELECT * { GRAPH <https://example.org/test#g> {} }", False, "graph exist"),
+    ("SELECT * { GRAPH <https://example.org/test#absent> {} }", True, "graph not exist"),
+    ("SELECT * FROM NAMED <#g> { GRAPH <https://example.org/test#g> {} }",
+     False, "graph exist and named"),
+    ("SELECT * FROM NAMED <#h> { GRAPH <https://example.org/test#g> {} }",
+     True, "graph exist but not named"),
+]
+
+
+@pytest.mark.parametrize("q,empty,name", GRAPH_ASK_CASES, ids=[c[2] for c in GRAPH_ASK_CASES])
+def test_empty_graph_pattern(ds, q, empty, name):
+    got = query(ds, QPFX + q)
+    assert (got.count() == 0) is empty, name
+    ask = query(ds, QPFX + q.replace("SELECT *", "ASK"))
+    assert ask is (not empty), name
+
+
+def test_union_disjoint_vars(ds):
+    got = query(
+        ds,
+        QPFX + "SELECT ?p ?e { { ?p a s:Person } UNION { ?e a s:Event } }",
+    ).collect()
+    rows = sorted(((r["p"], r["e"]) for r in got), key=lambda t: (t[0] is None, t))
+    assert len(rows) == 2
+    a = [r for r in rows if r[0] is not None][0]
+    b = [r for r in rows if r[0] is None][0]
+    assert a[0] == "<https://example.org/test#a>" and a[1] is None
+    assert b[1].startswith("_:")
+
+
+def test_select_two_vars_optional_condition(ds):
+    # OPTIONAL with a filter folded into the join condition
+    got = query(
+        ds,
+        QPFX + 'SELECT ?x ?y { ?x a ?z. OPTIONAL { ?x s:name ?y. FILTER (?y < "B") } }',
+    ).collect()
+    by_x = {_norm(r["x"]): r["y"] for r in got}
+    assert by_x["<https://example.org/test#a>"] == '"Alice"'
+    assert by_x["_:b"] is None  # "Bob's birthday party" >= "B" → unbound
+
+
+def test_reduced_and_distinct(ds):
+    got = query(ds, QPFX + 'SELECT DISTINCT ?x { VALUES ?x { "a" "a" "b" "a" } }')
+    assert sorted(r["x"] for r in got.collect()) == ['"a"', '"b"']
+    # REDUCED may eliminate any amount of duplication (full dedup legal)
+    got2 = query(ds, QPFX + 'SELECT REDUCED ?x { VALUES ?x { "a" "a" "b" "a" } }')
+    assert sorted(set(r["x"] for r in got2.collect())) == ['"a"', '"b"']
+
+
+def test_limit_offset_pagination(ds):
+    # test.rs:763-797: paging through [] ?p [] with every limit 1..6
+    all_ps = sorted(
+        r["p"] for r in query(ds, QPFX + "SELECT ?p { [] ?p [] }").collect()
+    )
+    assert len(all_ps) == 5
+    for limit in range(1, 7):
+        got, offset = [], 0
+        while True:
+            page = query(
+                ds, QPFX + f"SELECT ?p {{ [] ?p [] }} OFFSET {offset} LIMIT {limit}"
+            ).collect()
+            exp_len = 0 if offset >= 5 else min(limit, 5 - offset)
+            assert len(page) == exp_len, (limit, offset)
+            got += [r["p"] for r in page]
+            if exp_len == 0:
+                break
+            offset += limit
+        assert sorted(got) == all_ps, limit
