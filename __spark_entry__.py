@@ -551,6 +551,25 @@ def _q_sparql_agg_distinct(spark, sf):
     )
 
 
+def _q_sparql_minmax(spark, sf):
+    """MIN/MAX over plain typed-literal variables through the text
+    front-end — SPARQL VALUE order, not string order (the r2 confirmed
+    bug: lexicographic MIN of {"2","10"} returned "10";
+    aggregate_iter.rs:274-308 sparql_order_by)."""
+    from sophia_rs_spark.sparql import query as sparql_query
+
+    t = spark_triples(spark, sf).select("s", "p", "o")
+    return sparql_query(
+        t,
+        f"""
+        PREFIX voc: <{VOC}>
+        SELECT ?r (MIN(?k) AS ?lo) (MAX(?k) AS ?hi)
+        WHERE {{ ?n voc:inRegion ?r . ?n voc:key ?k }}
+        GROUP BY ?r
+        """,
+    )
+
+
 def _q_mm_features(spark, sf):
     """Multimodal feature core: REAL PNG payloads (stdlib zlib encode)
     decoded by the real PNG path (decode_png: chunk CRCs, inflate,
@@ -563,6 +582,20 @@ def _q_mm_features(spark, sf):
     )
 
     return byte_histogram(synthesize_png_assets(spark, 200), dim=16)
+
+
+def _q_mm_frames(spark, sf):
+    """Video frame extraction: REAL AVI payloads (RIFF + uncompressed
+    BI_RGB DIB frames: BGR order, bottom-up scanlines, 4-byte row
+    padding) decoded frame-by-frame, then a per-frame byte histogram —
+    the arithmetic pixel pattern makes the oracle pure SQL
+    (multimodal.py synthesize_avi_assets)."""
+    from sophia_rs_spark.operators.multimodal import (
+        frame_histogram,
+        synthesize_avi_assets,
+    )
+
+    return frame_histogram(synthesize_avi_assets(spark, 150), dim=16)
 
 
 def _q_path_plus(spark, sf):
@@ -700,8 +733,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_select": _q_sparql_select,
         "sparql_agg": _q_sparql_agg,
         "sparql_agg_distinct": _q_sparql_agg_distinct,
+        "sparql_minmax": _q_sparql_minmax,
         # multimodal (real PNG decode path)
         "mm_features": _q_mm_features,
+        "mm_frames": _q_mm_frames,
         # property paths + entailment
         "path_plus": _q_path_plus,
         "rdfs_closure": _q_rdfs_closure,
@@ -1183,6 +1218,41 @@ b AS (
 )
 SELECT asset_id, bucket, count(*) AS cnt
 FROM b GROUP BY asset_id, bucket
+""".strip()
+
+    # arithmetic twin of the decoded AVI frames: byte k of frame f of
+    # asset a is (a*31 + f*13 + k*7) % 256 over (4+a%4)x(4+a%3)x3
+    # pixels and 2+a%3 frames (synthesize_avi_assets)
+    qs["mm_frames"] = """
+WITH a AS (SELECT unnest(generate_series(0, 149)) AS asset_id),
+dims AS (
+  SELECT asset_id,
+         (4 + asset_id % 4) * (4 + asset_id % 3) * 3 AS L,
+         2 + asset_id % 3 AS NF
+  FROM a
+),
+fr AS (
+  SELECT asset_id, L, CAST(f AS INT) AS frame_idx
+  FROM dims, UNNEST(generate_series(0, CAST(NF - 1 AS BIGINT))) AS gf(f)
+),
+b AS (
+  SELECT asset_id, frame_idx,
+         CAST(((asset_id * 31 + frame_idx * 13 + k * 7) % 256) % 16 AS INT) AS bucket
+  FROM fr, UNNEST(generate_series(0, CAST(L - 1 AS BIGINT))) AS g(k)
+)
+SELECT asset_id, frame_idx, bucket, count(*) AS cnt
+FROM b GROUP BY asset_id, frame_idx, bucket
+""".strip()
+
+    # MIN/MAX in SPARQL VALUE order over "k"^^xsd:integer terms —
+    # the oracle computes numeric min/max on the base table and
+    # re-wraps the canonical literal
+    _int_sfx = '"^^<http://www.w3.org/2001/XMLSchema#integer>'
+    qs["sparql_minmax"] = f"""
+SELECT '<{EX}region/' || CAST(n_regionkey AS VARCHAR) || '>' AS r,
+       '"' || CAST(MIN(n_nationkey) AS VARCHAR) || '{_int_sfx}' AS lo,
+       '"' || CAST(MAX(n_nationkey) AS VARCHAR) || '{_int_sfx}' AS hi
+FROM nation GROUP BY 1
 """.strip()
 
     qs["sparql_agg_distinct"] = with_triples(

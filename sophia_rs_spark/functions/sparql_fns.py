@@ -341,3 +341,29 @@ def order_key(term: Column):
         lang(term),
         F.when(is_literal(term), lex(term)).otherwise(term),
     ]
+
+
+def order_key_any(c: Column):
+    """:func:`order_key` for columns that may hold PLAIN computed values
+    (BIND of arithmetic, native numeric aggregates) alongside canonical
+    terms.  Plain values order like simple literals of their value: the
+    numeric key is taken from either plane (term literal through the
+    SPARQL numeric layer, plain value through cast), everything else
+    over the simple-literal wrapping.  This is the key `sparql_order_by`
+    uses for MIN/MAX and ORDER BY (exec.rs:826-893,
+    aggregate_iter.rs:274-308)."""
+    cs = c.cast("string")
+    t = F.when(cs.rlike('^["<_]'), cs).otherwise(
+        F.concat(F.lit('"'), cs, F.lit('"'))
+    )
+    nv = F.when(cs.startswith('"'), numeric_value(cs)).otherwise(
+        cs.try_cast("double")
+    )
+    return [
+        c.isNotNull(),
+        kind(t),
+        nv,
+        datatype(t),
+        lang(t),
+        F.when(is_literal(t), lex(t)).otherwise(t),
+    ]

@@ -150,14 +150,41 @@ def optional(
     return out.select(*keep)
 
 
-def minus(left: DataFrame, right: DataFrame) -> DataFrame:
+def minus(
+    left: DataFrame, right: DataFrame, nullable: Sequence[str] = ()
+) -> DataFrame:
     """SPARQL MINUS (`sparql/src/exec.rs:754-790`): anti-join on shared
     vars; when domains are disjoint NOTHING is removed (≠ plain anti-join
-    — the edge case SURVEY.md §2.5 flags)."""
+    — the edge case SURVEY.md §2.5 flags).
+
+    ``nullable`` shared vars may be UNBOUND on either side (UNDEF,
+    post-OPTIONAL): MINUS removes a left row iff some right row is
+    COMPATIBLE (unbound = wildcard) AND their bound domains overlap —
+    same semantics as :func:`join_bindings`, anti-joined."""
     shared = [c for c in left.columns if c in right.columns]
     if not shared:
         return left
-    return left.join(right.select(*shared).distinct(), shared, "left_anti")
+    compat = [c for c in shared if c in set(nullable)]
+    if not compat:
+        # fast path: all shared vars bound both sides → equi anti-join
+        return left.join(right.select(*shared).distinct(), shared, "left_anti")
+    la = left.alias("l")
+    ra = right.select(*shared).distinct().alias("r")
+    conds = [
+        F.col(f"l.{c}").isNull()
+        | F.col(f"r.{c}").isNull()
+        | (F.col(f"l.{c}") == F.col(f"r.{c}"))
+        for c in compat
+    ] + [F.col(f"l.{c}") == F.col(f"r.{c}") for c in shared if c not in compat]
+    # dom(l) ∩ dom(r) ≠ ∅ — compatibility with NO overlap does not remove
+    overlap = reduce(
+        lambda a, b: a | b,
+        [F.col(f"l.{c}").isNotNull() & F.col(f"r.{c}").isNotNull() for c in shared],
+    )
+    cond = reduce(lambda a, b: a & b, conds) & overlap
+    return la.join(ra, cond, "left_anti").select(
+        *[F.col(f"l.{c}").alias(c) for c in left.columns]
+    )
 
 
 def union_bindings(a: DataFrame, b: DataFrame) -> DataFrame:

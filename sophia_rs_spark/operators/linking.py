@@ -75,10 +75,15 @@ def connected_components(
                 ).alias("comp"),
                 F.col("comp").alias("_prev"),
             )
-            .localCheckpoint(eager=True)
+            # lazy: materialized by the changed-count job below — ONE
+            # driver action per round, not two (checkpoint + isEmpty)
+            .localCheckpoint(eager=False)
         )
         labels = stepped.select("member", "comp")
-        if stepped.filter(F.col("comp") != F.col("_prev")).isEmpty():
+        changed = stepped.agg(
+            F.sum((F.col("comp") != F.col("_prev")).cast("int")).alias("c")
+        ).first()["c"]
+        if not changed:
             break
     if stats is not None:
         stats["iterations"] = iters
@@ -153,7 +158,9 @@ def connected_components_alternating(
     for i in range(max_iter):
         iters = i + 1
         stepped = _small_star(_large_star(cur))
-        stepped = stepped.localCheckpoint(eager=True)
+        # lazy: the signature aggregate materializes the checkpoint —
+        # one driver action per round
+        stepped = stepped.localCheckpoint(eager=False)
         nsig = _sig(stepped)
         cur = stepped
         if nsig == sig:

@@ -1,13 +1,15 @@
 """Multimodal columns: image/audio/video as opaque BINARY + typed metadata.
 
-Driver-brief component.  Two REAL decode paths ship pure-stdlib (no
-PIL/soundfile needed): PNG (zlib inflate + chunk CRCs + all five
-scanline filters; 8-bit gray/RGB/RGBA non-interlaced) and WAV (RIFF
-PCM).  Exotic variants (16-bit/interlaced/palette PNG, non-PCM WAV) and
-foreign containers raise ``NotImplementedError`` → per-row quarantine,
-the same error-channel contract as the parsers.  The deterministic FAKE
-container remains for plumbing tests of the video path (no pure-python
-video codec is practical).
+Driver-brief component.  Three REAL decode paths ship pure-stdlib (no
+PIL/soundfile/ffmpeg needed): PNG (zlib inflate + chunk CRCs + all five
+scanline filters; 8-bit gray/RGB/RGBA non-interlaced), WAV (RIFF PCM),
+and AVI video (RIFF tree walk; uncompressed BI_RGB 24-bit DIB frames —
+BGR order, bottom-up scanlines, 4-byte row padding — unpacked to
+top-down RGB per frame).  Exotic variants (16-bit/interlaced/palette
+PNG, non-PCM WAV, any compressed AVI codec) and foreign containers
+raise ``NotImplementedError`` → per-row quarantine, the same
+error-channel contract as the parsers.  The deterministic FAKE
+container remains for plumbing tests.
 
 FAKE container format (deterministic, seedable):
 ``b"FAKE" + kind(3s) + width(u32le) + height(u32le) + channels(u8) + body``
@@ -195,6 +197,112 @@ def decode_wav(data: bytes) -> Tuple[int, int, int, bytes]:
     return len(pcm) // block, rate, channels, pcm
 
 
+def encode_avi(
+    width: int, height: int, frames: list, fps: int = 10
+) -> bytes:
+    """Minimal REAL AVI encoder: RIFF 'AVI ' container, one 'vids'
+    stream of uncompressed BI_RGB 24-bit DIB frames ('00db' chunks —
+    bottom-up scanlines, BGR pixel order, rows padded to 4 bytes, per
+    the Windows BITMAPINFOHEADER conventions).  ``frames`` are logical
+    top-down row-major RGB byte strings of length width*height*3."""
+    row = width * 3
+    pad = (-row) % 4
+
+    def dib(frame: bytes) -> bytes:
+        out = bytearray()
+        for y in range(height - 1, -1, -1):  # bottom-up
+            r = bytearray(frame[y * row : (y + 1) * row])
+            r[0::3], r[2::3] = r[2::3], r[0::3]  # RGB → BGR
+            out += r + b"\x00" * pad
+        return bytes(out)
+
+    frame_size = (row + pad) * height
+    strh = b"vids" + b"DIB " + struct.pack(
+        "<IHHIIIIIIII4H",
+        0, 0, 0, 0,  # flags, priority, language, initial frames
+        1, fps,  # scale, rate → fps frames/sec
+        0, len(frames), frame_size, 0xFFFFFFFF, 0,  # start, length, bufsize, quality, sample size
+        0, 0, width, height,  # rcFrame
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, frame_size, 0, 0, 0, 0
+    )
+    strl = b"LIST" + struct.pack("<I", 4 + 8 + len(strh) + 8 + len(strf)) + b"strl"
+    strl += b"strh" + struct.pack("<I", len(strh)) + strh
+    strl += b"strf" + struct.pack("<I", len(strf)) + strf
+    avih = struct.pack(
+        "<14I",
+        1_000_000 // fps, frame_size * fps, 0, 0x10,  # us/frame, bytes/sec, pad, HASINDEX-less flags
+        len(frames), 0, 1, frame_size, width, height, 0, 0, 0, 0,
+    )
+    hdrl = b"LIST" + struct.pack("<I", 4 + 8 + len(avih) + len(strl)) + b"hdrl"
+    hdrl += b"avih" + struct.pack("<I", len(avih)) + avih + strl
+    movi = bytearray(b"movi")
+    for fr in frames:
+        d = dib(fr)
+        movi += b"00db" + struct.pack("<I", len(d)) + d + (b"\x00" * (len(d) & 1))
+    movi_chunk = b"LIST" + struct.pack("<I", len(movi)) + bytes(movi)
+    body = b"AVI " + hdrl + movi_chunk
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_avi(data: bytes) -> Tuple[int, int, int, int, list]:
+    """→ (width, height, n_frames, fps, [top-down RGB frame bytes]).
+
+    Real decode: walks the RIFF tree, reads BITMAPINFOHEADER from
+    'strf' (only BI_RGB 24-bit supported — anything compressed →
+    NotImplementedError → quarantine), un-pads + flips the bottom-up
+    BGR scanlines of each '00db'/'00dc' chunk back to top-down RGB."""
+    if bytes(data[:4]) != b"RIFF" or bytes(data[8:12]) != b"AVI ":
+        raise NotImplementedError("not an AVI")
+    width = height = None
+    scale, rate = 1, 10
+    raw_frames: list = []
+
+    def walk(buf: bytes, pos: int, end: int):
+        nonlocal width, height, scale, rate
+        while pos + 8 <= end:
+            tag = bytes(buf[pos : pos + 4])
+            (length,) = struct.unpack("<I", buf[pos + 4 : pos + 8])
+            payload_end = pos + 8 + length
+            if tag == b"LIST":
+                walk(buf, pos + 12, payload_end)
+            elif tag == b"strh":
+                fcc = bytes(buf[pos + 8 : pos + 12])
+                if fcc == b"vids":
+                    scale, rate = struct.unpack(
+                        "<II", buf[pos + 8 + 20 : pos + 8 + 28]
+                    )
+            elif tag == b"strf" and width is None:
+                _sz, w, h, _planes, bits, comp = struct.unpack(
+                    "<IiiHHI", buf[pos + 8 : pos + 28]
+                )
+                if bits != 24 or comp != 0:
+                    raise NotImplementedError(
+                        f"AVI codec unsupported (bits={bits}, compression={comp})"
+                    )
+                width, height = w, abs(h)
+            elif tag[2:4] in (b"db", b"dc"):
+                raw_frames.append(bytes(buf[pos + 8 : payload_end]))
+            pos = payload_end + (length & 1)
+
+    walk(data, 12, len(data))
+    if width is None:
+        raise NotImplementedError("AVI missing video stream format")
+    row = width * 3
+    pad = (-row) % 4
+    frames = []
+    for d in raw_frames:
+        out = bytearray()
+        for y in range(height - 1, -1, -1):  # un-flip bottom-up
+            r = bytearray(d[y * (row + pad) : y * (row + pad) + row])
+            r[0::3], r[2::3] = r[2::3], r[0::3]  # BGR → RGB
+            out += r
+        frames.append(bytes(out))
+    fps = rate // max(scale, 1)
+    return width, height, len(frames), fps, frames
+
+
 def encode_fake_asset(asset_id: int, kind: str, width: int, height: int, channels: int = 3) -> bytes:
     """Deterministic fake binary payload (body = xxh64 keystream)."""
     body_len = min(width * height, 4096)  # capped body; metadata carries dims
@@ -213,6 +321,8 @@ def decode_asset(payload: bytes) -> Tuple[str, int, int, int, bytes]:
 
     - PNG → real decode (stdlib zlib + scanline unfilter), body = pixels
     - WAV → real decode (RIFF PCM), (width, height) = (frames, rate)
+    - AVI → real decode (RIFF, uncompressed BI_RGB DIB frames),
+      channels = n_frames, body = concatenated top-down RGB frames
     - FAKE container → deterministic stub (test plumbing)
     - anything else → NotImplementedError (per-row quarantine)
     """
@@ -223,6 +333,9 @@ def decode_asset(payload: bytes) -> Tuple[str, int, int, int, bytes]:
     if head[:4] == b"RIFF" and head[8:12] == b"WAVE":
         frames, rate, ch, pcm = decode_wav(bytes(payload))
         return "aud", frames, rate, ch, pcm
+    if head[:4] == b"RIFF" and head[8:12] == b"AVI ":
+        w, h, nf, _fps, fr = decode_avi(bytes(payload))
+        return "vid", w, h, nf, b"".join(fr)
     if head[:4] == _MAGIC:
         magic, kind, w, h, c = _HEADER.unpack(bytes(payload[: _HEADER.size]))
         return kind.decode().strip(), w, h, c, bytes(payload[_HEADER.size :])
@@ -284,6 +397,70 @@ def synthesize_png_assets(
             )
 
     return ids.mapInPandas(gen, schema=ASSET_SCHEMA)
+
+
+def synthesize_avi_assets(
+    spark: SparkSession, n: int, partitions: int = 8
+) -> DataFrame:
+    """Deterministic REAL AVI videos: asset a has 2+a%3 frames of
+    (4+a%4)x(4+a%3) RGB; pixel byte k of frame f is
+    (a*31 + f*13 + k*7) % 256 — pure-SQL oracle twin, while Spark
+    exercises the real DIB pack/unpack (BGR, bottom-up, row padding)."""
+    ids = spark.range(n).repartition(partitions)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                a = int(i)
+                w, h, nf = 4 + a % 4, 4 + a % 3, 2 + a % 3
+                frames = [
+                    bytes(
+                        ((a * 31 + f * 13 + k * 7) % 256) for k in range(w * h * 3)
+                    )
+                    for f in range(nf)
+                ]
+                payload = encode_avi(w, h, frames)
+                rows.append((a, "vid", payload, w, h, nf, len(payload)))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "asset_id", "kind", "payload", "width", "height",
+                    "channels", "n_bytes",
+                ],
+            )
+
+    return ids.mapInPandas(gen, schema=ASSET_SCHEMA)
+
+
+def frame_histogram(assets: DataFrame, dim: int = 16) -> DataFrame:
+    """(asset_id, frame_idx, bucket, cnt): per-FRAME byte histogram over
+    the real AVI decode — the video twin of :func:`byte_histogram`.
+    Undecodable payloads are skipped (quarantine covered by
+    decode_assets)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                try:
+                    _w, _h, _nf, _fps, frames = decode_avi(bytes(payload))
+                except NotImplementedError:
+                    continue
+                for fi, body in enumerate(frames):
+                    counts = [0] * dim
+                    for b in body:
+                        counts[b % dim] += 1
+                    for bucket, cnt in enumerate(counts):
+                        if cnt:
+                            rows.append((int(aid), fi, bucket, cnt))
+            yield pd.DataFrame(
+                rows, columns=["asset_id", "frame_idx", "bucket", "cnt"]
+            )
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        run, schema="asset_id bigint, frame_idx int, bucket int, cnt bigint"
+    )
 
 
 def byte_histogram(assets: DataFrame, dim: int = 16) -> DataFrame:

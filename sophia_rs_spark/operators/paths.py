@@ -91,12 +91,16 @@ def one_or_more(pairs: DataFrame, max_iter: int = 40) -> DataFrame:
             .select(F.col("f.src").alias("src"), F.col("b.dst").alias("dst"))
             .distinct()
         )
+        # lazy checkpoint materialized by the count job (count scans all
+        # partitions, so every checkpoint block lands) — ONE driver
+        # action per BFS round; `reached` stays a union of checkpointed
+        # deltas, never re-materialized (lineage depth = one union/round)
         new = step.join(reached, ["src", "dst"], "left_anti").localCheckpoint(
-            eager=True
+            eager=False
         )
-        if new.limit(1).count() == 0:
+        if new.count() == 0:
             break
-        reached = reached.unionByName(new).localCheckpoint(eager=True)
+        reached = reached.unionByName(new)
         frontier = new
     return reached
 

@@ -362,14 +362,35 @@ def rdfs_saturate(
             # (s,p,o) from their distinct(), so the anti-join needs no
             # exchange and no sort
             new = new.join(k.hint("shuffle_hash"), ["s", "p", "o"], "left_anti")
-        new = new.localCheckpoint(eager=True)
-        if new.isEmpty():
+        # ONE driver action per round: the lazy localCheckpoint
+        # materializes inside the same job as the summary aggregate,
+        # which returns emptiness AND the (vocabulary-sized) new schema
+        # rows together — a fixpoint round costs a single scheduler
+        # barrier instead of three (checkpoint + isEmpty + collect),
+        # which is what driver latency amplifies on a busy cluster.
+        new = new.localCheckpoint(eager=False)
+        is_schema = F.col("p").isin(*_SCHEMA_PREDS) | (
+            (F.col("p") == T_TYPE) & F.col("o").isin(T_CMP, T_DATATYPE)
+        )
+        summary = new.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.collect_list(F.when(is_schema, F.struct("s", "p", "o"))).alias(
+                "schema_rows"
+            ),
+        ).first()
+        if summary["n"] == 0:
             break
         known.append(new)
         frontier = new
+        rows = [(r["s"], r["p"], r["o"]) for r in summary["schema_rows"]]
+        if len(rows) > _SCHEMA_COLLECT_CAP:
+            raise ValueError(
+                f"schema exceeds {_SCHEMA_COLLECT_CAP} triples — not a "
+                "vocabulary; driver-side schema closure disabled at this size"
+            )
         # inferred triples may extend the schema (e.g. an inferred
         # (p type CMP) enables rdfs12) — deltas are small, absorb is cheap
-        schema_changed = schema.absorb(_extract_schema_rows(new))
+        schema_changed = schema.absorb(rows)
         if schema_changed:
             schema.close()
 

@@ -62,6 +62,9 @@ DEFAULT_MAPPINGS: List[TableMap] = [
         "Nation",
         [
             ColumnMap("n_name", VOC + "name"),
+            # typed integer literal — exercises numeric VALUE order in
+            # MIN/MAX/ORDER BY (lexicographic "10" < "2" would be wrong)
+            ColumnMap("n_nationkey", VOC + "key", "integer"),
             ColumnMap("n_regionkey", VOC + "inRegion", "link", EX + "region/"),
         ],
     ),

@@ -9,10 +9,12 @@ the reference's fixed-order bind-join interpreter.
 Value semantics: comparisons use the SPARQL value layer (numeric when
 both operands are numeric literals, term identity otherwise); errors
 map to NULL (rows dropped by FILTER) — `sparql/src/expression.rs`
-error-poisoning.  Documented deviations: BIND of computed (non-term)
-values produces plain Spark values rather than retyped RDF literals;
-MIN/MAX aggregate over the canonical-string order for non-numeric
-arguments.
+error-poisoning.  MIN/MAX/ORDER BY use SPARQL VALUE order (the
+composite order key, exec.rs:826-893) for terms and plain computed
+values alike; SUM/AVG/MIN/MAX/GROUP_CONCAT are error-poisoned like the
+reference (aggregate_iter.rs:236-309).  Documented deviation: BIND of
+computed (non-term) values produces plain Spark values rather than
+retyped RDF literals (they re-enter the value layer transparently).
 """
 
 from __future__ import annotations
@@ -47,9 +49,11 @@ class _Ctx:
 def _qterm(t):
     """Blank-node labels in QUERY patterns are variables scoped to the
     query (sparql11-query §4.1.4) — not matches on skolemized data
-    bnodes (test.rs:152-162)."""
+    bnodes (test.rs:152-162).  The '#' prefix cannot appear in a SPARQL
+    VARNAME, so these synthetic columns never collide with user
+    variables and are excluded from SELECT * projection."""
     if isinstance(t, str) and t.startswith("_:"):
-        return A.Var("bnq_" + t[2:])
+        return A.Var("#bnq_" + t[2:])
     return t
 
 
@@ -207,7 +211,11 @@ def _bool(e: A.Expr, df: DataFrame, triples: DataFrame) -> Column:
 
             lt, rt = termify(ls), termify(rs)
             eq = (
-                F.when(lt.eqNullSafe(rt), F.lit(True))
+                # unbound/error operand → type error (NULL), NOT equal:
+                # two unbound vars must not compare true (expression.rs
+                # error-poisoning; eqNullSafe would yield TRUE here)
+                F.when(lt.isNull() | rt.isNull(), F.lit(None).cast("boolean"))
+                .when(lt == rt, F.lit(True))
                 .when(numeric, ln == rn)
                 .when(both_dt, ldt == rdt)
                 .when(
@@ -257,6 +265,26 @@ def _args_compatible(lc: Column, rc: Column) -> Column:
     ll = F.regexp_extract(lc.cast("string"), _FULL_TAG_RE, 1)
     rl = F.regexp_extract(rc.cast("string"), _FULL_TAG_RE, 1)
     return (rl == "") | (ll == rl)
+
+
+def _regex_with_flags(pat: Column, flags: Column) -> Column:
+    """Apply SPARQL regex flags (XPath fn:matches §5.6.2: ``s m i x q``)
+    to a Java regex pattern.  ``smix`` have inline Java equivalents;
+    ``q`` quotes the whole pattern (``\\Q…\\E``); an EMPTY flag string
+    adds no prefix (``(?)`` would be a syntax error); any other letter is
+    an invalid-argument error → NULL pattern → expression error (the
+    row drops instead of the query throwing)."""
+    valid = flags.rlike("^[smixq]*$")
+    inline = F.regexp_replace(flags, "q", "")
+    # a pattern containing a literal \E cannot be \Q-quoted — error
+    quoted = F.when(pat.contains("\\E"), F.lit(None).cast("string")).otherwise(
+        F.concat(F.lit("\\Q"), pat, F.lit("\\E"))
+    )
+    base = F.when(flags.contains("q"), quoted).otherwise(pat)
+    prefixed = F.when(inline == "", base).otherwise(
+        F.concat(F.lit("(?"), inline, F.lit(")"), base)
+    )
+    return F.when(valid, prefixed).otherwise(F.lit(None).cast("string"))
 
 
 def _call(fn: str, cols: List[Column], raw_args) -> Column:
@@ -314,14 +342,14 @@ def _call(fn: str, cols: List[Column], raw_args) -> Column:
     if fn == "REPLACE":
         pat = s(cols[1])
         if len(cols) >= 4:  # REPLACE(str, pat, rep, flags)
-            pat = F.concat(F.lit("(?"), s(cols[3]), F.lit(")"), pat)
+            pat = _regex_with_flags(pat, s(cols[3]))
         return F.regexp_replace(s(cols[0]), pat, s(cols[2]))
     if fn == "CONCAT":
         return F.concat(*[s(c) for c in cols])
     if fn == "REGEX":
         pat = s(cols[1])
         if len(cols) >= 3:  # REGEX(str, pat, flags)
-            pat = F.concat(F.lit("(?"), s(cols[2]), F.lit(")"), pat)
+            pat = _regex_with_flags(pat, s(cols[2]))
         return F.regexp_like(s(cols[0]), pat)
     if fn == "ABS":
         return F.abs(n(cols[0]))
@@ -518,8 +546,10 @@ def _eval_group(ctx: _Ctx, g: A.Group):
             df = B.optional(base, right, nullable=maybe | rmaybe)
             maybe |= (set(right.columns) - set(base.columns)) | rmaybe
         elif isinstance(el, A.Minus):
-            right, _rm = _eval_group(ctx, el.group)
-            df = B.minus(df if df is not None else _unit(spark), right)
+            right, rm = _eval_group(ctx, el.group)
+            df = B.minus(
+                df if df is not None else _unit(spark), right, nullable=maybe | rm
+            )
         elif isinstance(el, A.Union_):
             left, lm = _eval_group(ctx, el.left)
             right, rm = _eval_group(ctx, el.right)
@@ -582,7 +612,23 @@ def _unit(spark) -> DataFrame:
 def evaluate(triples: DataFrame, q: A.Query):
     """Evaluate a parsed query against a triples/quads DataFrame
     (columns s, p, o [, g]).  Returns a DataFrame (select/construct) or
-    bool (ask)."""
+    bool (ask).
+
+    SPARQL variables are case-sensitive (?m and ?M coexist); Spark's
+    default case-insensitive resolution would throw AMBIGUOUS_REFERENCE.
+    DataFrame analysis is eager, so flipping ``spark.sql.caseSensitive``
+    for the duration of plan BUILDING (and restoring after) is safe —
+    execution of the returned plan does not re-resolve."""
+    spark = triples.sparkSession
+    prev = spark.conf.get("spark.sql.caseSensitive", "false")
+    spark.conf.set("spark.sql.caseSensitive", "true")
+    try:
+        return _evaluate(triples, q)
+    finally:
+        spark.conf.set("spark.sql.caseSensitive", prev)
+
+
+def _evaluate(triples: DataFrame, q: A.Query):
     global _NOW_LITERAL
     _NOW_LITERAL = None  # repin NOW() for this evaluation
     if "g" not in triples.columns:
@@ -598,6 +644,11 @@ def evaluate(triples: DataFrame, q: A.Query):
             if q.from_graphs
             else triples.limit(0)
         )
+        if len(q.from_graphs) > 1:
+            # the composed default graph is a MERGE (set union) of the
+            # FROM graphs, not a bag: a triple present in two graphs
+            # contributes ONE solution (exec.rs:70-117 ad-hoc dataset)
+            default_part = default_part.distinct()
         named_part = (
             triples.filter(F.col("g").isin(q.from_named))
             if q.from_named
@@ -691,6 +742,15 @@ def _select_df(ctx: _Ctx, q: A.Query):
                     aggs.append(F.count(F.lit(1)).alias(a.alias))
                 continue
             c = _term_col(a.arg, df)
+            # error-poisoning (aggregate_iter.rs:236-309 + test.rs:834-848
+            # "sum err"/"min err"/...): an element whose expression errors
+            # — or, for SUM/AVG, isn't a number — poisons the whole
+            # aggregate to unbound.  COUNT alone skips errors.
+            def _poisoned_by(err_col):
+                return F.coalesce(
+                    F.sum(err_col.cast("int")) > 0, F.lit(False)
+                )
+
             if a.fn == "count":
                 aggs.append(
                     (F.count_distinct(c) if a.distinct else F.count(c)).alias(a.alias)
@@ -707,9 +767,26 @@ def _select_df(ctx: _Ctx, q: A.Query):
                     )
                 else:
                     e = F.sum(nv) if a.fn == "sum" else F.avg(nv)
-                aggs.append(e.alias(a.alias))
+                # SUM/AVG over an empty group = 0 (the accumulator starts
+                # at Some(0); AVG finalizes sum / max(count, 1) —
+                # aggregate_iter.rs:150,390-394)
+                e = F.coalesce(e, F.lit(0.0))
+                aggs.append(
+                    F.when(_poisoned_by(nv.isNull()), F.lit(None).cast("double"))
+                    .otherwise(e)
+                    .alias(a.alias)
+                )
             elif a.fn in ("min", "max"):
-                aggs.append((F.min(c) if a.fn == "min" else F.max(c)).alias(a.alias))
+                # SPARQL VALUE order, not string order: min_by/max_by over
+                # the composite order key (aggregate_iter.rs:274-308
+                # `sparql_order_by`; test.rs:840-848 min/max batteries)
+                key = F.struct(*FN.order_key_any(c))
+                val = F.min_by(c, key) if a.fn == "min" else F.max_by(c, key)
+                aggs.append(
+                    F.when(_poisoned_by(c.isNull()), F.lit(None))
+                    .otherwise(val)
+                    .alias(a.alias)
+                )
             elif a.fn == "group_concat":
                 lexc = F.when(
                     c.cast("string").startswith('"'), FN.lex(c.cast("string"))
@@ -718,10 +795,19 @@ def _select_df(ctx: _Ctx, q: A.Query):
                 if a.distinct:
                     coll = F.array_distinct(coll)
                 aggs.append(
-                    F.concat_ws(a.sep, F.array_sort(coll)).alias(a.alias)
+                    F.when(
+                        _poisoned_by(c.isNull()), F.lit(None).cast("string")
+                    )
+                    .otherwise(F.concat_ws(a.sep, F.array_sort(coll)))
+                    .alias(a.alias)
                 )
             elif a.fn == "sample":
-                aggs.append(F.first(c, ignorenulls=True).alias(a.alias))
+                # SAMPLE is arbitrary per spec; the reference takes the
+                # first non-error value (aggregate_iter.rs:336-341).  We
+                # pick the order-key minimum so repeated runs agree
+                # regardless of partitioning (errors sort last here).
+                skey = F.struct(c.isNull(), *FN.order_key_any(c))
+                aggs.append(F.min_by(c, skey).alias(a.alias))
             else:
                 raise A.SparqlError(f"unsupported aggregate {a.fn}")
         if group_by:
@@ -739,12 +825,12 @@ def _select_df(ctx: _Ctx, q: A.Query):
     if q.order_by:
         keys = []
         for e, asc in q.order_by:
-            if e.op == "var" and e.args[0] in df.columns:
-                for k in FN.order_key(F.col(e.args[0])):
-                    keys.append(k if asc else k.desc())
-            else:
-                c = _term_col(e, df)
-                keys.append(c if asc else c.desc())
+            # SPARQL value order for vars AND computed expressions alike
+            # (exec.rs:826-893); order_key_any also orders plain computed
+            # values (BIND arithmetic) correctly
+            c = F.col(e.args[0]) if e.op == "var" and e.args[0] in df.columns else _term_col(e, df)
+            for k in FN.order_key_any(c):
+                keys.append(k if asc else k.desc())
         df = df.orderBy(*keys)
 
     if q.variables:
@@ -752,6 +838,13 @@ def _select_df(ctx: _Ctx, q: A.Query):
         if gname and gname in df.columns and gname not in keep:
             keep.append(gname)  # the active-graph var stays visible
         df = df.select(*keep)
+    else:
+        # SELECT *: synthetic bnode-placeholder columns ('#bnq_…' for
+        # query bnodes, '#anonN' for []) are existentials, not
+        # projectable variables — drop them before DISTINCT/serialization
+        synth = [c for c in df.columns if c.startswith("#")]
+        if synth:
+            df = df.drop(*synth)
     if q.distinct:
         df = df.dropDuplicates()
     if q.offset:

@@ -322,7 +322,9 @@ class _P:
             # (property lists inside [...] are not supported in queries)
             if self.op("]"):
                 self._anon += 1
-                return Var(f"anonb{self._anon}")
+                # '#' cannot appear in a VARNAME: never collides with a
+                # user variable; dropped from SELECT * (eval._select_df)
+                return Var(f"#anon{self._anon}")
             raise SparqlError(
                 "bnode property lists not supported in query patterns"
             )

@@ -198,3 +198,60 @@ class TestRealCodecs:
             by_asset[r["asset_id"]] += r["cnt"]
         for a in range(20):
             assert by_asset[a] == (8 + a % 8) * (8 + a % 5) * 3
+
+
+class TestAviCodec:
+    """Real AVI container: RIFF tree, BI_RGB 24-bit DIB frames (BGR,
+    bottom-up, 4-byte row padding)."""
+
+    def test_avi_roundtrip(self):
+        from sophia_rs_spark.operators.multimodal import decode_avi, encode_avi
+
+        for a in range(10):
+            w, h, nf = 4 + a % 4, 4 + a % 3, 2 + a % 3
+            frames = [
+                bytes(((a * 31 + f * 13 + k * 7) % 256) for k in range(w * h * 3))
+                for f in range(nf)
+            ]
+            data = encode_avi(w, h, frames, fps=10)
+            gw, gh, gn, fps, got = decode_avi(data)
+            assert (gw, gh, gn, fps) == (w, h, nf, 10)
+            assert got == frames
+
+    def test_avi_rejects_compressed(self):
+        import struct as _s
+
+        import pytest as _pt
+
+        from sophia_rs_spark.operators.multimodal import decode_avi, encode_avi
+
+        data = bytearray(encode_avi(4, 4, [bytes(48)]))
+        i = data.find(b"strf")
+        # biCompression lives 16 bytes into BITMAPINFOHEADER
+        _s.pack_into("<I", data, i + 8 + 16, 1)  # BI_RLE8
+        with _pt.raises(NotImplementedError):
+            decode_avi(bytes(data))
+
+    def test_avi_dispatch_and_frames_distributed(self, spark):
+        from sophia_rs_spark.operators.multimodal import (
+            decode_asset,
+            encode_avi,
+            frame_histogram,
+            synthesize_avi_assets,
+        )
+
+        data = encode_avi(4, 4, [bytes(range(48)), bytes(range(48, 96))])
+        kind, w, h, nf, body = decode_asset(data)
+        assert (kind, w, h, nf) == ("vid", 4, 4, 2)
+        assert body == bytes(range(96))
+
+        assets = synthesize_avi_assets(spark, 12)
+        hist = frame_histogram(assets, dim=16)
+        per_frame = {}
+        for r in hist.collect():
+            key = (r["asset_id"], r["frame_idx"])
+            per_frame[key] = per_frame.get(key, 0) + r["cnt"]
+        for a in range(12):
+            w, h, nf = 4 + a % 4, 4 + a % 3, 2 + a % 3
+            for f in range(nf):
+                assert per_frame[(a, f)] == w * h * 3

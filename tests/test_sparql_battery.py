@@ -151,9 +151,11 @@ def test_filter_battery(ds, f, exp, name):
 
 
 # test.rs:822-857 — aggregate battery (numeric values; our value plane
-# yields plain numbers, so expectations are numeric; SPARQL's
-# error-poisons-SUM/AVG rule and term-order MIN/MAX are documented
-# deviations and excluded)
+# yields plain numbers, so numeric expectations are plain).  Includes
+# the error-poisoning rows ("sum err" etc. — a type-error element makes
+# the whole SUM/AVG/MIN/MAX/GROUP_CONCAT unbound, aggregate_iter.rs:
+# 236-309) and the SPARQL value-order MIN/MAX rows ("min string",
+# "min mixed terms" — test.rs:843-848).  None is an unbound ?a.
 AGG_CASES = [
     ("SELECT (COUNT(*) as ?a) { VALUES ?x { 1 2 } VALUES ?y { 3 3 }}", 4, "count star"),
     ("SELECT (COUNT(DISTINCT *) as ?a) { VALUES ?x { 1 2 } VALUES ?y { 3 3 }}", 2, "count star distinct"),
@@ -173,6 +175,30 @@ AGG_CASES = [
     ('SELECT (GROUP_CONCAT(str(abs(?x)); SEPARATOR="|") as ?a) { VALUES ?x { 1 2 -2 } }',
      "1|2|2", "group_concat separator"),
     ("SELECT (SAMPLE(abs(?x)) as ?a) { VALUES ?x { 1 1 1 } }", 1, "sample"),
+    # error-poisoning (test.rs:834,839,842,847,855)
+    ("SELECT (SUM(abs(?x)) as ?a) { VALUES ?x { 1 true -2 } }", None, "sum err"),
+    ("SELECT (AVG(abs(?x)) as ?a) { VALUES ?x { 1 true -2 0 3 } }", None, "avg err"),
+    ('SELECT (MIN(abs(?x)) as ?a) { VALUES ?x { 2 1.0 -3e0 "-2" } }', None, "min err"),
+    ('SELECT (MAX(abs(?x)) as ?a) { VALUES ?x { 2 1.0 -3e0 "-2" } }', None, "max err"),
+    ('SELECT (GROUP_CONCAT(str(abs(?x))) as ?a) { VALUES ?x { 1 true -2 } }',
+     None, "group_concat err"),
+    # SPARQL value order, not string order (test.rs:843-848; the r2
+    # confirmed bug: MIN of {2, 10} returned 10 lexicographically)
+    ("SELECT (MIN(?x) as ?a) { VALUES ?x { 2 10 } }",
+     '"2"^^<http://www.w3.org/2001/XMLSchema#integer>', "min value order"),
+    ("SELECT (MAX(?x) as ?a) { VALUES ?x { 2 10 } }",
+     '"10"^^<http://www.w3.org/2001/XMLSchema#integer>', "max value order"),
+    ('SELECT (MIN(SUBSTR(?x, 2)) as ?a) { VALUES ?x { "aC" "bA" "cD" "dB" } }',
+     "A", "min string"),
+    ('SELECT (MAX(SUBSTR(?x, 2)) as ?a) { VALUES ?x { "aC" "bA" "cD" "dB" } }',
+     "D", "max string"),
+    ("SELECT (MIN(?x) as ?a) { VALUES ?x { 3 <x:1> 2 <x:2> } }",
+     "<x:1>", "min mixed terms"),
+    ("SELECT (MAX(?x) as ?a) { VALUES ?x { 3 <x:1> 4 <x:2> } }",
+     '"4"^^<http://www.w3.org/2001/XMLSchema#integer>', "max mixed terms"),
+    # SUM/AVG over an empty group = 0 (aggregate_iter.rs:150,390-394)
+    ("SELECT (SUM(?x) as ?a) { VALUES ?x { 1 } FILTER(?x > 5) }", 0, "sum empty"),
+    ("SELECT (AVG(?x) as ?a) { VALUES ?x { 1 } FILTER(?x > 5) }", 0, "avg empty"),
 ]
 
 
@@ -181,10 +207,53 @@ def test_aggregate_battery(spark, ds, q, exp, name):
     got = query(ds, "PREFIX xsd: <http://www.w3.org/2001/XMLSchema#> " + q).collect()
     assert len(got) == 1
     v = got[0]["a"]
-    if isinstance(exp, str):
+    if exp is None:
+        assert v is None, name
+    elif isinstance(exp, str):
         assert v == exp, name
     else:
         assert float(v) == pytest.approx(float(exp)), name
+
+
+def test_case_sensitive_variables(ds):
+    # SPARQL variables are case-sensitive: ?m and ?M coexist (r2
+    # confirmed crash: AMBIGUOUS_REFERENCE under Spark's default
+    # case-insensitive resolution)
+    got = query(
+        ds, "SELECT (MIN(?x) AS ?m) (MAX(?x) AS ?M) { VALUES ?x { 2 10 } }"
+    ).collect()
+    assert len(got) == 1
+    assert got[0]["m"] == '"2"^^<http://www.w3.org/2001/XMLSchema#integer>'
+    assert got[0]["M"] == '"10"^^<http://www.w3.org/2001/XMLSchema#integer>'
+
+
+def test_select_star_hides_bnode_placeholders(ds):
+    # SELECT * must not project the internal bnode-placeholder columns
+    # for [] or _:b in query patterns (ADVICE r2)
+    got = query(ds, "SELECT * { ?s ?p [] }")
+    assert got.columns == ["s", "p"]
+    got2 = query(ds, "SELECT * { ?s ?p _:x }")
+    assert got2.columns == ["s", "p"]
+
+
+def test_eq_unbound_is_error(ds):
+    # FILTER(?v1 = ?v2) with both unbound is a TYPE ERROR (row dropped),
+    # not true (ADVICE r2: eqNullSafe made NULL = NULL → TRUE)
+    got = query(
+        ds,
+        "SELECT ?x { VALUES ?x { 1 } "
+        "OPTIONAL { VALUES (?x ?v1) { (99 1) } } "
+        "OPTIONAL { VALUES (?x ?v2) { (99 2) } } "
+        "FILTER(?v1 = ?v2) }",
+    ).collect()
+    assert got == []
+    # BIND((?a = ?b) AS ?t) with unbound operands binds NOTHING (error)
+    got2 = query(
+        ds,
+        "SELECT ?t { VALUES ?x { 1 } OPTIONAL { VALUES (?x ?a) { (99 1) } } "
+        "BIND((?a = ?x) AS ?t) }",
+    ).collect()
+    assert len(got2) == 1 and got2[0]["t"] is None
 
 
 def test_multiple_aggregates_battery(spark, ds):
@@ -197,7 +266,8 @@ def test_multiple_aggregates_battery(spark, ds):
     ).collect()[0]
     assert got["cy"] == 7 and got["cdy"] == 5
     assert float(got["ay"]) == 13.0 and float(got["ady"]) == 13.0
-    assert float(str(got["miny"]).strip('"').split('"')[0] if isinstance(got["miny"], str) else got["miny"]) >= 0  # see below
+    assert got["miny"] == '"10"^^<http://www.w3.org/2001/XMLSchema#integer>'
+    assert got["maxy"] == '"16"^^<http://www.w3.org/2001/XMLSchema#integer>'
 
 
 # test.rs:2294-2305 — CONSTRUCT battery (template bnodes fresh per
