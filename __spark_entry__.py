@@ -1199,8 +1199,13 @@ SELECT '<{DOC_PREFIX}' || CAST(doc_id AS VARCHAR) || '>' AS d,
        '<{SRC_PREFIX}' || source || '>' AS src
 FROM documents WHERE lang = 'en'
 """.strip()
+    # the SPARQL front-end emits TYPED aggregate results (COUNT →
+    # "n"^^xsd:integer, matching the reference's SparqlNumber terms)
+    _int_sfx0 = '"^^<http://www.w3.org/2001/XMLSchema#integer>'
     qs["sparql_agg"] = with_triples(
-        "SELECT p, count(*) AS cnt FROM triples GROUP BY p"
+        "SELECT p, '\"' || CAST(count(*) AS VARCHAR) || '"
+        + _int_sfx0
+        + "' AS cnt FROM triples GROUP BY p"
     )
 
     # arithmetic twin of the decoded PNG bytes: byte k of asset a is
@@ -1257,7 +1262,8 @@ FROM nation GROUP BY 1
 
     qs["sparql_agg_distinct"] = with_triples(
         f"""
-SELECT t1.o AS n, count(DISTINCT t2.o) AS nseg
+SELECT t1.o AS n,
+       '"' || CAST(count(DISTINCT t2.o) AS VARCHAR) || '{_int_sfx0}' AS nseg
 FROM triples t1
 JOIN triples t2 ON t2.s = t1.s AND t2.p = '{P_SEGMENT}'
 WHERE t1.p = '{P_IN_NATION}'

@@ -245,6 +245,144 @@ def decimal_value(term: Column) -> Column:
     ).otherwise(F.lit(None).cast("decimal(38,10)"))
 
 
+# --- typed numeric tower (value/_number.rs) ----------------------------------
+#
+# The reference keeps computed numbers TYPED (NativeInt/BigInt/Decimal/
+# Float/Double, `sparql/src/value/_number.rs:5-11`) and promotes on
+# arithmetic (int∘int→int, int∘dec→dec, anything∘float→float, ∘double→
+# double; int/int and dec/dec division → decimal with a zero check;
+# float/double division is IEEE — INF, no error).  Here a typed number
+# is a (rank, decimal view, double view) triple of Columns; rank 0 =
+# integer (incl. derived types), 1 = decimal, 2 = float, 3 = double.
+# Rendering matches `value.rs:130-171` + `dec2string` (value.rs:239-246):
+# integers plain, decimals normalized with a mandatory fraction digit,
+# float/double in Rust `{:e}` style with INF/-INF/NaN specials.
+
+_DEC_T = "decimal(38,10)"
+_INT_RANK_DTS = [
+    d
+    for d in _NUMERIC_DTS
+    if d not in (f"{XSD}decimal", f"{XSD}double", f"{XSD}float")
+]
+_INT_LEX_RE = r"^[+-]?\d+$"
+_DEC_LEX_RE = r"^[+-]?(\d+(\.\d*)?|\.\d+)$"
+
+
+def num_rank(term: Column) -> Column:
+    """Promotion rank of a numeric literal TERM: 0 integer, 1 decimal,
+    2 float, 3 double; NULL for non-numeric datatypes or ill-typed
+    lexicals (→ expression error, `as_number` returning None)."""
+    dt = datatype(term)
+    l = lex(term)
+    fp_ok = l.try_cast("double").isNotNull() | l.isin("INF", "-INF", "NaN")
+    return (
+        F.when(dt.isin(_INT_RANK_DTS) & l.rlike(_INT_LEX_RE), F.lit(0))
+        .when((dt == f"{XSD}decimal") & l.rlike(_DEC_LEX_RE), F.lit(1))
+        .when((dt == f"{XSD}float") & fp_ok, F.lit(2))
+        .when((dt == f"{XSD}double") & fp_ok, F.lit(3))
+        .otherwise(F.lit(None).cast("int"))
+    )
+
+
+def num_dbl(term: Column) -> Column:
+    """Double view of a numeric literal term, honoring the XSD INF/-INF/
+    NaN specials (which try_cast alone would miss)."""
+    l = lex(term)
+    return (
+        F.when(l == "INF", F.lit(float("inf")))
+        .when(l == "-INF", F.lit(float("-inf")))
+        .when(l == "NaN", F.lit(float("nan")))
+        .otherwise(l.try_cast("double"))
+    )
+
+
+def integer_lexical(dec: Column) -> Column:
+    """Canonical xsd:integer lexical of an (integral) decimal value."""
+    return F.regexp_replace(dec.cast("string"), r"\.0*$", "")
+
+
+def decimal_lexical(dec: Column) -> Column:
+    """`dec2string` (value.rs:239-246): normalized, with a mandatory
+    fraction digit — Decimal(3) → "3.0", Decimal(1.60) → "1.6"."""
+    s = F.regexp_replace(dec.cast("string"), r"(\.\d*?)0+$", "$1")
+    return F.regexp_replace(s, r"\.$", ".0")
+
+
+def double_e_lexical(d: Column) -> Column:
+    """Rust ``{:e}`` rendering of a double (value.rs:145-148): shortest
+    mantissa (no trailing zeros, no '.' for integral mantissas) + 'e' +
+    unpadded exponent — "5e0", "1.6e0", "1e2", "1.23e-4"; INF/-INF/NaN
+    specials.  Derived purely from the JVM's shortest-repr string, so
+    the conversion is exact (no float re-arithmetic)."""
+    s = d.cast("string")
+    sign = F.when(s.startswith("-"), F.lit("-")).otherwise(F.lit(""))
+    b = F.regexp_replace(s, "^-", "")
+    has_e = b.contains("E")
+    # scientific Java repr ("1.23E-4"): mantissa already normalized
+    mant_e = F.regexp_replace(F.regexp_extract(b, r"^([0-9.]+)E", 1), r"\.0$", "")
+    exp_e = F.regexp_extract(b, r"E(-?\d+)$", 1)
+    # plain Java repr ("123.45", "0.001"): shift the point
+    ipart = F.regexp_extract(b, r"^(\d+)\.", 1)
+    fpart = F.regexp_extract(b, r"\.(\d+)$", 1)
+    digits = F.regexp_replace(F.concat(ipart, fpart), "^0+", "")
+    lead_zeros = F.length(fpart) - F.length(F.regexp_replace(fpart, "^0+", ""))
+    exp_p = F.when(ipart != "0", F.length(ipart) - 1).otherwise(-(lead_zeros + 1))
+    dtrim = F.regexp_replace(digits, "0+$", "")
+    rest = F.substring(dtrim, 2, 2147483646)
+    mant_p = F.when(
+        F.length(rest) > 0,
+        F.concat(F.substring(dtrim, 1, 1), F.lit("."), rest),
+    ).otherwise(F.substring(dtrim, 1, 1))
+    mant = F.when(has_e, mant_e).otherwise(mant_p)
+    exp = F.when(has_e, exp_e.cast("int")).otherwise(exp_p)
+    return (
+        F.when(s == "Infinity", F.lit("INF"))
+        .when(s == "-Infinity", F.lit("-INF"))
+        .when(s == "NaN", F.lit("NaN"))
+        .when(
+            (~has_e) & (digits == ""),
+            F.concat(sign, F.lit("0e0")),  # ±0.0
+        )
+        .otherwise(F.concat(sign, mant, F.lit("e"), exp.cast("string")))
+    )
+
+
+def typed_num_term(rank: Column, dec: Column, dbl: Column) -> Column:
+    """(rank, dec, dbl) → canonical numeric literal term (value.rs
+    lexical_form + the rank's datatype); NULL rank → NULL (error)."""
+    return (
+        F.when(
+            rank == 0,
+            F.concat(
+                F.lit('"'), integer_lexical(dec), F.lit(f'"^^<{XSD}integer>')
+            ),
+        )
+        .when(
+            rank == 1,
+            F.concat(
+                F.lit('"'), decimal_lexical(dec), F.lit(f'"^^<{XSD}decimal>')
+            ),
+        )
+        .when(
+            rank == 2,
+            F.concat(F.lit('"'), double_e_lexical(dbl), F.lit(f'"^^<{XSD}float>')),
+        )
+        .when(
+            rank == 3,
+            F.concat(F.lit('"'), double_e_lexical(dbl), F.lit(f'"^^<{XSD}double>')),
+        )
+        .otherwise(F.lit(None).cast("string"))
+    )
+
+
+def int_term(c: Column) -> Column:
+    """Plain integral value → canonical "n"^^xsd:integer (NULL-safe)."""
+    return F.when(
+        c.isNotNull(),
+        F.concat(F.lit('"'), c.cast("long").cast("string"), F.lit(f'"^^<{XSD}integer>')),
+    )
+
+
 # --- XSD constructor casts (SPARQL-exact, not Spark-cast) -------------------
 
 
@@ -290,13 +428,19 @@ def xsd_double(term: Column) -> Column:
 
 
 def xsd_decimal(term: Column) -> Column:
-    """xsd:decimal(): exact decimal lexical or boolean mapping; NULL on
-    error (float syntax like '1e3' is not a decimal lexical)."""
+    """xsd:decimal(): exact decimal lexical or boolean mapping; numeric
+    SOURCE TYPES (float/double/integer literals) cast by VALUE (XPath
+    casting — INF/NaN error to NULL); a plain string like '1e3' is not
+    a decimal lexical and errors."""
     l = lex(term)
     return (
         F.when(l == "true", F.lit(1).cast("decimal(38,10)"))
         .when(l == "false", F.lit(0).cast("decimal(38,10)"))
         .when(l.rlike(r"^[+-]?(\d+(\.\d*)?|\.\d+)$"), l.try_cast("decimal(38,10)"))
+        .when(
+            datatype(term).isin(_NUMERIC_DTS),
+            numeric_value(term).try_cast("decimal(38,10)"),
+        )
         .otherwise(F.lit(None).cast("decimal(38,10)"))
     )
 

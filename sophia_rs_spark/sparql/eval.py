@@ -12,9 +12,16 @@ map to NULL (rows dropped by FILTER) — `sparql/src/expression.rs`
 error-poisoning.  MIN/MAX/ORDER BY use SPARQL VALUE order (the
 composite order key, exec.rs:826-893) for terms and plain computed
 values alike; SUM/AVG/MIN/MAX/GROUP_CONCAT are error-poisoned like the
-reference (aggregate_iter.rs:236-309).  Documented deviation: BIND of
-computed (non-term) values produces plain Spark values rather than
-retyped RDF literals (they re-enter the value layer transparently).
+reference (aggregate_iter.rs:236-309).
+
+Typed numeric tower (value/_number.rs): arithmetic, numeric functions,
+casts and aggregates carry integer/decimal/float/double typing with
+the reference's promotion rules and emit canonical typed literals
+("12"^^xsd:integer, "1.6"^^xsd:decimal, "5e0"^^xsd:double — value.rs
+lexical_form).  Remaining deviation: string/boolean-valued computed
+expressions (STR, EBV comparisons) stay plain Spark values until the
+results boundary; integers beyond 38 digits error instead of
+promoting to BigInt.
 """
 
 from __future__ import annotations
@@ -27,6 +34,7 @@ from pyspark.sql import functions as F
 from ..functions import sparql_fns as FN
 from ..operators import bgp as B
 from ..operators import paths as P
+from ..terms.model import XSD as _XSD_NS
 from . import parser as A
 
 
@@ -111,31 +119,150 @@ def _compile_path(triples: DataFrame, p) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _term_col(e: A.Expr, df: DataFrame) -> Column:
-    """Compile an expression to a canonical-term / plain-value Column."""
+class _TmpBinder:
+    """Materializes intermediate expression values as hidden '#tmp'
+    columns.  Catalyst duplicates a subexpression TREE for every
+    reference, so a nested typed-numeric expression (whose emit /
+    parse helpers reference operands dozens of times) grows
+    exponentially with depth — binding each level to a column keeps the
+    analysis tree linear.
+
+    Each binding is wrapped in a value-preserving NONDETERMINISTIC
+    no-op (``shuffle(array(x))[0]`` — a 1-element shuffle is the
+    identity): Catalyst's CollapseProject and the filter-pushdown alias
+    substitution both refuse to inline nondeterministic projections,
+    which is what keeps the bound levels from being re-inlined
+    (PushPredicateThroughNonJoin would otherwise substitute every temp
+    back into a predicate while pushing a FILTER down, rebuilding the
+    exponential tree at codegen time).  The trade — predicates above a
+    computed BIND don't push past it — costs nothing here: triple-
+    pattern constants are filtered at the scan by match_pattern itself.
+    Temps start with '#' (impossible in a SPARQL VARNAME) and are
+    dropped by the caller or swallowed by groupBy/projection."""
+
+    _counter = 0
+
+    def __init__(self, df: DataFrame):
+        self.df = df
+        self.names: List[str] = []
+
+    def bind(self, col: Column) -> Column:
+        _TmpBinder._counter += 1
+        name = f"#tmp{_TmpBinder._counter}"
+        self.df = self.df.withColumn(name, F.shuffle(F.array(col))[0])
+        self.names.append(name)
+        return F.col(name)
+
+
+def _term_col(e: A.Expr, df: DataFrame, binder: Optional[_TmpBinder] = None) -> Column:
+    """Compile an expression to a canonical-term / plain-value Column.
+
+    With a ``binder``, nested numeric levels are materialized as hidden
+    columns (see :class:`_TmpBinder`); without one the expression is
+    compiled purely (fine for flat expressions — deep nesting needs the
+    binder)."""
     if e.op == "var":
         return F.col(e.args[0])
     if e.op == "term":
         return F.lit(e.args[0])
     if e.op == "call":
-        return _call(e.args[0], [ _term_col(a, df) for a in e.args[1] ], e.args[1])
-    if e.op == "neg":
-        return -_num(e.args[0], df)
+        if e.args[0] in _TYPED_NUM_FNS:
+            # numeric functions stay in the typed plane (single lexical
+            # emit at the top — avoids tree blowup on nesting)
+            return FN.typed_num_term(*_typed_expr(e, df, binder))
+        return _call(
+            e.args[0], [_term_col(a, df, binder) for a in e.args[1]], e.args[1],
+            binder,
+        )
+    if e.op in ("neg", "arith"):
+        return FN.typed_num_term(*_typed_expr(e, df, binder))
     if e.op in ("cmp", "and", "or", "not", "in"):
         # boolean expression used as a value (BIND((?a = ?b) AS ?x))
-        return _bool(e, df, df)
-    if e.op == "arith":
-        sym, l, r = e.args
-        ln, rn = _num_from_col(_term_col(l, df)), _num_from_col(_term_col(r, df))
-        if sym == "/":
-            # division by zero is an evaluation error (NULL) in the
-            # integer/decimal plane (xpath op:numeric-divide); doubles
-            # would give INF — documented deviation, we error for both
-            return F.when(rn != 0.0, ln / rn).otherwise(
-                F.lit(None).cast("double")
-            )
-        return {"+": ln + rn, "-": ln - rn, "*": ln * rn}[sym]
+        return _bool(e, df, df, binder)
     raise A.SparqlError(f"cannot compile {e.op} as value")
+
+
+def _typed_view(c: Column):
+    """(rank, decimal view, double view) of a term-or-plain operand —
+    the typed numeric tower (value/_number.rs).  Plain computed values
+    (legacy paths) rank as integer when integral-looking, else double."""
+    cs = c.cast("string")
+    is_term = cs.rlike('^["<_]')
+    rank = F.when(is_term, FN.num_rank(cs)).otherwise(
+        F.when(cs.rlike(r"^[+-]?\d+$"), F.lit(0))
+        .when(cs.try_cast("double").isNotNull(), F.lit(3))
+        .otherwise(F.lit(None).cast("int"))
+    )
+    lexv = F.when(is_term, FN.lex(cs)).otherwise(cs)
+    dec = lexv.try_cast("decimal(38,10)")
+    dbl = F.when(is_term, FN.num_dbl(cs)).otherwise(cs.try_cast("double"))
+    return rank, dec, dbl
+
+
+_TYPED_NUM_FNS = ("ABS", "CEIL", "FLOOR", "ROUND")
+
+
+def _typed_expr(e: A.Expr, df: DataFrame, binder: Optional[_TmpBinder] = None):
+    """Compile a numeric expression to (rank, dec, dbl) — arith/neg and
+    the rank-preserving numeric functions stay in the typed plane (no
+    lexical round-trip per level; the canonical literal is emitted ONCE
+    at the top by the caller).  Promotion rules = value/_number.rs
+    coercing_operator: int∘int→int, ∘decimal→decimal, ∘float→float,
+    ∘double→double; int/int and dec/dec division → decimal with a zero
+    check (error); float/double division is IEEE (INF, no error).
+    Each level is bound to hidden columns when a binder is given."""
+
+    def out(r, dec, dbl):
+        if binder is not None:
+            return binder.bind(r), binder.bind(dec), binder.bind(dbl)
+        return r, dec, dbl
+
+    if e.op == "neg":
+        r, dec, dbl = _typed_expr(e.args[0], df, binder)
+        return out(r, (-dec).try_cast("decimal(38,10)"), -dbl)
+    if e.op == "call" and e.args[0] in _TYPED_NUM_FNS and len(e.args[1]) == 1:
+        fn = e.args[0]
+        r, dec, dbl = _typed_expr(e.args[1][0], df, binder)
+        op_dec = {
+            "ABS": F.abs,
+            "CEIL": lambda c: F.ceil(c).cast("decimal(38,10)"),
+            "FLOOR": lambda c: F.floor(c).cast("decimal(38,10)"),
+            "ROUND": lambda c: F.round(c, 0),
+        }[fn]
+        op_dbl = {
+            "ABS": F.abs,
+            "CEIL": lambda c: F.ceil(c).cast("double"),
+            "FLOOR": lambda c: F.floor(c).cast("double"),
+            "ROUND": lambda c: F.round(c, 0),
+        }[fn]
+        return out(r, op_dec(dec), op_dbl(dbl))
+    if e.op != "arith":
+        return out(*_typed_view(_term_col(e, df, binder)))
+    sym, l, r = e.args
+    lr, ldec, ldbl = _typed_expr(l, df, binder)
+    rr, rdec, rdbl = _typed_expr(r, df, binder)
+    rank = F.when(
+        lr.isNull() | rr.isNull(), F.lit(None).cast("int")
+    ).otherwise(F.greatest(lr, rr))
+    if sym == "/":
+        rank = F.when(rank <= 1, F.lit(1)).otherwise(rank)
+        dec = F.when(rdec != 0, F.try_divide(ldec, rdec))
+        dbl = (
+            F.when(rdbl != 0.0, ldbl / rdbl)
+            .when(ldbl > 0.0, F.lit(float("inf")))
+            .when(ldbl < 0.0, F.lit(float("-inf")))
+            .when(ldbl == 0.0, F.lit(float("nan")))
+        )
+    else:
+        dec = {"+": ldec + rdec, "-": ldec - rdec, "*": ldec * rdec}[sym]
+        dbl = {"+": ldbl + rdbl, "-": ldbl - rdbl, "*": ldbl * rdbl}[sym]
+    dec = dec.try_cast("decimal(38,10)")  # overflow beyond 38 digits → error
+    # validity: the carrying plane must have a value (zero-division /
+    # decimal overflow → error)
+    rank = F.when(rank <= 1, F.when(dec.isNotNull(), rank)).otherwise(
+        F.when(dbl.isNotNull(), rank)
+    )
+    return out(rank, dec, dbl)
 
 
 def _num(e: A.Expr, df: DataFrame) -> Column:
@@ -172,17 +299,30 @@ def _lit_unrecognized(term_str: Column) -> Column:
     return ~FN.datatype(term_str).isin(_RECOGNIZED_DTS) | is_ill_typed(term_str)
 
 
-def _bool(e: A.Expr, df: DataFrame, triples: DataFrame) -> Column:
+def _bool(
+    e: A.Expr,
+    df: DataFrame,
+    triples: DataFrame,
+    binder: Optional[_TmpBinder] = None,
+) -> Column:
     op = e.op
     if op == "and":
-        return _bool(e.args[0], df, triples) & _bool(e.args[1], df, triples)
+        return _bool(e.args[0], df, triples, binder) & _bool(e.args[1], df, triples, binder)
     if op == "or":
-        return _bool(e.args[0], df, triples) | _bool(e.args[1], df, triples)
+        return _bool(e.args[0], df, triples, binder) | _bool(e.args[1], df, triples, binder)
     if op == "not":
-        return ~_bool(e.args[0], df, triples)
+        return ~_bool(e.args[0], df, triples, binder)
     if op == "cmp":
         sym, l, r = e.args
-        lc, rc = _term_col(l, df), _term_col(r, df)
+        lc, rc = _term_col(l, df, binder), _term_col(r, df, binder)
+        if binder is not None:
+            # the comparison layer references each operand ~20× (string
+            # view, numeric view, dateTime view, ill-typed probe) — bind
+            # computed operands so those references stay column refs
+            if l.op not in ("var", "term"):
+                lc = binder.bind(lc)
+            if r.op not in ("var", "term"):
+                rc = binder.bind(rc)
         ls, rs = lc.cast("string"), rc.cast("string")
         ln, rn = _num_from_col(lc), _num_from_col(rc)
         numeric = ln.isNotNull() & rn.isNotNull()
@@ -234,20 +374,22 @@ def _bool(e: A.Expr, df: DataFrame, triples: DataFrame) -> Column:
         )
     if op == "in":
         target, items = e.args
-        tc = _term_col(target, df)
+        tc = _term_col(target, df, binder)
         cond = F.lit(False)
         for it in items:
-            cond = cond | (tc == _term_col(it, df))
+            cond = cond | (tc == _term_col(it, df, binder))
         return cond
     if op == "call":
-        c = _term_col(e, df)
+        c = _term_col(e, df, binder)
         return c.cast("boolean")
     if op == "var":
         return FN.ebv(F.col(e.args[0]))
     if op in ("term", "arith", "neg"):
         # EBV of a constant / computed value (sparql11-query 17.2.2):
         # canonical terms through FN.ebv, plain numerics non-zero
-        c = _term_col(e, df)
+        c = _term_col(e, df, binder)
+        if binder is not None and op != "term":
+            c = binder.bind(c)
         return F.when(
             c.cast("string").rlike('^["<_]'), FN.ebv(c.cast("string"))
         ).otherwise(c.cast("string").try_cast("double") != 0.0)
@@ -287,7 +429,12 @@ def _regex_with_flags(pat: Column, flags: Column) -> Column:
     return F.when(valid, prefixed).otherwise(F.lit(None).cast("string"))
 
 
-def _call(fn: str, cols: List[Column], raw_args) -> Column:
+def _call(
+    fn: str,
+    cols: List[Column],
+    raw_args,
+    binder: Optional[_TmpBinder] = None,
+) -> Column:
     # string view: lexical form for terms; plain computed values via
     # cast, with integral doubles rendered integer-style ("1", not
     # "1.0" — arithmetic flattens to double in our value plane)
@@ -313,7 +460,7 @@ def _call(fn: str, cols: List[Column], raw_args) -> Column:
             FN.is_blank(c) | FN.is_triple(c), F.lit(None).cast("string")
         ).otherwise(FN.iri_term(s(cols[0])))
     if fn == "STRLEN":
-        return F.length(s(cols[0]))
+        return FN.int_term(F.length(s(cols[0])))
     if fn == "UCASE":
         return F.upper(s(cols[0]))
     if fn == "LCASE":
@@ -351,14 +498,25 @@ def _call(fn: str, cols: List[Column], raw_args) -> Column:
         if len(cols) >= 3:  # REGEX(str, pat, flags)
             pat = _regex_with_flags(pat, s(cols[2]))
         return F.regexp_like(s(cols[0]), pat)
-    if fn == "ABS":
-        return F.abs(n(cols[0]))
-    if fn == "CEIL":
-        return F.ceil(n(cols[0]))
-    if fn == "FLOOR":
-        return F.floor(n(cols[0]))
-    if fn == "ROUND":
-        return F.round(n(cols[0]), 0)
+    if fn in ("ABS", "CEIL", "FLOOR", "ROUND"):
+        # rank-PRESERVING numeric functions (xpath fn:abs/ceiling/floor/
+        # round return the argument's type; function.rs numeric dispatch)
+        r, dec, dbl = _typed_view(cols[0])
+        if binder is not None:
+            r, dec, dbl = binder.bind(r), binder.bind(dec), binder.bind(dbl)
+        op_dec = {
+            "ABS": F.abs,
+            "CEIL": lambda c: F.ceil(c).cast("decimal(38,10)"),
+            "FLOOR": lambda c: F.floor(c).cast("decimal(38,10)"),
+            "ROUND": lambda c: F.round(c, 0),
+        }[fn]
+        op_dbl = {
+            "ABS": F.abs,
+            "CEIL": lambda c: F.ceil(c).cast("double"),
+            "FLOOR": lambda c: F.floor(c).cast("double"),
+            "ROUND": lambda c: F.round(c, 0),
+        }[fn]
+        return FN.typed_num_term(r, op_dec(dec), op_dbl(dbl))
     if fn in ("ISIRI", "ISURI"):
         return FN.is_iri(cols[0].cast("string"))
     if fn == "ISBLANK":
@@ -377,12 +535,25 @@ def _call(fn: str, cols: List[Column], raw_args) -> Column:
         return F.sha1(s(cols[0]).cast("binary"))
     if fn == "SHA256":
         return F.sha2(s(cols[0]).cast("binary"), 256)
-    if fn in ("YEAR", "MONTH", "DAY", "HOURS", "MINUTES", "SECONDS"):
+    if fn in ("YEAR", "MONTH", "DAY", "HOURS", "MINUTES"):
+        # xsd:integer results (xpath fn:year-from-dateTime etc.)
         ts = s(cols[0]).try_cast("timestamp")
-        return {
+        return FN.int_term({
             "YEAR": F.year, "MONTH": F.month, "DAY": F.dayofmonth,
-            "HOURS": F.hour, "MINUTES": F.minute, "SECONDS": F.second,
-        }[fn](ts)
+            "HOURS": F.hour, "MINUTES": F.minute,
+        }[fn](ts))
+    if fn == "SECONDS":
+        # xsd:decimal, fraction preserved — taken from the LEXICAL
+        # seconds field (F.second truncates sub-second digits)
+        lexs = s(cols[0])
+        valid = lexs.try_cast("timestamp").isNotNull()
+        sec = F.regexp_extract(lexs, r"T\d\d:\d\d:(\d\d(?:\.\d+)?)", 1)
+        dec = F.when(valid & (sec != ""), sec.try_cast("decimal(38,10)"))
+        if binder is not None:
+            dec = binder.bind(dec)
+        return FN.typed_num_term(
+            F.when(dec.isNotNull(), F.lit(1)), dec, dec.cast("double")
+        )
     if fn == "LANGMATCHES":
         tag, rng = s(cols[0]), s(cols[1])
         return F.when(rng == "*", F.length(tag) > 0).otherwise(
@@ -454,14 +625,24 @@ def _call(fn: str, cols: List[Column], raw_args) -> Column:
         t = F.when(
             cols[0].cast("string").rlike('^["<_]'), cols[0].cast("string")
         ).otherwise(F.concat(F.lit('"'), cols[0].cast("string"), F.lit('"')))
+        bind = binder.bind if binder is not None else (lambda col: col)
+        t = bind(t)
         if typ == "boolean":
             return FN.xsd_boolean(t)
         if typ == "integer":
-            return FN.xsd_integer(t)
+            return FN.int_term(bind(FN.xsd_integer(t)))
         if typ in ("double", "float"):
-            return FN.xsd_double(t)
+            dbl = bind(FN.xsd_double(t))
+            return FN.typed_num_term(
+                F.when(dbl.isNotNull(), F.lit(3 if typ == "double" else 2)),
+                F.lit(None).cast("decimal(38,10)"),
+                dbl,
+            )
         if typ == "decimal":
-            return FN.xsd_decimal(t)
+            dec = bind(FN.xsd_decimal(t))
+            return FN.typed_num_term(
+                F.when(dec.isNotNull(), F.lit(1)), dec, dec.cast("double")
+            )
         if typ == "string":
             return s(cols[0])
         if typ == "dateTime":
@@ -565,7 +746,11 @@ def _eval_group(ctx: _Ctx, g: A.Group):
         elif isinstance(el, A.Bind):
             if df is None:
                 df = _unit(spark)
-            df = B.extend(df, el.var.name, _term_col(el.expr, df))
+            b = _TmpBinder(df)
+            val = _term_col(el.expr, b.df, b)
+            df = B.extend(b.df, el.var.name, val)
+            if b.names:
+                df = df.drop(*b.names)
             maybe.add(el.var.name)  # expression errors bind NULL
         elif isinstance(el, A.Values):
             vdf = spark.createDataFrame(
@@ -600,8 +785,11 @@ def _eval_group(ctx: _Ctx, g: A.Group):
             sub, _sm = _eval_group(ctx, fe.args[0])
             df = B.exists_filter(df, sub, negated=(fe.op == "not_exists"))
         else:
-            cond = _bool(fe, df, ctx.scoped())
-            df = df.filter(F.coalesce(cond, F.lit(False)))  # error → drop
+            b = _TmpBinder(df)
+            cond = _bool(fe, b.df, ctx.scoped(), b)
+            df = b.df.filter(F.coalesce(cond, F.lit(False)))  # error → drop
+            if b.names:
+                df = df.drop(*b.names)
     return df, maybe
 
 
@@ -713,7 +901,11 @@ def _select_df(ctx: _Ctx, q: A.Query):
 
     # computed group keys: GROUP BY (expr AS ?v) binds before grouping
     for ge, galias in q.group_exprs:
-        df = df.withColumn(galias, _term_col(ge, df))
+        b = _TmpBinder(df)
+        gval = _term_col(ge, b.df, b)
+        df = b.df.withColumn(galias, gval)
+        if b.names:
+            df = df.drop(*b.names)
 
     # aggregates — inside GRAPH ?g the subquery is evaluated per active
     # graph (exec.rs "single active graph"): the graph var joins the
@@ -729,19 +921,44 @@ def _select_df(ctx: _Ctx, q: A.Query):
         group_by.insert(0, gname)
     if q.aggregates or q.group_by:
         maybe |= {a.alias for a in q.aggregates}  # agg over empty → NULL
+        # COUNT(DISTINCT *) counts distinct SOLUTIONS over the visible
+        # columns — capture them before the hidden temporaries below
+        solution_cols = [F.col(x) for x in df.columns]
+        # materialize each aggregate input (and, for SUM/AVG, its typed
+        # numeric views) as hidden '#'-columns: every aggregate then
+        # references a plain attribute instead of re-inlining a deep
+        # emitted-literal expression tree — keeps Catalyst's analysis
+        # tree linear in query size.  groupBy().agg() drops the temps.
+        argcol: dict = {}
+        for i, a in enumerate(q.aggregates):
+            if a.arg is None:
+                continue
+            cn = f"#g{i}"
+            b = _TmpBinder(df)
+            argval = _term_col(a.arg, b.df, b)
+            df = b.df.withColumn(cn, argval)
+            if a.fn in ("sum", "avg"):
+                rr, dd, bb = _typed_view(F.col(cn))
+                df = (
+                    df.withColumn(cn + "r", rr)
+                    .withColumn(cn + "d", dd)
+                    .withColumn(cn + "f", bb)
+                )
+            argcol[i] = cn
         aggs = []
-        for a in q.aggregates:
+        post_emit: List = []  # (alias, raw-struct → term renderer)
+        for i, a in enumerate(q.aggregates):
             if a.fn == "count" and a.arg is None:
                 if a.distinct:  # COUNT(DISTINCT *) = distinct solutions
                     aggs.append(
-                        F.count_distinct(*[F.col(c) for c in df.columns]).alias(
+                        FN.int_term(F.count_distinct(*solution_cols)).alias(
                             a.alias
                         )
                     )
                 else:
-                    aggs.append(F.count(F.lit(1)).alias(a.alias))
+                    aggs.append(FN.int_term(F.count(F.lit(1))).alias(a.alias))
                 continue
-            c = _term_col(a.arg, df)
+            c = F.col(argcol[i])
             # error-poisoning (aggregate_iter.rs:236-309 + test.rs:834-848
             # "sum err"/"min err"/...): an element whose expression errors
             # — or, for SUM/AVG, isn't a number — poisons the whole
@@ -752,30 +969,98 @@ def _select_df(ctx: _Ctx, q: A.Query):
                 )
 
             if a.fn == "count":
+                # COUNT yields an xsd:integer term (SparqlNumber::from)
                 aggs.append(
-                    (F.count_distinct(c) if a.distinct else F.count(c)).alias(a.alias)
+                    FN.int_term(
+                        F.count_distinct(c) if a.distinct else F.count(c)
+                    ).alias(a.alias)
                 )
             elif a.fn in ("sum", "avg"):
-                nv = _num_from_col(c)
+                # TYPED accumulation (value/_number.rs promotion):
+                # integer inputs sum to integer, any decimal promotes to
+                # decimal, float/double to float/double; AVG divides —
+                # int/dec inputs land in decimal, float/double stay.
+                rin = F.col(argcol[i] + "r")
+                decin = F.col(argcol[i] + "d")
+                dblin = F.col(argcol[i] + "f")
+                poison = _poisoned_by(rin.isNull())
                 if a.distinct:
-                    # AVG(DISTINCT) = sum over the distinct value set /
-                    # its cardinality (sparql11-query §18.5.1.4)
-                    e = (
-                        F.sum_distinct(nv)
-                        if a.fn == "sum"
-                        else F.sum_distinct(nv) / F.count_distinct(nv)
+                    # DISTINCT dedups on the TERM (aggregate_iter.rs
+                    # seen: HashSet<ResultTerm> — "2.0"^^decimal and
+                    # "2e0"^^double are distinct even though equal in
+                    # value); fold the set with per-element typed views
+                    terms = F.collect_set(c.cast("string"))
+                    init = F.struct(
+                        F.lit(0).cast("int").alias("r"),
+                        F.lit(0).cast("decimal(38,10)").alias("dec"),
+                        F.lit(0.0).alias("dbl"),
                     )
+
+                    def _merge(acc, x):
+                        xr, xdec, xdbl = _typed_view(x)
+                        return F.struct(
+                            F.greatest(acc["r"], xr).cast("int").alias("r"),
+                            (acc["dec"] + xdec)
+                            .try_cast("decimal(38,10)")
+                            .alias("dec"),
+                            (acc["dbl"] + xdbl).alias("dbl"),
+                        )
+
+                    folded = F.aggregate(terms, init, _merge)
+                    rank_out = folded["r"]
+                    sdec, sdbl = folded["dec"], folded["dbl"]
+                    n = F.size(terms)
                 else:
-                    e = F.sum(nv) if a.fn == "sum" else F.avg(nv)
-                # SUM/AVG over an empty group = 0 (the accumulator starts
-                # at Some(0); AVG finalizes sum / max(count, 1) —
-                # aggregate_iter.rs:150,390-394)
-                e = F.coalesce(e, F.lit(0.0))
-                aggs.append(
-                    F.when(_poisoned_by(nv.isNull()), F.lit(None).cast("double"))
-                    .otherwise(e)
-                    .alias(a.alias)
+                    rank_out = F.max(rin)
+                    sdec = F.sum(decin).try_cast("decimal(38,10)")
+                    sdbl = F.sum(dblin)
+                    n = F.count(c)
+                # two-phase: aggregate the RAW typed state (a small
+                # struct), render the lexical AFTER the groupBy in a
+                # projection over plain struct-field references — the
+                # renderers reference their input dozens of times, which
+                # over full aggregate expressions would blow up the
+                # analysis tree
+                raw = F.struct(
+                    rank_out.cast("int").alias("r"),
+                    sdec.alias("dec"),
+                    sdbl.alias("dbl"),
+                    n.cast("long").alias("n"),
+                    poison.alias("bad"),
                 )
+                aggs.append(raw.alias(a.alias))
+
+                def _emit_sum_avg(col, fn=a.fn):
+                    rank_out, sdec, sdbl, n, poison = (
+                        col["r"], col["dec"], col["dbl"], col["n"], col["bad"]
+                    )
+                    if fn == "sum":
+                        # SUM{} = 0 (accumulator starts at integer 0,
+                        # aggregate_iter.rs:150)
+                        result = F.when(
+                            n == 0, F.lit(f'"0"^^<{_XSD_NS}integer>')
+                        ).otherwise(FN.typed_num_term(rank_out, sdec, sdbl))
+                    else:
+                        # AVG finalizes sum / max(count, 1): int/dec →
+                        # decimal division, float/double stay
+                        # (aggregate_iter.rs:390)
+                        rank_avg = F.when(
+                            rank_out <= 1, F.lit(1)
+                        ).otherwise(rank_out)
+                        adec = F.try_divide(sdec, n).try_cast(
+                            "decimal(38,10)"
+                        )
+                        result = F.when(
+                            n == 0, F.lit(f'"0.0"^^<{_XSD_NS}decimal>')
+                        ).otherwise(
+                            FN.typed_num_term(rank_avg, adec, sdbl / n)
+                        )
+                    return (
+                        F.when(poison, F.lit(None).cast("string"))
+                        .otherwise(result)
+                    )
+
+                post_emit.append((a.alias, _emit_sum_avg))
             elif a.fn in ("min", "max"):
                 # SPARQL VALUE order, not string order: min_by/max_by over
                 # the composite order key (aggregate_iter.rs:274-308
@@ -798,7 +1083,15 @@ def _select_df(ctx: _Ctx, q: A.Query):
                     F.when(
                         _poisoned_by(c.isNull()), F.lit(None).cast("string")
                     )
-                    .otherwise(F.concat_ws(a.sep, F.array_sort(coll)))
+                    .otherwise(
+                        # result is an xsd:string literal (SparqlValue::
+                        # from(concat), aggregate_iter.rs:396-400)
+                        F.concat(
+                            F.lit('"'),
+                            F.concat_ws(a.sep, F.array_sort(coll)),
+                            F.lit('"'),
+                        )
+                    )
                     .alias(a.alias)
                 )
             elif a.fn == "sample":
@@ -814,24 +1107,40 @@ def _select_df(ctx: _Ctx, q: A.Query):
             df = df.groupBy(*group_by).agg(*aggs)
         else:
             df = df.agg(*aggs)
+        for alias, emit in post_emit:
+            df = df.withColumn(alias, emit(F.col(alias)))
 
     for e, alias in q.select_exprs:
-        df = df.withColumn(alias, _term_col(e, df))
+        b = _TmpBinder(df)
+        sval = _term_col(e, b.df, b)
+        df = b.df.withColumn(alias, sval)
+        if b.names:
+            df = df.drop(*b.names)
         maybe.add(alias)
 
     if q.having is not None:
-        df = df.filter(F.coalesce(_bool(q.having, df, ctx.scoped()), F.lit(False)))
+        b = _TmpBinder(df)
+        hcond = _bool(q.having, b.df, ctx.scoped(), b)
+        df = b.df.filter(F.coalesce(hcond, F.lit(False)))
+        if b.names:
+            df = df.drop(*b.names)
 
     if q.order_by:
         keys = []
+        b = _TmpBinder(df)
         for e, asc in q.order_by:
             # SPARQL value order for vars AND computed expressions alike
             # (exec.rs:826-893); order_key_any also orders plain computed
             # values (BIND arithmetic) correctly
-            c = F.col(e.args[0]) if e.op == "var" and e.args[0] in df.columns else _term_col(e, df)
+            if e.op == "var" and e.args[0] in b.df.columns:
+                c = F.col(e.args[0])
+            else:
+                c = b.bind(_term_col(e, b.df, b))
             for k in FN.order_key_any(c):
                 keys.append(k if asc else k.desc())
-        df = df.orderBy(*keys)
+        df = b.df.orderBy(*keys)
+        if b.names:
+            df = df.drop(*b.names)
 
     if q.variables:
         keep = [v for v in q.variables if v in df.columns]

@@ -875,6 +875,12 @@ class _P:
                 elif t[0] == "var":
                     self.next()
                     q.order_by.append((Expr("var", (t[1][1:],)), True))
+                elif t[0] == "op" and t[1] == "(":
+                    # OrderCondition := ... | BrackettedExpression
+                    self.next()
+                    e = self.parse_expr()
+                    self.expect_op(")")
+                    q.order_by.append((e, True))
                 else:
                     break
         # LIMIT/OFFSET in either order

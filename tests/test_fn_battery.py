@@ -39,7 +39,10 @@ def _eval(spark_df, expr):
     ],
 )
 def test_strlen(unit, lit, exp):
-    assert _eval(unit, f"STRLEN({lit})") == exp
+    # STRLEN returns an xsd:integer term (function.rs numeric results)
+    assert _eval(unit, f"STRLEN({lit})") == (
+        f'"{exp}"^^<http://www.w3.org/2001/XMLSchema#integer>'
+    )
 
 
 # test.rs:204-229 — SUBSTR: XPath rounding, negative/overlong ranges
@@ -199,12 +202,14 @@ XSDD = '^^<http://www.w3.org/2001/XMLSchema#double>'
 @pytest.mark.parametrize(
     "expr,exp",
     [
-        (f'ABS("-3"{XSDI})', 3.0),
-        (f'ABS("2.5"{XSDD})', 2.5),
-        (f'CEIL("2.2"{XSDD})', 3),
-        (f'FLOOR("2.8"{XSDD})', 2),
-        (f'ROUND("2.5"{XSDD})', 3.0),
-        (f'ROUND("-2.5"{XSDD})', -3.0),
+        # rank-PRESERVING typed results (xpath fn:abs etc. return the
+        # argument's type; canonical double lexical = rust {:e})
+        (f'ABS("-3"{XSDI})', f'"3"{XSDI}'),
+        (f'ABS("2.5"{XSDD})', f'"2.5e0"{XSDD}'),
+        (f'CEIL("2.2"{XSDD})', f'"3e0"{XSDD}'),
+        (f'FLOOR("2.8"{XSDD})', f'"2e0"{XSDD}'),
+        (f'ROUND("2.5"{XSDD})', f'"3e0"{XSDD}'),
+        (f'ROUND("-2.5"{XSDD})', f'"-3e0"{XSDD}'),
     ],
 )
 def test_numeric(unit, expr, exp):
@@ -218,12 +223,27 @@ DT = '"2010-06-21T11:28:01Z"^^<http://www.w3.org/2001/XMLSchema#dateTime>'
 @pytest.mark.parametrize(
     "fn,exp",
     [
-        ("YEAR", 2010), ("MONTH", 6), ("DAY", 21),
-        ("HOURS", 11), ("MINUTES", 28), ("SECONDS", 1),
+        ("YEAR", "2010"), ("MONTH", "6"), ("DAY", "21"),
+        ("HOURS", "11"), ("MINUTES", "28"),
     ],
 )
 def test_datetime_accessors(unit, fn, exp):
-    assert _eval(unit, f"{fn}({DT})") == exp
+    # xsd:integer results (xpath fn:year-from-dateTime etc.)
+    assert _eval(unit, f"{fn}({DT})") == (
+        f'"{exp}"^^<http://www.w3.org/2001/XMLSchema#integer>'
+    )
+
+
+def test_seconds_decimal(unit):
+    # SECONDS returns xsd:decimal, fraction preserved (xpath
+    # fn:seconds-from-dateTime)
+    assert _eval(unit, f"SECONDS({DT})") == (
+        '"1.0"^^<http://www.w3.org/2001/XMLSchema#decimal>'
+    )
+    frac = '"2010-06-21T11:28:01.5Z"^^<http://www.w3.org/2001/XMLSchema#dateTime>'
+    assert _eval(unit, f"SECONDS({frac})") == (
+        '"1.5"^^<http://www.w3.org/2001/XMLSchema#decimal>'
+    )
 
 
 def test_tz_timezone(unit):

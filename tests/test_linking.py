@@ -91,3 +91,34 @@ class TestCanonicalizeBroadcastRegimes:
         out = canonicalize_entities(t, comp)  # auto: 2 rows → broadcast
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" in plan
+
+
+def test_fixpoint_one_driver_action_per_round(spark):
+    """The min-label loop costs ONE driver action (job) per round: the
+    lazy localCheckpoint materializes inside the changed-count job
+    (r2 VERDICT perf finding — driver-barrier latency amplifies on a
+    busy cluster, so checkpoint+isEmpty per round was 2× the barriers)."""
+    from sophia_rs_spark.operators.linking import connected_components
+
+    chain = [(f"<n{i}>", f"<n{i+1}>") for i in range(8)]
+    edges = spark.createDataFrame(chain, "src string, dst string")
+    sc = spark.sparkContext
+    # AQE materializes every shuffle stage as its own job — disable it
+    # so jobs ≈ driver actions and the count is a meaningful proxy
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    sc.setJobGroup("cc-fixpoint-jobs", "job-count probe")
+    try:
+        stats = {}
+        labels = connected_components(edges, stats=stats)
+        rows = labels.collect()
+    finally:
+        sc.setJobGroup("", "")
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+    jobs = sc.statusTracker().getJobIdsForGroup("cc-fixpoint-jobs")
+    iters = stats["iterations"]
+    # budget: 2 eager setup checkpoints + 1 job/round + the final collect
+    assert len(jobs) <= iters + 4, (len(jobs), iters)
+    # and the answer is still right: one component rooted at <n0>
+    assert {r["comp"] for r in rows} == {"<n0>"}
+    assert len(rows) == 9

@@ -97,7 +97,7 @@ class TestSelect:
             data,
             PFX + "SELECT ?l WHERE { :alice :name ?n BIND(STRLEN(STR(?n)) AS ?l) }",
         )
-        assert rows_of(got) == [(5,)]
+        assert rows_of(got) == [('"5"^^<http://www.w3.org/2001/XMLSchema#integer>',)]
 
     def test_values(self, data):
         got = query(
@@ -130,11 +130,11 @@ class TestSelect:
             PFX + "SELECT ?s (COUNT(*) AS ?cnt) WHERE { ?s ?p ?o } GROUP BY ?s",
         )
         vals = dict(rows_of(got))
-        assert vals["<http://example.org/ns/alice>"] == 3  # default graph only
+        assert vals["<http://example.org/ns/alice>"] == '"3"^^<http://www.w3.org/2001/XMLSchema#integer>'  # default graph
         got2 = query(
             data, PFX + "SELECT (SUM(?a) AS ?total) WHERE { ?s :age ?a }"
         )
-        assert got2.collect()[0]["total"] == 49.0
+        assert got2.collect()[0]["total"] == '"49"^^<http://www.w3.org/2001/XMLSchema#integer>'
 
     def test_group_concat_pinned(self, data):
         got = query(
@@ -142,7 +142,7 @@ class TestSelect:
             PFX + 'SELECT (GROUP_CONCAT(?n; SEPARATOR=",") AS ?names) '
             "WHERE { ?s :name ?n }",
         )
-        assert got.collect()[0]["names"] == "Alice,Bob,Carol"
+        assert got.collect()[0]["names"] == '"Alice,Bob,Carol"'
 
     def test_exists(self, data):
         got = query(
@@ -316,7 +316,7 @@ class TestSubquery:
             }""",
         )
         vals = dict(rows_of(got))
-        assert vals["<http://example.org/ns/alice>"] == 3
+        assert vals["<http://example.org/ns/alice>"] == '"3"^^<http://www.w3.org/2001/XMLSchema#integer>'
 
 
 class TestDescribe:
@@ -418,11 +418,14 @@ def test_strlen_of_escaped_literal(spark):
         df,
         PFX + "SELECT ?s ?l WHERE { ?s :t ?o BIND(STRLEN(?o) AS ?l) }",
     )
+    def ilit(n):
+        return f'"{n}"^^<http://www.w3.org/2001/XMLSchema#integer>'
+
     by_s = {r["s"]: r["l"] for r in got.collect()}
-    assert by_s[f"<{NS}a>"] == len("line1\nline2")
-    assert by_s[f"<{NS}b>"] == len("tab\there")
-    assert by_s[f"<{NS}c>"] == len("back\\slash\nx")
-    assert by_s[f"<{NS}d>"] == len("ctl\x01")
+    assert by_s[f"<{NS}a>"] == ilit(len("line1\nline2"))
+    assert by_s[f"<{NS}b>"] == ilit(len("tab\there"))
+    assert by_s[f"<{NS}c>"] == ilit(len("back\\slash\nx"))
+    assert by_s[f"<{NS}d>"] == ilit(len("ctl\x01"))
 
 
 class TestNewBuiltins:
@@ -567,14 +570,14 @@ class TestDistinctAggregates:
             "GROUP BY ?s",
         )
         vals = dict(rows_of(got))
-        assert vals["<http://example.org/ns/a>"] == 2
-        assert vals["<http://example.org/ns/b>"] == 1
+        assert vals["<http://example.org/ns/a>"] == '"2"^^<http://www.w3.org/2001/XMLSchema#integer>'
+        assert vals["<http://example.org/ns/b>"] == '"1"^^<http://www.w3.org/2001/XMLSchema#integer>'
         # plain COUNT counts duplicates
         got2 = query(
             adata,
             PFX + "SELECT ?s (COUNT(?t) AS ?n) WHERE { ?s :tag ?t } GROUP BY ?s",
         )
-        assert dict(rows_of(got2))["<http://example.org/ns/a>"] == 3
+        assert dict(rows_of(got2))["<http://example.org/ns/a>"] == '"3"^^<http://www.w3.org/2001/XMLSchema#integer>'
 
     def test_sum_avg_distinct(self, adata):
         got = query(
@@ -582,12 +585,12 @@ class TestDistinctAggregates:
             PFX + "SELECT (SUM(DISTINCT ?v) AS ?s) (AVG(DISTINCT ?v) AS ?a) "
             "WHERE { ?x :n ?v }",
         ).collect()[0]
-        assert got["s"] == 6.0  # 2 + 4
-        assert got["a"] == 3.0
+        assert got["s"] == '"6"^^<http://www.w3.org/2001/XMLSchema#integer>'  # 2 + 4
+        assert got["a"] == '"3.0"^^<http://www.w3.org/2001/XMLSchema#decimal>'
         plain = query(
             adata, PFX + "SELECT (SUM(?v) AS ?s) WHERE { ?x :n ?v }"
         ).collect()[0]
-        assert plain["s"] == 8.0
+        assert plain["s"] == '"8"^^<http://www.w3.org/2001/XMLSchema#integer>'
 
     def test_group_concat_distinct(self, adata):
         got = query(
@@ -595,7 +598,7 @@ class TestDistinctAggregates:
             PFX + 'SELECT (GROUP_CONCAT(DISTINCT ?t; SEPARATOR=",") AS ?c) '
             "WHERE { ?x :tag ?t }",
         ).collect()[0]
-        assert got["c"] == "x,y"
+        assert got["c"] == '"x,y"'
 
 
 def test_xsd_constructor_casts(spark, data):
@@ -606,8 +609,8 @@ def test_xsd_constructor_casts(spark, data):
         "BIND(xsd:integer(?a) AS ?i) BIND(xsd:double(?a) AS ?d) "
         'BIND(xsd:string(?a) AS ?s) BIND(xsd:boolean("true") AS ?b) }',
     ).collect()[0]
-    assert got["i"] == 42
-    assert got["d"] == 42.0
+    assert got["i"] == '"42"^^<http://www.w3.org/2001/XMLSchema#integer>'
+    assert got["d"] == '"4.2e1"^^<http://www.w3.org/2001/XMLSchema#double>'
     assert got["s"] == "42"
     assert got["b"] is True
     # cast errors are NULL (error-poisoning)
@@ -678,4 +681,5 @@ def test_group_by_expression(spark, data):
         "GROUP BY (SUBSTR(STR(?nm), 1, 1) AS ?initial)",
     )
     vals = dict(rows_of(got))
-    assert vals == {"A": 1, "B": 1, "C": 1}
+    one = '"1"^^<http://www.w3.org/2001/XMLSchema#integer>'
+    assert vals == {"A": one, "B": one, "C": one}

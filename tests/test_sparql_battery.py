@@ -1,8 +1,8 @@
 """Query-level battery ported from `sparql/src/test.rs:10-135`
 (test_select_1_and_ask over dataset_101).  Expectations are rewritten
-into our canonical encoding (xsd:string implicit; computed BIND values
-are plain per the documented value-plane deviation); bnode results
-compare as "_:b" like the reference's eval harness."""
+into our canonical encoding (xsd:string implicit; computed numeric
+values are TYPED canonical literals per value/_number.rs); bnode
+results compare as "_:b" like the reference's eval harness."""
 
 import pytest
 
@@ -117,15 +117,16 @@ def test_select_battery(ds, q, exp, name):
 
 
 def test_values_cross_product_bind(ds):
-    # reference expects typed integer literals; our value plane yields
-    # plain numerics (documented deviation) — the VALUES cross product
-    # and arithmetic are what's under test
+    # typed integer literals, exactly as the reference expects
     got = query(
         ds,
         QPFX + "SELECT ?x { VALUES ?y { 10 20 } VALUES ?z { 1 2 } "
         "BIND (?y+?z as ?x) }",
     )
-    assert sorted(float(r["x"]) for r in got.collect()) == [11.0, 12.0, 21.0, 22.0]
+    assert sorted(r["x"] for r in got.collect()) == [
+        f'"{n}"^^<http://www.w3.org/2001/XMLSchema#integer>'
+        for n in (11, 12, 21, 22)
+    ]
 
 
 # test.rs:800-817 — FILTER battery (EBV of constants, error-poisoning,
@@ -150,31 +151,60 @@ def test_filter_battery(ds, f, exp, name):
     assert vals == sorted(exp), name
 
 
-# test.rs:822-857 — aggregate battery (numeric values; our value plane
-# yields plain numbers, so numeric expectations are plain).  Includes
-# the error-poisoning rows ("sum err" etc. — a type-error element makes
-# the whole SUM/AVG/MIN/MAX/GROUP_CONCAT unbound, aggregate_iter.rs:
-# 236-309) and the SPARQL value-order MIN/MAX rows ("min string",
-# "min mixed terms" — test.rs:843-848).  None is an unbound ?a.
+# test.rs:822-857 — aggregate battery, expectations VERBATIM from the
+# reference where it pins a term (typed numeric results: COUNT/SUM/AVG
+# emit canonical literals with the promoted datatype — integer /
+# decimal / double — value/_number.rs + value.rs lexical_form).
+# Includes the error-poisoning rows ("sum err" etc. — a type-error
+# element makes the whole SUM/AVG/MIN/MAX/GROUP_CONCAT unbound,
+# aggregate_iter.rs:236-309) and the SPARQL value-order MIN/MAX rows
+# ("min string", "min mixed terms" — test.rs:843-848).  None = unbound.
+_XI = '^^<http://www.w3.org/2001/XMLSchema#integer>'
+_XD = '^^<http://www.w3.org/2001/XMLSchema#decimal>'
+_XF = '^^<http://www.w3.org/2001/XMLSchema#double>'
 AGG_CASES = [
-    ("SELECT (COUNT(*) as ?a) { VALUES ?x { 1 2 } VALUES ?y { 3 3 }}", 4, "count star"),
-    ("SELECT (COUNT(DISTINCT *) as ?a) { VALUES ?x { 1 2 } VALUES ?y { 3 3 }}", 2, "count star distinct"),
-    ("SELECT (COUNT(abs(?x)) as ?a) { VALUES ?x { 1 2 -2 } }", 3, "count expr"),
-    ("SELECT (COUNT(DISTINCT abs(?x)) as ?a) { VALUES ?x { 1 2 -2 } }", 2, "count expr distinct"),
-    ("SELECT (COUNT(abs(?x)) as ?a) { VALUES ?x { 1 true -2 } }", 2, "count expr err skips"),
-    ("SELECT (SUM(abs(?x)) as ?a) { VALUES ?x { 1 2 -2 } }", 5, "sum"),
-    ("SELECT (SUM(DISTINCT abs(?x)) as ?a) { VALUES ?x { 1 2 -2 } }", 3, "sum distinct"),
-    ("SELECT (AVG(abs(?x)) as ?a) { VALUES ?x { 1 2 -2 0 3 } }", 1.6, "avg"),
-    ("SELECT (AVG(DISTINCT abs(?x)) as ?a) { VALUES ?x { 1 2 -2 0 3 } }", 1.5, "avg distinct"),
-    ("SELECT (MIN(abs(?x)) as ?a) { VALUES ?x { 2 1 -3 -2 } }", 1, "min"),
-    ("SELECT (MAX(abs(?x)) as ?a) { VALUES ?x { 2 1 -3 -2 } }", 3, "max"),
+    ("SELECT (COUNT(*) as ?a) { VALUES ?x { 1 2 } VALUES ?y { 3 3 }}",
+     f'"4"{_XI}', "count star"),
+    ("SELECT (COUNT(DISTINCT *) as ?a) { VALUES ?x { 1 2 } VALUES ?y { 3 3 }}",
+     f'"2"{_XI}', "count star distinct"),
+    ("SELECT (COUNT(abs(?x)) as ?a) { VALUES ?x { 1 2 -2 } }",
+     f'"3"{_XI}', "count expr"),
+    ("SELECT (COUNT(DISTINCT abs(?x)) as ?a) { VALUES ?x { 1 2 -2 } }",
+     f'"2"{_XI}', "count expr distinct"),
+    ("SELECT (COUNT(abs(?x)) as ?a) { VALUES ?x { 1 true -2 } }",
+     f'"2"{_XI}', "count expr err skips"),
+    ("SELECT (SUM(abs(?x)) as ?a) { VALUES ?x { 1 2 -2 } }",
+     f'"5"{_XI}', "sum"),
+    ("SELECT (SUM(DISTINCT abs(?x)) as ?a) { VALUES ?x { 1 2 -2 } }",
+     f'"3"{_XI}', "sum distinct"),
+    ("SELECT (SUM(DISTINCT abs(?x)) as ?a) { VALUES ?x { 1 2.0 -2e0 } }",
+     f'"5e0"{_XF}', "sum distinct mixed"),
+    ("SELECT (SUM(DISTINCT xsd:integer(abs(?x))) as ?a) { VALUES ?x { 1 2.0 -2e0 } }",
+     f'"3"{_XI}', "sum distinct coerced"),
+    ("SELECT (AVG(abs(?x)) as ?a) { VALUES ?x { 1 2 -2 0 3 } }",
+     f'"1.6"{_XD}', "avg"),
+    ("SELECT (AVG(DISTINCT abs(?x)) as ?a) { VALUES ?x { 1 2 -2 0 3 } }",
+     f'"1.5"{_XD}', "avg distinct"),
+    ("SELECT (AVG(DISTINCT abs(?x)) as ?a) { VALUES ?x { 1 2.0 -2e0 0 3 } }",
+     f'"1.6e0"{_XF}', "avg distinct mixed"),
+    ("SELECT (AVG(DISTINCT xsd:decimal(abs(?x))) as ?a) { VALUES ?x { 1 2.0 -2e0 0 3 } }",
+     f'"1.5"{_XD}', "avg distinct coerced"),
+    ("SELECT (MIN(abs(?x)) as ?a) { VALUES ?x { 2 1 -3 -2 } }",
+     f'"1"{_XI}', "min"),
+    ("SELECT (MIN(abs(?x)) as ?a) { VALUES ?x { 2 1.0 -3e0 -2 } }",
+     f'"1.0"{_XD}', "min mixed number"),
+    ("SELECT (MAX(abs(?x)) as ?a) { VALUES ?x { 2 1 -3 -2 } }",
+     f'"3"{_XI}', "max"),
+    ("SELECT (MAX(abs(?x)) as ?a) { VALUES ?x { 2 1.0 -3e0 -2 } }",
+     f'"3e0"{_XF}', "max mixed number"),
     ('SELECT (GROUP_CONCAT(str(abs(?x))) as ?a) { VALUES ?x { 1 2 -2 } }',
-     "1 2 2", "group_concat"),
+     '"1 2 2"', "group_concat"),
     ('SELECT (GROUP_CONCAT(DISTINCT str(abs(?x))) as ?a) { VALUES ?x { 1 2 -2 } }',
-     "1 2", "group_concat distinct"),
+     '"1 2"', "group_concat distinct"),
     ('SELECT (GROUP_CONCAT(str(abs(?x)); SEPARATOR="|") as ?a) { VALUES ?x { 1 2 -2 } }',
-     "1|2|2", "group_concat separator"),
-    ("SELECT (SAMPLE(abs(?x)) as ?a) { VALUES ?x { 1 1 1 } }", 1, "sample"),
+     '"1|2|2"', "group_concat separator"),
+    ("SELECT (SAMPLE(abs(?x)) as ?a) { VALUES ?x { 1 1 1 } }",
+     f'"1"{_XI}', "sample"),
     # error-poisoning (test.rs:834,839,842,847,855)
     ("SELECT (SUM(abs(?x)) as ?a) { VALUES ?x { 1 true -2 } }", None, "sum err"),
     ("SELECT (AVG(abs(?x)) as ?a) { VALUES ?x { 1 true -2 0 3 } }", None, "avg err"),
@@ -185,9 +215,9 @@ AGG_CASES = [
     # SPARQL value order, not string order (test.rs:843-848; the r2
     # confirmed bug: MIN of {2, 10} returned 10 lexicographically)
     ("SELECT (MIN(?x) as ?a) { VALUES ?x { 2 10 } }",
-     '"2"^^<http://www.w3.org/2001/XMLSchema#integer>', "min value order"),
+     f'"2"{_XI}', "min value order"),
     ("SELECT (MAX(?x) as ?a) { VALUES ?x { 2 10 } }",
-     '"10"^^<http://www.w3.org/2001/XMLSchema#integer>', "max value order"),
+     f'"10"{_XI}', "max value order"),
     ('SELECT (MIN(SUBSTR(?x, 2)) as ?a) { VALUES ?x { "aC" "bA" "cD" "dB" } }',
      "A", "min string"),
     ('SELECT (MAX(SUBSTR(?x, 2)) as ?a) { VALUES ?x { "aC" "bA" "cD" "dB" } }',
@@ -195,10 +225,12 @@ AGG_CASES = [
     ("SELECT (MIN(?x) as ?a) { VALUES ?x { 3 <x:1> 2 <x:2> } }",
      "<x:1>", "min mixed terms"),
     ("SELECT (MAX(?x) as ?a) { VALUES ?x { 3 <x:1> 4 <x:2> } }",
-     '"4"^^<http://www.w3.org/2001/XMLSchema#integer>', "max mixed terms"),
+     f'"4"{_XI}', "max mixed terms"),
     # SUM/AVG over an empty group = 0 (aggregate_iter.rs:150,390-394)
-    ("SELECT (SUM(?x) as ?a) { VALUES ?x { 1 } FILTER(?x > 5) }", 0, "sum empty"),
-    ("SELECT (AVG(?x) as ?a) { VALUES ?x { 1 } FILTER(?x > 5) }", 0, "avg empty"),
+    ("SELECT (SUM(?x) as ?a) { VALUES ?x { 1 } FILTER(?x > 5) }",
+     f'"0"{_XI}', "sum empty"),
+    ("SELECT (AVG(?x) as ?a) { VALUES ?x { 1 } FILTER(?x > 5) }",
+     f'"0.0"{_XD}', "avg empty"),
 ]
 
 
@@ -207,12 +239,7 @@ def test_aggregate_battery(spark, ds, q, exp, name):
     got = query(ds, "PREFIX xsd: <http://www.w3.org/2001/XMLSchema#> " + q).collect()
     assert len(got) == 1
     v = got[0]["a"]
-    if exp is None:
-        assert v is None, name
-    elif isinstance(exp, str):
-        assert v == exp, name
-    else:
-        assert float(v) == pytest.approx(float(exp)), name
+    assert v == exp, name
 
 
 def test_case_sensitive_variables(ds):
@@ -264,8 +291,8 @@ def test_multiple_aggregates_battery(spark, ds):
         "(min(?y) as ?miny) (max(?y) as ?maxy) "
         "{ VALUES (?x ?y) { (1 10) (2 14) (1 16) (2 16) (2 12) (1 10) (1 13) } }",
     ).collect()[0]
-    assert got["cy"] == 7 and got["cdy"] == 5
-    assert float(got["ay"]) == 13.0 and float(got["ady"]) == 13.0
+    assert got["cy"] == f'"7"{_XI}' and got["cdy"] == f'"5"{_XI}'
+    assert got["ay"] == f'"13.0"{_XD}' and got["ady"] == f'"13.0"{_XD}'
     assert got["miny"] == '"10"^^<http://www.w3.org/2001/XMLSchema#integer>'
     assert got["maxy"] == '"16"^^<http://www.w3.org/2001/XMLSchema#integer>'
 
@@ -358,7 +385,13 @@ def test_count_in_graph(ds):
         "SELECT (IRI(?g) as ?h) ?c { GRAPH ?g { SELECT (COUNT(*) as ?c) "
         "{ ?s ?p ?o } } }",
     ).collect()
-    rows = {( _norm(r["h"]) if r["h"] else None, int(r["c"])) for r in got}
+    rows = {
+        (
+            _norm(r["h"]) if r["h"] else None,
+            int(r["c"].split('"')[1]),
+        )
+        for r in got
+    }
     assert rows == {(None, 1), ("<https://example.org/test#g>", 2)}
 
 
