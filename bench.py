@@ -412,10 +412,12 @@ def lsh_skew_mode():
         minhash_signatures,
     )
 
-    # HOT docs share one text → one bucket per band → HOT²/2 ≈ 50M
-    # unguarded candidate pairs (big enough to show the cliff, small
-    # enough to finish the unguarded baseline run)
-    N, HOT = 30_000, 10_000
+    # HOT docs share one text → one bucket per band → HOT²/2 ≈ 8M
+    # unguarded candidate pairs, ALL produced by a single straggler
+    # task (the hot (band,minhash) key lands in one partition) — big
+    # enough to show the cliff, small enough that the unguarded
+    # baseline finishes (10k hot docs ran >15 min single-task)
+    N, HOT = 14_000, 4_000
     spark = (
         SparkSession.builder.master(f"local[{CPUS}]")
         .appName("lsh-skew")
@@ -427,17 +429,30 @@ def lsh_skew_mode():
     )
     results = {}
     try:
+        # three populations: the hot boilerplate cluster (quadratic
+        # without the cap), 50 small near-dup clusters of 20 (the REAL
+        # work the cap must preserve: C(20,2)*50 = 9500 pairs), and
+        # id-salted unique docs (no collisions)
         docs = spark.range(N).select(
             F.col("id").alias("doc_id"),
             F.when(
                 F.col("id") < HOT,
                 F.lit("cookie policy accept all cookies to continue to site"),
             )
+            .when(
+                F.col("id") < HOT + 1000,
+                F.concat(
+                    F.lit("shared near duplicate cluster "),
+                    ((F.col("id") - HOT) % 50).cast("string"),
+                    F.lit(" body with common wording"),
+                ),
+            )
             .otherwise(
                 F.concat(
-                    F.lit("unique document text number "),
-                    F.col("id").cast("string"),
-                    F.lit(" with distinct content words"),
+                    F.lit("w"), (F.col("id") * 7).cast("string"),
+                    F.lit(" w"), (F.col("id") * 13 + 1).cast("string"),
+                    F.lit(" w"), (F.col("id") * 31 + 2).cast("string"),
+                    F.lit(" w"), (F.col("id") * 43 + 3).cast("string"),
                 )
             )
             .alias("text"),
@@ -468,12 +483,13 @@ def lsh_skew_mode():
 | unguarded (max_bucket=∞) | {results['unguarded_pairs']:,} | {results['unguarded_sec']} |
 | guarded (LSH_MAX_BUCKET={LSH_MAX_BUCKET}) | {results['guarded_pairs']:,} | {results['guarded_sec']} |
 
-The guard skipped {results['oversized_buckets']} oversized buckets
-({results['oversized_rows']:,} signature rows), reported — not silent —
-via `lsh_oversized_buckets`.  At 100 TB one boilerplate cluster would
-otherwise quadratically dominate the candidate join; the cap bounds
-per-bucket work at O(max_bucket²) while exact-dedup upstream already
-collapses byte-identical members.
+The guard skipped {results['oversized_buckets']} oversized bucket(s)
+({results['oversized_rows']:,} signature rows) — reported, not silent —
+via `lsh_oversized_buckets`, while the 50 small near-dup clusters'
+pairs survive intact (the cap only drops the quadratic cluster; exact
+dedup upstream already collapses its byte-identical members).  At
+100 TB one boilerplate cluster would otherwise dominate the candidate
+join; the cap bounds per-bucket work at O(max_bucket²).
 """
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "a") as f:
         f.write(md)
