@@ -265,10 +265,6 @@ def _typed_expr(e: A.Expr, df: DataFrame, binder: Optional[_TmpBinder] = None):
     return out(rank, dec, dbl)
 
 
-def _num(e: A.Expr, df: DataFrame) -> Column:
-    return _num_from_col(_term_col(e, df))
-
-
 def _num_from_col(c: Column) -> Column:
     """Numeric view of a term-or-plain column: literals through the
     SPARQL numeric layer, plain values through try_cast."""
