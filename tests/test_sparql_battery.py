@@ -561,3 +561,59 @@ def test_limit_offset_pagination(ds):
                 break
             offset += limit
         assert sorted(got) == all_ps, limit
+
+
+def test_from_multi_graph_merges_as_set(spark):
+    # FROM <g1> FROM <g2> composes the default graph as a MERGE (set):
+    # a triple present in both graphs yields ONE solution (ADVICE r2 —
+    # bag union inflated counts/aggregates)
+    rows = [
+        ("<x:s>", "<x:p>", "<x:o>", "<x:g1>"),
+        ("<x:s>", "<x:p>", "<x:o>", "<x:g2>"),
+        ("<x:s>", "<x:p>", "<x:o2>", "<x:g2>"),
+    ]
+    df = spark.createDataFrame(rows, "s string, p string, o string, g string")
+    got = query(df, "SELECT ?o FROM <x:g1> FROM <x:g2> { <x:s> <x:p> ?o }")
+    assert {r["o"] for r in got.collect()} == {"<x:o>", "<x:o2>"}
+    # aggregate over the merged default graph is not inflated
+    cnt = query(
+        df, "SELECT (COUNT(*) AS ?n) FROM <x:g1> FROM <x:g2> { ?s ?p ?o }"
+    ).collect()[0]["n"]
+    assert cnt == '"2"^^<http://www.w3.org/2001/XMLSchema#integer>'
+
+
+def test_minus_unbound_compatibility(spark):
+    # MINUS with a maybe-unbound shared var: a left row whose ?v is
+    # unbound but whose ?x matches a right row IS removed (unbound =
+    # compatible wildcard, and the domains overlap on ?x) — ADVICE r2:
+    # the plain equi anti-join kept it
+    df = spark.createDataFrame([("<x:s>", "<x:p>", "<x:o>")], "s string, p string, o string")
+    q = """
+    SELECT ?x ?v {
+      VALUES (?x ?v) { (<x:a> UNDEF) (<x:b> "1") (<x:c> "2") }
+      MINUS { VALUES (?x ?v) { (<x:a> "9") (<x:c> "2") } }
+    }
+    """
+    got = {r["x"] for r in query(df, q).collect()}
+    # <x:a> removed (UNDEF ?v compatible with "9", dom overlap on ?x);
+    # <x:c> removed (exact match); <x:b> kept
+    assert got == {"<x:b>"}
+
+
+def test_regex_flags_validation(spark):
+    df = spark.createDataFrame([("<x:s>", "<x:p>", '"a.c"')], "s string, p string, o string")
+    # 'q' flag: pattern is a LITERAL string — "a.c" matches itself but
+    # "abc" must NOT match the quoted "a.c"
+    got = query(df, 'SELECT ?o { ?s ?p ?o FILTER REGEX(?o, "a.c", "q") }')
+    assert got.count() == 1
+    got2 = query(df, 'SELECT ?o { ?s ?p ?o FILTER REGEX("abc", "a.c", "q") }')
+    assert got2.count() == 0
+    # unquoted: "a.c" pattern matches "abc"
+    got3 = query(df, 'SELECT ?o { ?s ?p ?o FILTER REGEX("abc", "a.c") }')
+    assert got3.count() == 1
+    # invalid flag letter → expression error → row dropped (not thrown)
+    got4 = query(df, 'SELECT ?o { ?s ?p ?o FILTER REGEX(?o, "a", "z") }')
+    assert got4.count() == 0
+    # empty flag string is a no-op, not an invalid '(?)' prefix
+    got5 = query(df, 'SELECT ?o { ?s ?p ?o FILTER REGEX(?o, "a", "") }')
+    assert got5.count() == 1
