@@ -881,6 +881,11 @@ class _P:
                     e = self.parse_expr()
                     self.expect_op(")")
                     q.order_by.append((e, True))
+                elif t[0] == "kw" and t[1].upper() not in ("LIMIT", "OFFSET"):
+                    # OrderCondition := Constraint (bare BuiltInCall,
+                    # e.g. ORDER BY STR(?x)) — only LIMIT/OFFSET can
+                    # follow the order conditions
+                    q.order_by.append((self._unary_expr(), True))
                 else:
                     break
         # LIMIT/OFFSET in either order

@@ -617,3 +617,17 @@ def test_regex_flags_validation(spark):
     # empty flag string is a no-op, not an invalid '(?)' prefix
     got5 = query(df, 'SELECT ?o { ?s ?p ?o FILTER REGEX(?o, "a", "") }')
     assert got5.count() == 1
+
+
+def test_order_by_constraint_forms(spark):
+    # OrderCondition: bare BuiltInCall and bracketted expressions
+    df = spark.createDataFrame(
+        [("<x:b>", "<x:p>", '"10"^^<http://www.w3.org/2001/XMLSchema#integer>'),
+         ("<x:a>", "<x:p>", '"2"^^<http://www.w3.org/2001/XMLSchema#integer>')],
+        "s string, p string, o string",
+    )
+    got = query(df, "SELECT ?s { ?s ?p ?o } ORDER BY STR(?s)")
+    assert [r["s"] for r in got.collect()] == ["<x:a>", "<x:b>"]
+    # bracketted arithmetic order condition uses VALUE order (2 < 10)
+    got2 = query(df, "SELECT ?o { ?s ?p ?o } ORDER BY (?o * 1)")
+    assert [r["o"].split('"')[1] for r in got2.collect()] == ["2", "10"]
