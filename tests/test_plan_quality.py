@@ -134,3 +134,31 @@ def test_front_end_bgp_keeps_equi_join_fast_path(spark):
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_typed_expression_plan_bounded(spark):
+    """Guard against the exponential-tree regression: deep nested
+    arithmetic through the typed numeric plane must keep the OPTIMIZED
+    plan small (Catalyst would otherwise re-inline the bound temp
+    projections via filter-pushdown alias substitution and OOM at
+    codegen — see eval._TmpBinder)."""
+    from sophia_rs_spark.sparql import query
+
+    df = spark.createDataFrame(
+        [("<x:s>", "<x:p>", '"3"^^<http://www.w3.org/2001/XMLSchema#integer>')],
+        "s string, p string, o string",
+    )
+    q = (
+        "SELECT ?b { ?s ?p ?a "
+        "BIND(ABS(?a * (?a + 1) / 2 - CEIL(?a * 1.5)) AS ?t) "
+        "BIND((?t + ?a) * (?t - ?a) AS ?b) "
+        "FILTER(?b * 2 > -999) }"
+    )
+    out = query(df, q)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert len(plan) < 2_000_000, f"optimized plan exploded: {len(plan)} chars"
+    rows = out.collect()
+    # 3*4/2 - ceil(4.5) = 6 - 5 = 1; (1+3)*(1-3) = -8
+    assert len(rows) == 1
+    assert rows[0]["b"] == '"-8.00"^^<http://www.w3.org/2001/XMLSchema#decimal>' or \
+        rows[0]["b"] == '"-8.0"^^<http://www.w3.org/2001/XMLSchema#decimal>'
