@@ -570,6 +570,24 @@ def _q_sparql_minmax(spark, sf):
     )
 
 
+def _q_sparql_graph(spark, sf):
+    """GRAPH ?g pattern + per-graph aggregation through the text
+    front-end (exec.rs graph matcher + "single active graph"
+    aggregation): each page's quads in a named graph <url>, counted
+    per graph — every document contributes exactly its 4 extracted
+    triples."""
+    from sophia_rs_spark.sparql import query as sparql_query
+
+    quads = _doc_quads(spark, sf).select(
+        "s", "p", "o",
+        F.concat(F.lit("<"), F.col("url"), F.lit(">")).alias("g"),
+    )
+    return sparql_query(
+        quads,
+        "SELECT ?g (COUNT(*) AS ?n) WHERE { GRAPH ?g { ?s ?p ?o } } GROUP BY ?g",
+    )
+
+
 def _q_mm_features(spark, sf):
     """Multimodal feature core: REAL PNG payloads (stdlib zlib encode)
     decoded by the real PNG path (decode_png: chunk CRCs, inflate,
@@ -734,6 +752,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_agg": _q_sparql_agg,
         "sparql_agg_distinct": _q_sparql_agg_distinct,
         "sparql_minmax": _q_sparql_minmax,
+        "sparql_graph": _q_sparql_graph,
         # multimodal (real PNG decode path)
         "mm_features": _q_mm_features,
         "mm_frames": _q_mm_frames,
@@ -1258,6 +1277,12 @@ SELECT '<{EX}region/' || CAST(n_regionkey AS VARCHAR) || '>' AS r,
        '"' || CAST(MIN(n_nationkey) AS VARCHAR) || '{_int_sfx}' AS lo,
        '"' || CAST(MAX(n_nationkey) AS VARCHAR) || '{_int_sfx}' AS hi
 FROM nation GROUP BY 1
+""".strip()
+
+    qs["sparql_graph"] = """
+SELECT '<https://docs.example.org/doc/' || CAST(doc_id AS VARCHAR) || '>' AS g,
+       '"4"^^<http://www.w3.org/2001/XMLSchema#integer>' AS n
+FROM documents
 """.strip()
 
     qs["sparql_agg_distinct"] = with_triples(
