@@ -843,16 +843,36 @@ class _P:
                     self.next()
                     q.group_by.append(t[1][1:])
                 elif t is not None and t[0] == "op" and t[1] == "(":
-                    # GROUP BY (expr AS ?v) — computed group key
+                    # GROUP BY (expr AS ?v) / (expr) — computed group key
                     self.next()
                     e = self.parse_expr()
-                    self.expect_kw("AS")
-                    v = self.next()
-                    if v[0] != "var":
-                        raise SparqlError("expected variable after AS in GROUP BY")
+                    if self.kw("AS"):
+                        v = self.next()
+                        if v[0] != "var":
+                            raise SparqlError(
+                                "expected variable after AS in GROUP BY"
+                            )
+                        galias = v[1][1:]
+                    else:
+                        # unnamed key: synthetic '#' column (hidden from
+                        # SELECT *, not referenceable — per the grammar)
+                        self._anon += 1
+                        galias = f"#gk{self._anon}"
                     self.expect_op(")")
-                    q.group_exprs.append((e, v[1][1:]))
-                    q.group_by.append(v[1][1:])
+                    q.group_exprs.append((e, galias))
+                    q.group_by.append(galias)
+                elif (
+                    t is not None
+                    and t[0] == "kw"
+                    and t[1].upper()
+                    not in ("HAVING", "ORDER", "LIMIT", "OFFSET", "VALUES")
+                ):
+                    # GroupCondition := BuiltInCall (bare, e.g.
+                    # GROUP BY STR(?x)) — grouped but not projectable
+                    self._anon += 1
+                    galias = f"#gk{self._anon}"
+                    q.group_exprs.append((self._unary_expr(), galias))
+                    q.group_by.append(galias)
                 else:
                     break
         if self.kw("HAVING"):

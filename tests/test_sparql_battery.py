@@ -631,3 +631,24 @@ def test_order_by_constraint_forms(spark):
     # bracketted arithmetic order condition uses VALUE order (2 < 10)
     got2 = query(df, "SELECT ?o { ?s ?p ?o } ORDER BY (?o * 1)")
     assert [r["o"].split('"')[1] for r in got2.collect()] == ["2", "10"]
+
+
+def test_group_by_condition_forms(spark):
+    # GroupCondition: bare BuiltInCall and unnamed bracketted expr group
+    # without projecting the key (synthetic hidden column)
+    df = spark.createDataFrame(
+        [("<x:a>", "<x:n>", '"Alice"'), ("<x:b>", "<x:n>", '"Aaron"'),
+         ("<x:c>", "<x:n>", '"Bob"')],
+        "s string, p string, o string",
+    )
+    for q in (
+        "SELECT (COUNT(*) AS ?n) { ?s <x:n> ?o } GROUP BY SUBSTR(?o, 1, 1)",
+        "SELECT (COUNT(*) AS ?n) { ?s <x:n> ?o } GROUP BY (SUBSTR(?o, 1, 1))",
+    ):
+        got = query(df, q)
+        assert "#" not in "".join(got.columns)
+        vals = sorted(r["n"] for r in got.collect())
+        assert vals == [
+            '"1"^^<http://www.w3.org/2001/XMLSchema#integer>',
+            '"2"^^<http://www.w3.org/2001/XMLSchema#integer>',
+        ]
