@@ -876,9 +876,29 @@ class _P:
                 else:
                     break
         if self.kw("HAVING"):
-            self.expect_op("(")
-            q.having = self.parse_expr()
-            self.expect_op(")")
+            # HavingCondition+ : bracketted expressions or bare
+            # built-in calls; multiple conditions conjoin
+            conds = []
+            while True:
+                t = self.peek()
+                if t is not None and t[0] == "op" and t[1] == "(":
+                    self.next()
+                    conds.append(self.parse_expr())
+                    self.expect_op(")")
+                elif (
+                    t is not None
+                    and t[0] == "kw"
+                    and t[1].upper() not in ("ORDER", "LIMIT", "OFFSET", "VALUES")
+                ):
+                    conds.append(self._unary_expr())
+                else:
+                    break
+            if not conds:
+                raise SparqlError("HAVING requires at least one condition")
+            having = conds[0]
+            for c in conds[1:]:
+                having = Expr("and", (having, c))
+            q.having = having
         if self.kw("ORDER"):
             self.expect_kw("BY")
             while True:

@@ -652,3 +652,25 @@ def test_group_by_condition_forms(spark):
             '"1"^^<http://www.w3.org/2001/XMLSchema#integer>',
             '"2"^^<http://www.w3.org/2001/XMLSchema#integer>',
         ]
+
+
+def test_having_condition_forms(spark):
+    # HavingCondition+ — multiple bracketted conditions conjoin; a bare
+    # BuiltInCall is also a legal condition
+    df = spark.createDataFrame(
+        [("<x:a>", "<x:n>", '"1"^^<http://www.w3.org/2001/XMLSchema#integer>'),
+         ("<x:a>", "<x:n>", '"2"^^<http://www.w3.org/2001/XMLSchema#integer>'),
+         ("<x:b>", "<x:n>", '"9"^^<http://www.w3.org/2001/XMLSchema#integer>')],
+        "s string, p string, o string",
+    )
+    got = query(
+        df,
+        "SELECT ?s (SUM(?o) AS ?t) { ?s <x:n> ?o } GROUP BY ?s "
+        "HAVING(?t > 2) (?t < 5)",
+    ).collect()
+    assert [(r["s"], r["t"].split('"')[1]) for r in got] == [("<x:a>", "3")]
+    got2 = query(
+        df,
+        "SELECT ?s { ?s <x:n> ?o } GROUP BY ?s HAVING BOUND(?s)",
+    )
+    assert got2.count() == 2
