@@ -1100,7 +1100,12 @@ def _select_df(ctx: _Ctx, q: A.Query):
             else:
                 raise A.SparqlError(f"unsupported aggregate {a.fn}")
         if group_by:
-            df = df.groupBy(*group_by).agg(*aggs)
+            if aggs:
+                df = df.groupBy(*group_by).agg(*aggs)
+            else:
+                # GROUP BY with no aggregates: one solution per group,
+                # binding only the group keys
+                df = df.select(*group_by).dropDuplicates()
         else:
             df = df.agg(*aggs)
         for alias, emit in post_emit:
