@@ -674,3 +674,26 @@ def test_having_condition_forms(spark):
         "SELECT ?s { ?s <x:n> ?o } GROUP BY ?s HAVING BOUND(?s)",
     )
     assert got2.count() == 2
+
+
+def test_group_by_multiple_aggregates(ds):
+    # test.rs:916-961 — per-group multi-aggregates, ordered by key
+    got = query(
+        ds,
+        "SELECT ?x (count(?y) as ?cy) (count(distinct ?y) as ?cdy) "
+        "(avg(?y) as ?ay) (avg(distinct ?y) as ?ady) "
+        "(min(?y) as ?miny) (max(?y) as ?maxy) "
+        "{ VALUES (?x ?y) { (1 10) (2 14) (1 16) (2 16) (2 12) (1 10) (1 13) } } "
+        "GROUP BY ?x ORDER BY ?x",
+    ).collect()
+    def lex(v):
+        return v.split('"')[1]
+    rows = [
+        (lex(r["x"]), lex(r["cy"]), lex(r["cdy"]), lex(r["ay"]),
+         lex(r["ady"]), lex(r["miny"]), lex(r["maxy"]))
+        for r in got
+    ]
+    assert rows == [
+        ("1", "4", "3", "12.25", "13.0", "10", "16"),
+        ("2", "3", "3", "14.0", "14.0", "12", "16"),
+    ]
