@@ -685,6 +685,30 @@ def _q_sparql_agg(spark, sf):
     )
 
 
+def _q_sparql_bool_bind(spark, sf):
+    """Boolean value plane through the text front-end: a comparison
+    BIND, a boolean built-in BIND, IF over a boolean-term condition
+    (EBV), and COALESCE falling through an unbound variable — all
+    surfacing canonical xsd:boolean / literal terms (the reference's
+    EvalResult::Boolean, sparql/src/expression.rs)."""
+    from sophia_rs_spark.sparql import query as sparql_query
+
+    t = _doc_quads(spark, sf).select("s", "p", "o")
+    return sparql_query(
+        t,
+        f"""
+        PREFIX voc: <{VOC}>
+        SELECT ?d ?en ?sw ?lbl ?fb WHERE {{
+          ?d voc:lang ?l . ?d voc:source ?src
+          BIND((?l = "en") AS ?en)
+          BIND(STRENDS(STR(?src), "1") AS ?sw)
+          BIND(IF(?en, "english", "other") AS ?lbl)
+          BIND(COALESCE(?missing, ?en) AS ?fb)
+        }}
+        """,
+    )
+
+
 def _q_link_components(spark, sf):
     return connected_components(_link_edges(spark, sf))
 
@@ -749,6 +773,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_ivf_knn2": _q_emb_ivf_knn2,
         # SPARQL text front-end
         "sparql_select": _q_sparql_select,
+        "sparql_bool_bind": _q_sparql_bool_bind,
         "sparql_agg": _q_sparql_agg,
         "sparql_agg_distinct": _q_sparql_agg_distinct,
         "sparql_minmax": _q_sparql_minmax,
@@ -1217,6 +1242,18 @@ FROM ranked WHERE rank <= 5
 SELECT '<{DOC_PREFIX}' || CAST(doc_id AS VARCHAR) || '>' AS d,
        '<{SRC_PREFIX}' || source || '>' AS src
 FROM documents WHERE lang = 'en'
+""".strip()
+    _boolterm_sql = (
+        "'\"' || CASE WHEN {cond} THEN 'true' ELSE 'false' END || "
+        "'\"^^<http://www.w3.org/2001/XMLSchema#boolean>'"
+    )
+    qs["sparql_bool_bind"] = f"""
+SELECT '<{DOC_PREFIX}' || CAST(doc_id AS VARCHAR) || '>' AS d,
+       {_boolterm_sql.format(cond="lang = 'en'")} AS en,
+       {_boolterm_sql.format(cond="source LIKE '%1'")} AS sw,
+       CASE WHEN lang = 'en' THEN '"english"' ELSE '"other"' END AS lbl,
+       {_boolterm_sql.format(cond="lang = 'en'")} AS fb
+FROM documents
 """.strip()
     # the SPARQL front-end emits TYPED aggregate results (COUNT →
     # "n"^^xsd:integer, matching the reference's SparqlNumber terms)

@@ -18,10 +18,14 @@ Typed numeric tower (value/_number.rs): arithmetic, numeric functions,
 casts and aggregates carry integer/decimal/float/double typing with
 the reference's promotion rules and emit canonical typed literals
 ("12"^^xsd:integer, "1.6"^^xsd:decimal, "5e0"^^xsd:double — value.rs
-lexical_form).  Remaining deviation: string/boolean-valued computed
-expressions (STR, EBV comparisons) stay plain Spark values until the
-results boundary; integers beyond 38 digits error instead of
-promoting to BigInt.
+lexical_form).  Boolean-valued expressions (comparisons, logic,
+boolean built-ins) emit canonical "true"/"false"^^xsd:boolean terms
+when used as VALUES (BIND/SELECT exprs), so equality, EBV and the
+results serializers see typed literals; FILTER conditions compile to
+raw Spark booleans internally (no term round-trip).  Remaining
+deviation: string-valued computed expressions (STR, UCASE, …) stay
+plain Spark strings (≡ simple literals) until the results boundary;
+integers beyond 38 digits error instead of promoting to BigInt.
 """
 
 from __future__ import annotations
@@ -149,9 +153,54 @@ class _TmpBinder:
     def bind(self, col: Column) -> Column:
         _TmpBinder._counter += 1
         name = f"#tmp{_TmpBinder._counter}"
-        self.df = self.df.withColumn(name, F.shuffle(F.array(col))[0])
+        self.df = self.df.withColumn(name, _opaque(col))
         self.names.append(name)
         return F.col(name)
+
+
+def _opaque(col: Column) -> Column:
+    """Value-preserving nondeterministic no-op (``shuffle`` of a
+    1-element array) — blocks Catalyst from re-inlining the expression
+    through CollapseProject / filter-pushdown alias substitution (see
+    :class:`_TmpBinder`).  Applied to non-trivial BIND / SELECT-expr /
+    GROUP BY-expr values: a later FILTER(?x) would otherwise substitute
+    the full definition into every reference of ?x and explode at
+    codegen."""
+    return F.shuffle(F.array(col))[0]
+
+
+# built-ins whose value is xsd:boolean (function.rs returns
+# EvalResult::Boolean for these) — wrapped as canonical boolean TERMS
+# when used as values, compiled raw inside FILTER conditions
+_BOOL_FNS = frozenset({
+    "BOUND", "CONTAINS", "STRSTARTS", "STRENDS", "REGEX",
+    "ISIRI", "ISURI", "ISBLANK", "ISLITERAL", "ISNUMERIC",
+    "LANGMATCHES", "SAMETERM", "ISTRIPLE", "HASLANG", "HASLANGDIR",
+    "XSD:boolean",
+})
+
+
+def _boolterm(b: Column) -> Column:
+    """Raw boolean → canonical xsd:boolean term (errors stay NULL)."""
+    return (
+        F.when(b, F.lit(f'"true"^^<{_XSD_NS}boolean>'))
+        .when(~b, F.lit(f'"false"^^<{_XSD_NS}boolean>'))
+        .otherwise(F.lit(None).cast("string"))
+    )
+
+
+def _ebv_any(c: Column) -> Column:
+    """EBV (sparql11-query 17.2.2) of a term-or-plain value: canonical
+    terms through FN.ebv; plain computed strings 'true'/'false' by
+    value (defensive — raw booleans stringify so), plain numerics
+    non-zero, other plain strings non-empty; NULL stays NULL."""
+    cs = c.cast("string")
+    return (
+        F.when(cs.rlike('^["<_]'), FN.ebv(cs))
+        .when(cs.isin("true", "false"), cs == "true")
+        .when(cs.try_cast("double").isNotNull(), cs.try_cast("double") != 0.0)
+        .otherwise(F.length(cs) > 0)
+    )
 
 
 def _term_col(e: A.Expr, df: DataFrame, binder: Optional[_TmpBinder] = None) -> Column:
@@ -162,6 +211,10 @@ def _term_col(e: A.Expr, df: DataFrame, binder: Optional[_TmpBinder] = None) -> 
     compiled purely (fine for flat expressions — deep nesting needs the
     binder)."""
     if e.op == "var":
+        # a variable not in scope is an expression ERROR (NULL), not an
+        # analysis crash — COALESCE(?unbound, x) must fall through
+        if e.args[0] not in df.columns:
+            return F.lit(None).cast("string")
         return F.col(e.args[0])
     if e.op == "term":
         return F.lit(e.args[0])
@@ -170,15 +223,19 @@ def _term_col(e: A.Expr, df: DataFrame, binder: Optional[_TmpBinder] = None) -> 
             # numeric functions stay in the typed plane (single lexical
             # emit at the top — avoids tree blowup on nesting)
             return FN.typed_num_term(*_typed_expr(e, df, binder))
-        return _call(
+        c = _call(
             e.args[0], [_term_col(a, df, binder) for a in e.args[1]], e.args[1],
             binder,
         )
+        # boolean-valued built-ins surface as canonical xsd:boolean terms
+        return _boolterm(c) if e.args[0] in _BOOL_FNS else c
     if e.op in ("neg", "arith"):
         return FN.typed_num_term(*_typed_expr(e, df, binder))
     if e.op in ("cmp", "and", "or", "not", "in"):
-        # boolean expression used as a value (BIND((?a = ?b) AS ?x))
-        return _bool(e, df, df, binder)
+        # boolean expression used as a value (BIND((?a = ?b) AS ?x)):
+        # emit a canonical xsd:boolean TERM so EBV / comparisons /
+        # results all see a typed literal (errors stay NULL)
+        return _boolterm(_bool(e, df, df, binder))
     raise A.SparqlError(f"cannot compile {e.op} as value")
 
 
@@ -376,10 +433,19 @@ def _bool(
             cond = cond | (tc == _term_col(it, df, binder))
         return cond
     if op == "call":
-        c = _term_col(e, df, binder)
-        return c.cast("boolean")
+        if e.args[0] in _BOOL_FNS:
+            # compile raw — no boolean-term round-trip inside FILTER
+            return _call(
+                e.args[0],
+                [_term_col(a, df, binder) for a in e.args[1]],
+                e.args[1],
+                binder,
+            )
+        return _ebv_any(_term_col(e, df, binder))
     if op == "var":
-        return FN.ebv(F.col(e.args[0]))
+        if e.args[0] not in df.columns:
+            return F.lit(None).cast("boolean")
+        return _ebv_any(F.col(e.args[0]))
     if op in ("term", "arith", "neg"):
         # EBV of a constant / computed value (sparql11-query 17.2.2):
         # canonical terms through FN.ebv, plain numerics non-zero
@@ -524,7 +590,8 @@ def _call(
     if fn == "COALESCE":
         return F.coalesce(*cols)
     if fn == "IF":
-        return F.when(cols[0].cast("boolean"), cols[1]).otherwise(cols[2])
+        # condition is EBV of the (possibly boolean-term) value
+        return F.when(_ebv_any(cols[0]), cols[1]).otherwise(cols[2])
     if fn == "MD5":
         return F.md5(s(cols[0]).cast("binary"))
     if fn == "SHA1":
@@ -744,6 +811,8 @@ def _eval_group(ctx: _Ctx, g: A.Group):
                 df = _unit(spark)
             b = _TmpBinder(df)
             val = _term_col(el.expr, b.df, b)
+            if el.expr.op not in ("var", "term"):
+                val = _opaque(val)
             df = B.extend(b.df, el.var.name, val)
             if b.names:
                 df = df.drop(*b.names)
@@ -899,6 +968,8 @@ def _select_df(ctx: _Ctx, q: A.Query):
     for ge, galias in q.group_exprs:
         b = _TmpBinder(df)
         gval = _term_col(ge, b.df, b)
+        if ge.op not in ("var", "term"):
+            gval = _opaque(gval)
         df = b.df.withColumn(galias, gval)
         if b.names:
             df = df.drop(*b.names)
@@ -1114,6 +1185,8 @@ def _select_df(ctx: _Ctx, q: A.Query):
     for e, alias in q.select_exprs:
         b = _TmpBinder(df)
         sval = _term_col(e, b.df, b)
+        if e.op not in ("var", "term"):
+            sval = _opaque(sval)
         df = b.df.withColumn(alias, sval)
         if b.names:
             df = df.drop(*b.names)

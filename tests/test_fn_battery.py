@@ -18,12 +18,22 @@ def unit(spark):
     )
 
 
+_XSD_BOOL = "^^<http://www.w3.org/2001/XMLSchema#boolean>"
+
+
 def _eval(spark_df, expr):
     got = query(
         spark_df, PFX + f"SELECT ?r WHERE {{ ?s ?p ?o BIND({expr} AS ?r) }}"
     ).collect()
     assert len(got) == 1
-    return got[0]["r"]
+    r = got[0]["r"]
+    # boolean-valued expressions surface as canonical xsd:boolean
+    # terms — decode back to python bools for the expectation tables
+    if r == f'"true"{_XSD_BOOL}':
+        return True
+    if r == f'"false"{_XSD_BOOL}':
+        return False
+    return r
 
 
 # test.rs:232-240 — STRLEN counts code points, lang/dir-tag stripped

@@ -9,6 +9,8 @@ from sophia_rs_spark.sparql import query
 from sophia_rs_spark.terms.model import XSD
 
 PFX = "PREFIX : <http://example.org/ns/>\nPREFIX xsd: <http://www.w3.org/2001/XMLSchema#>\n"
+TRUE = '"true"^^<http://www.w3.org/2001/XMLSchema#boolean>'
+FALSE = '"false"^^<http://www.w3.org/2001/XMLSchema#boolean>'
 
 
 @pytest.fixture(scope="module")
@@ -483,9 +485,9 @@ class TestNewBuiltins:
             "BIND(HASLANGDIR(?o) AS ?hld) }",
         )
         by_s = {r["s"].rsplit("/", 1)[-1][:-1]: (r["ld"], r["hl"], r["hld"]) for r in got.collect()}
-        assert by_s["d1"] == ("rtl", True, True)
-        assert by_s["d2"] == ("", True, False)
-        assert by_s["d3"] == ("", False, False)
+        assert by_s["d1"] == ("rtl", TRUE, TRUE)
+        assert by_s["d2"] == ("", TRUE, FALSE)
+        assert by_s["d3"] == ("", FALSE, FALSE)
 
     def test_strdt_strlang_strlangdir(self, tdata):
         got = query(
@@ -513,7 +515,7 @@ class TestNewBuiltins:
             assert r["ss"] == r["s"]
             assert r["pp"] == "<http://example.org/ns/lbl>"
             assert r["oo"] == r["o"]
-            assert r["ist"] is True
+            assert r["ist"] == TRUE
 
     def test_nested_triple_term_accessors(self, spark):
         from sophia_rs_spark.functions.triple_terms import split_triple_term
@@ -612,7 +614,7 @@ def test_xsd_constructor_casts(spark, data):
     assert got["i"] == '"42"^^<http://www.w3.org/2001/XMLSchema#integer>'
     assert got["d"] == '"4.2e1"^^<http://www.w3.org/2001/XMLSchema#double>'
     assert got["s"] == "42"
-    assert got["b"] is True
+    assert got["b"] == TRUE
     # cast errors are NULL (error-poisoning)
     got2 = query(
         data,
@@ -683,3 +685,74 @@ def test_group_by_expression(spark, data):
     vals = dict(rows_of(got))
     one = '"1"^^<http://www.w3.org/2001/XMLSchema#integer>'
     assert vals == {"A": one, "B": one, "C": one}
+
+
+class TestBooleanTermValues:
+    """Boolean-valued expressions surface as canonical xsd:boolean
+    TERMS (value plane parity with the reference, which returns typed
+    EvalResult::Boolean values — sparql/src/expression.rs); FILTER
+    conditions stay raw internally."""
+
+    def test_bind_comparison_is_boolean_term(self, data):
+        got = query(
+            data,
+            PFX + "SELECT ?s ?big WHERE { ?s :age ?a BIND((?a > 10) AS ?big) }",
+        )
+        vals = {r["s"].rsplit("/", 1)[-1][:-1]: r["big"] for r in got.collect()}
+        assert vals == {"alice": TRUE, "bob": FALSE}
+
+    def test_filter_on_bool_var_and_eq_true(self, data):
+        got = query(
+            data,
+            PFX + "SELECT ?s WHERE { ?s :age ?a BIND((?a > 10) AS ?big) "
+            "FILTER(?big) }",
+        )
+        assert [r["s"] for r in got.collect()] == ["<http://example.org/ns/alice>"]
+        got2 = query(
+            data,
+            PFX + "SELECT ?s WHERE { ?s :age ?a BIND((?a > 10) AS ?big) "
+            "FILTER(?big = false) }",
+        )
+        assert [r["s"] for r in got2.collect()] == ["<http://example.org/ns/bob>"]
+
+    def test_if_condition_accepts_bool_term(self, data):
+        got = query(
+            data,
+            PFX + 'SELECT ?s ?lbl WHERE { ?s :age ?a '
+            'BIND(IF(?a > 10, "adult", "kid") AS ?lbl) }',
+        )
+        vals = {r["s"].rsplit("/", 1)[-1][:-1]: r["lbl"] for r in got.collect()}
+        assert vals == {"alice": '"adult"', "bob": '"kid"'}
+
+    def test_boolean_builtin_as_value(self, data):
+        got = query(
+            data,
+            PFX + "SELECT ?s ?ni WHERE { ?s :name ?nm BIND(!isIRI(?s) AS ?ni) "
+            "} ORDER BY ?s",
+        )
+        assert all(r["ni"] == FALSE for r in got.collect())
+
+
+class TestUnboundVarInExpression:
+    """A variable not in scope is an expression ERROR, not an analysis
+    crash: COALESCE falls through, FILTER drops all rows, BOUND is
+    false (sparql11-query §17.3/§18.6 error semantics)."""
+
+    def test_coalesce_falls_through(self, data):
+        got = query(
+            data,
+            PFX + 'SELECT ?s ?v WHERE { ?s :age ?a '
+            'BIND(COALESCE(?nope, "fb") AS ?v) }',
+        )
+        assert all(r["v"] == '"fb"' for r in got.collect())
+
+    def test_filter_unbound_drops_all(self, data):
+        got = query(data, PFX + "SELECT ?s WHERE { ?s :age ?a FILTER(?nope) }")
+        assert got.count() == 0
+
+    def test_bound_unbound_is_false(self, data):
+        got = query(
+            data,
+            PFX + "SELECT ?s ?b WHERE { ?s :age ?a BIND(BOUND(?nope) AS ?b) }",
+        )
+        assert all(r["b"] == FALSE for r in got.collect())

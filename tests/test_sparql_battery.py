@@ -445,10 +445,13 @@ def test_term_equality_matrix(spark, k1, k2, exp):
         f"<x:{k1}> :p ?v1. <x:{k2}> :p ?v2. "
         "BIND((?v1 = ?v2) AS ?eq) BIND((?v1 != ?v2) AS ?neq) }",
     ).collect()[0]
+    def _b(v):
+        return None if v is None else v.startswith('"true"')
+
     if exp is None:
         assert got["eq"] is None and got["neq"] is None
     else:
-        assert got["eq"] is exp and got["neq"] is (not exp)
+        assert _b(got["eq"]) is exp and _b(got["neq"]) is (not exp)
 
 
 # test.rs:2210-2231 — strict < over values (numeric/string/lang/bool/dateTime)
@@ -473,7 +476,7 @@ def test_expr_lt(ds, e1, e2):
         "PREFIX xsd: <http://www.w3.org/2001/XMLSchema#> "
         f"SELECT ?lt ?ge {{ BIND(({e1} < {e2}) AS ?lt) BIND(({e1} >= {e2}) AS ?ge) }}",
     ).collect()[0]
-    assert got["lt"] is True and got["ge"] is False
+    assert got["lt"] == '"true"^^<http://www.w3.org/2001/XMLSchema#boolean>' and got["ge"] == '"false"^^<http://www.w3.org/2001/XMLSchema#boolean>'
 
 
 # test.rs:152-217 — repeated vars/bnodes, empty-GRAPH asks, 2-var selects,
