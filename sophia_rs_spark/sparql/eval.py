@@ -378,11 +378,19 @@ def _bool(
                 rc = binder.bind(rc)
         ls, rs = lc.cast("string"), rc.cast("string")
         ln, rn = _num_from_col(lc), _num_from_col(rc)
-        numeric = ln.isNotNull() & rn.isNotNull()
         ldt, rdt = FN.xsd_datetime(ls), FN.xsd_datetime(rs)
-        both_dt = ldt.isNotNull() & rdt.isNotNull()
         lex_l = F.when(ls.startswith('"'), FN.lex(ls)).otherwise(ls)
         lex_r = F.when(rs.startswith('"'), FN.lex(rs)).otherwise(rs)
+        if binder is not None:
+            # each derived view is a sizeable CASE/regex tree; bind them
+            # once so the final predicate is column refs — keeps the
+            # generated code under janino's 64KB method limit (whole-
+            # stage codegen instead of interpreted fallback)
+            ln, rn = binder.bind(ln), binder.bind(rn)
+            ldt, rdt = binder.bind(ldt), binder.bind(rdt)
+            lex_l, lex_r = binder.bind(lex_l), binder.bind(lex_r)
+        numeric = ln.isNotNull() & rn.isNotNull()
+        both_dt = ldt.isNotNull() & rdt.isNotNull()
         ops = {
             "=": lambda a, b: a == b,
             "!=": lambda a, b: a != b,
@@ -403,6 +411,9 @@ def _bool(
                 )
 
             lt, rt = termify(ls), termify(rs)
+            lu, ru = _lit_unrecognized(lt), _lit_unrecognized(rt)
+            if binder is not None:
+                lu, ru = binder.bind(lu), binder.bind(ru)
             eq = (
                 # unbound/error operand → type error (NULL), NOT equal:
                 # two unbound vars must not compare true (expression.rs
@@ -412,9 +423,7 @@ def _bool(
                 .when(numeric, ln == rn)
                 .when(both_dt, ldt == rdt)
                 .when(
-                    lt.startswith('"')
-                    & rt.startswith('"')
-                    & (_lit_unrecognized(lt) | _lit_unrecognized(rt)),
+                    lt.startswith('"') & rt.startswith('"') & (lu | ru),
                     F.lit(None).cast("boolean"),
                 )
                 .otherwise(F.lit(False))
