@@ -1149,22 +1149,45 @@ def _select_df(ctx: _Ctx, q: A.Query):
                     .alias(a.alias)
                 )
             elif a.fn == "group_concat":
-                lexc = F.when(
-                    c.cast("string").startswith('"'), FN.lex(c.cast("string"))
-                ).otherwise(c.cast("string"))
-                coll = F.collect_list(lexc)
+                cs = c.cast("string")
+                lexc = F.when(cs.startswith('"'), FN.lex(cs)).otherwise(cs)
+                # the reference coerces each element via as_string_lit
+                # (expression.rs:441-456): only simple/xsd:string/
+                # lang-string literals qualify; an IRI, bnode, triple
+                # term or non-string typed literal poisons the whole
+                # aggregate to unbound (test.rs:854 "group_concat err").
+                # Plain computed values count as simple literals.
+                from ..terms.model import RDF as _RDF_NS
+
+                str_lit = F.when(
+                    cs.startswith('"'),
+                    FN.datatype(cs).isin(
+                        f"{_XSD_NS}string",
+                        f"{_RDF_NS}langString",
+                        f"{_RDF_NS}dirLangString",
+                    ),
+                ).otherwise(~cs.rlike("^[<_]"))
+                # DISTINCT dedups on the TERM (seen: HashSet<ResultTerm>),
+                # so "a"@en and "a"@fr stay two elements even though
+                # their contributed text is equal; collect (term, lex)
+                # pairs and drop to lex after the distinct
+                coll = F.collect_list(F.struct(cs.alias("t"), lexc.alias("l")))
                 if a.distinct:
                     coll = F.array_distinct(coll)
+                coll = F.transform(F.array_sort(coll), lambda x: x["l"])
                 aggs.append(
                     F.when(
-                        _poisoned_by(c.isNull()), F.lit(None).cast("string")
+                        _poisoned_by(c.isNull() | ~str_lit),
+                        F.lit(None).cast("string"),
                     )
                     .otherwise(
                         # result is an xsd:string literal (SparqlValue::
-                        # from(concat), aggregate_iter.rs:396-400)
+                        # from(concat), aggregate_iter.rs:396-400);
+                        # element order is sorted for determinism across
+                        # partitionings (collect_list order is not stable)
                         F.concat(
                             F.lit('"'),
-                            F.concat_ws(a.sep, F.array_sort(coll)),
+                            F.concat_ws(a.sep, coll),
                             F.lit('"'),
                         )
                     )

@@ -212,6 +212,16 @@ AGG_CASES = [
     ('SELECT (MAX(abs(?x)) as ?a) { VALUES ?x { 2 1.0 -3e0 "-2" } }', None, "max err"),
     ('SELECT (GROUP_CONCAT(str(abs(?x))) as ?a) { VALUES ?x { 1 true -2 } }',
      None, "group_concat err"),
+    # as_string_lit coercion (expression.rs:441-456): a non-string-
+    # literal element — IRI or non-string typed literal — poisons the
+    # whole GROUP_CONCAT to unbound; langString elements contribute
+    # their text, and DISTINCT dedups on the TERM, not the text
+    ('SELECT (GROUP_CONCAT(?x) as ?a) { VALUES ?x { "a" <x:i> } }',
+     None, "group_concat iri err"),
+    ('SELECT (GROUP_CONCAT(?x) as ?a) { VALUES ?x { "a" 2 } }',
+     None, "group_concat typed err"),
+    ('SELECT (GROUP_CONCAT(DISTINCT ?x) as ?a) { VALUES ?x { "w"@en "w"@fr } }',
+     '"w w"', "group_concat distinct by term"),
     # SPARQL value order, not string order (test.rs:843-848; the r2
     # confirmed bug: MIN of {2, 10} returned 10 lexicographically)
     ("SELECT (MIN(?x) as ?a) { VALUES ?x { 2 10 } }",
