@@ -22,10 +22,16 @@ lexical_form).  Boolean-valued expressions (comparisons, logic,
 boolean built-ins) emit canonical "true"/"false"^^xsd:boolean terms
 when used as VALUES (BIND/SELECT exprs), so equality, EBV and the
 results serializers see typed literals; FILTER conditions compile to
-raw Spark booleans internally (no term round-trip).  Remaining
-deviation: string-valued computed expressions (STR, UCASE, …) stay
-plain Spark strings (≡ simple literals) until the results boundary;
-integers beyond 38 digits error instead of promoting to BigInt.
+raw Spark booleans internally (no term round-trip).  String-function
+arguments are coerced strictly like the reference (expression.rs
+as_string_lit / as_xsd_string / as_xsd_date_time): IRIs, bnodes and
+non-string typed literals ERROR instead of passing their lexical
+form, and the xsd-string positions (hash args, regex patterns,
+LANGMATCHES, STRLANG/STRDT lex) reject language-tagged strings.
+Remaining deviation: string-valued RESULTS (STR, UCASE, …) stay plain
+Spark strings (≡ simple literals, language tags not preserved) until
+the results boundary; integers beyond 38 digits error instead of
+promoting to BigInt.
 """
 
 from __future__ import annotations
@@ -38,6 +44,7 @@ from pyspark.sql import functions as F
 from ..functions import sparql_fns as FN
 from ..operators import bgp as B
 from ..operators import paths as P
+from ..terms.model import RDF as _RDF_NS
 from ..terms.model import XSD as _XSD_NS
 from . import parser as A
 
@@ -515,6 +522,31 @@ def _call(
         )
     )
     n = _num_from_col
+
+    # strict argument coercions (expression.rs:441-479): ``sl`` accepts
+    # any STRING literal — simple / xsd:string / language-tagged
+    # (as_string_lit); ``xs`` accepts ONLY simple / xsd:string
+    # (as_xsd_string — a language-tagged arg errors).  Both treat plain
+    # computed values as simple literals, and error (NULL) on IRIs,
+    # bnodes, triple terms and non-string typed literals — the
+    # reference never coerces e.g. STRLEN(<iri>) or UCASE(42) through
+    # the lexical form.
+    def _lit_ok(c, xsd_only):
+        cs = c.cast("string")
+        allowed = (
+            (FN.datatype(cs) == f"{_XSD_NS}string")
+            if xsd_only
+            else FN.datatype(cs).isin(
+                f"{_XSD_NS}string",
+                f"{_RDF_NS}langString",
+                f"{_RDF_NS}dirLangString",
+            )
+        )
+        return F.when(cs.startswith('"'), allowed).otherwise(~cs.rlike("^[<_]"))
+
+    sl = lambda c: F.when(_lit_ok(c, False), s(c))
+    xs = lambda c: F.when(_lit_ok(c, True), s(c))
+
     if fn == "STR":
         return s(cols[0])
     if fn == "LANG":
@@ -529,13 +561,13 @@ def _call(
         c = cols[0].cast("string")
         return F.when(FN.is_iri(c), c).when(
             FN.is_blank(c) | FN.is_triple(c), F.lit(None).cast("string")
-        ).otherwise(FN.iri_term(s(cols[0])))
+        ).otherwise(FN.iri_term(xs(cols[0])))
     if fn == "STRLEN":
-        return FN.int_term(F.length(s(cols[0])))
+        return FN.int_term(F.length(sl(cols[0])))
     if fn == "UCASE":
-        return F.upper(s(cols[0]))
+        return F.upper(sl(cols[0]))
     if fn == "LCASE":
-        return F.lower(s(cols[0]))
+        return F.lower(sl(cols[0]))
     if fn in ("CONTAINS", "STRSTARTS", "STRENDS"):
         op = {
             "CONTAINS": lambda a, b: a.contains(b),
@@ -543,7 +575,7 @@ def _call(
             "STRENDS": lambda a, b: a.endswith(b),
         }[fn]
         return F.when(
-            _args_compatible(cols[0], cols[1]), op(s(cols[0]), s(cols[1]))
+            _args_compatible(cols[0], cols[1]), op(sl(cols[0]), sl(cols[1]))
         ).otherwise(F.lit(None).cast("boolean"))
     if fn == "SUBSTR":
         # XPath fn:substring: positions ROUND (test.rs:213-214), and the
@@ -553,22 +585,22 @@ def _call(
         st = F.round(n(cols[1]), 0).cast("int")
         begin = F.greatest(st, F.lit(1))
         if len(cols) == 2:
-            return s(cols[0]).substr(begin, F.lit(2147483647))
+            return sl(cols[0]).substr(begin, F.lit(2147483647))
         ln = F.round(n(cols[2]), 0).cast("int")
         eff = F.greatest(st + ln - begin, F.lit(0))
-        return s(cols[0]).substr(begin, eff)
+        return sl(cols[0]).substr(begin, eff)
     if fn == "REPLACE":
-        pat = s(cols[1])
+        pat = xs(cols[1])
         if len(cols) >= 4:  # REPLACE(str, pat, rep, flags)
-            pat = _regex_with_flags(pat, s(cols[3]))
-        return F.regexp_replace(s(cols[0]), pat, s(cols[2]))
+            pat = _regex_with_flags(pat, xs(cols[3]))
+        return F.regexp_replace(sl(cols[0]), pat, xs(cols[2]))
     if fn == "CONCAT":
-        return F.concat(*[s(c) for c in cols])
+        return F.concat(*[sl(c) for c in cols])
     if fn == "REGEX":
-        pat = s(cols[1])
+        pat = xs(cols[1])
         if len(cols) >= 3:  # REGEX(str, pat, flags)
-            pat = _regex_with_flags(pat, s(cols[2]))
-        return F.regexp_like(s(cols[0]), pat)
+            pat = _regex_with_flags(pat, xs(cols[2]))
+        return F.regexp_like(sl(cols[0]), pat)
     if fn in ("ABS", "CEIL", "FLOOR", "ROUND"):
         # rank-PRESERVING numeric functions (xpath fn:abs/ceiling/floor/
         # round return the argument's type; function.rs numeric dispatch)
@@ -602,22 +634,30 @@ def _call(
         # condition is EBV of the (possibly boolean-term) value
         return F.when(_ebv_any(cols[0]), cols[1]).otherwise(cols[2])
     if fn == "MD5":
-        return F.md5(s(cols[0]).cast("binary"))
+        return F.md5(xs(cols[0]).cast("binary"))
     if fn == "SHA1":
-        return F.sha1(s(cols[0]).cast("binary"))
+        return F.sha1(xs(cols[0]).cast("binary"))
     if fn == "SHA256":
-        return F.sha2(s(cols[0]).cast("binary"), 256)
+        return F.sha2(xs(cols[0]).cast("binary"), 256)
     if fn in ("YEAR", "MONTH", "DAY", "HOURS", "MINUTES"):
-        # xsd:integer results (xpath fn:year-from-dateTime etc.)
-        ts = s(cols[0]).try_cast("timestamp")
+        # xsd:integer results (xpath fn:year-from-dateTime etc.); the
+        # arg must BE an xsd:dateTime literal (as_xsd_date_time,
+        # expression.rs:482-492) — a dateTime-shaped plain string or
+        # xsd:date errors
+        cdt = cols[0].cast("string")
+        ts = F.when(
+            FN.datatype(cdt) == f"{_XSD_NS}dateTime", FN.lex(cdt)
+        ).try_cast("timestamp")
         return FN.int_term({
             "YEAR": F.year, "MONTH": F.month, "DAY": F.dayofmonth,
             "HOURS": F.hour, "MINUTES": F.minute,
         }[fn](ts))
     if fn == "SECONDS":
         # xsd:decimal, fraction preserved — taken from the LEXICAL
-        # seconds field (F.second truncates sub-second digits)
-        lexs = s(cols[0])
+        # seconds field (F.second truncates sub-second digits); arg
+        # must be an xsd:dateTime literal (as_xsd_date_time)
+        cdt = cols[0].cast("string")
+        lexs = F.when(FN.datatype(cdt) == f"{_XSD_NS}dateTime", FN.lex(cdt))
         valid = lexs.try_cast("timestamp").isNotNull()
         sec = F.regexp_extract(lexs, r"T\d\d:\d\d:(\d\d(?:\.\d+)?)", 1)
         dec = F.when(valid & (sec != ""), sec.try_cast("decimal(38,10)"))
@@ -627,7 +667,7 @@ def _call(
             F.when(dec.isNotNull(), F.lit(1)), dec, dec.cast("double")
         )
     if fn == "LANGMATCHES":
-        tag, rng = s(cols[0]), s(cols[1])
+        tag, rng = xs(cols[0]), xs(cols[1])
         return F.when(rng == "*", F.length(tag) > 0).otherwise(
             (F.lower(tag) == F.lower(rng))
             | F.lower(tag).startswith(F.concat(F.lower(rng), F.lit("-")))
@@ -635,7 +675,7 @@ def _call(
     if fn == "SAMETERM":
         return cols[0].cast("string") == cols[1].cast("string")
     if fn == "STRBEFORE":
-        src, sep = s(cols[0]), s(cols[1])
+        src, sep = sl(cols[0]), sl(cols[1])
         i = F.instr(src, sep)
         return F.when(
             _args_compatible(cols[0], cols[1]),
@@ -644,7 +684,7 @@ def _call(
             ),
         ).otherwise(F.lit(None).cast("string"))
     if fn == "STRAFTER":
-        src, sep = s(cols[0]), s(cols[1])
+        src, sep = sl(cols[0]), sl(cols[1])
         i = F.instr(src, sep)
         return F.when(
             _args_compatible(cols[0], cols[1]),
@@ -655,17 +695,24 @@ def _call(
     if fn == "ENCODE_FOR_URI":
         # XPath fn:encode-for-uri unreserved set is A-Za-z0-9~.-_ —
         # java's URLEncoder escapes '~' and keeps '*', fix both
-        e = F.replace(F.url_encode(s(cols[0])), F.lit("+"), F.lit("%20"))
+        e = F.replace(F.url_encode(sl(cols[0])), F.lit("+"), F.lit("%20"))
         e = F.replace(e, F.lit("%7E"), F.lit("~"))
         return F.replace(e, F.lit("*"), F.lit("%2A"))
     if fn == "SHA384":
-        return F.sha2(s(cols[0]).cast("binary"), 384)
+        return F.sha2(xs(cols[0]).cast("binary"), 384)
     if fn == "SHA512":
-        return F.sha2(s(cols[0]).cast("binary"), 512)
+        return F.sha2(xs(cols[0]).cast("binary"), 512)
     if fn == "TZ":
-        return FN.tz(cols[0].cast("string"))
+        cdt = cols[0].cast("string")
+        return F.when(
+            FN.datatype(cdt) == f"{_XSD_NS}dateTime", FN.tz(cdt)
+        )
     if fn == "TIMEZONE":
-        return FN.timezone_duration(cols[0].cast("string"))
+        cdt = cols[0].cast("string")
+        return F.when(
+            FN.datatype(cdt) == f"{_XSD_NS}dateTime",
+            FN.timezone_duration(cdt),
+        )
     if fn == "LANGDIR":
         return FN.lang_dir(cols[0].cast("string"))
     if fn == "HASLANG":
@@ -673,11 +720,16 @@ def _call(
     if fn == "HASLANGDIR":
         return FN.has_lang_dir(cols[0].cast("string"))
     if fn == "STRDT":
-        return FN.strdt(s(cols[0]), FN.str_(cols[1].cast("string")))
+        # the datatype arg must be an IRI (as_iri, function.rs:363)
+        dt_iri = F.when(
+            FN.is_iri(cols[1].cast("string")),
+            F.regexp_extract(cols[1].cast("string"), r"^<(.*)>$", 1),
+        )
+        return FN.strdt(xs(cols[0]), dt_iri)
     if fn == "STRLANG":
-        return FN.strlang(s(cols[0]), s(cols[1]))
+        return FN.strlang(xs(cols[0]), xs(cols[1]))
     if fn == "STRLANGDIR":
-        return FN.strlangdir(s(cols[0]), s(cols[1]), s(cols[2]))
+        return FN.strlangdir(xs(cols[0]), xs(cols[1]), xs(cols[2]))
     if fn == "TRIPLE":
         return FN.triple_term(
             cols[0].cast("string"), cols[1].cast("string"), cols[2].cast("string")
@@ -732,7 +784,7 @@ def _call(
             )
         # bnode1: same label → same bnode within the query (function.rs:109)
         return F.concat(
-            F.lit("_:qb"), F.lower(F.hex(F.xxhash64(F.lit("\x03bnode1"), s(cols[0]))))
+            F.lit("_:qb"), F.lower(F.hex(F.xxhash64(F.lit("\x03bnode1"), xs(cols[0]))))
         )
     raise A.SparqlError(f"unsupported function {fn}")
 
@@ -1157,8 +1209,6 @@ def _select_df(ctx: _Ctx, q: A.Query):
                 # term or non-string typed literal poisons the whole
                 # aggregate to unbound (test.rs:854 "group_concat err").
                 # Plain computed values count as simple literals.
-                from ..terms.model import RDF as _RDF_NS
-
                 str_lit = F.when(
                     cs.startswith('"'),
                     FN.datatype(cs).isin(

@@ -288,3 +288,39 @@ def test_hashes(unit):
 )
 def test_langmatches(unit, tag, rng, exp):
     assert _eval(unit, f"LANGMATCHES({tag}, {rng})") == exp
+
+
+# Strict argument coercion (expression.rs:441-492): as_string_lit
+# accepts simple/xsd:string/lang-tagged literals; as_xsd_string
+# rejects even lang tags; as_xsd_date_time requires an xsd:dateTime
+# literal.  IRIs, bnodes and non-string typed literals are expression
+# ERRORS (unbound), never coerced through their lexical form.
+@pytest.mark.parametrize(
+    "expr,exp",
+    [
+        ("STRLEN(<x:abcde>)", None),          # IRI → err (not 7)
+        ("STRLEN(42)", None),                 # typed number → err
+        ('STRLEN("abc"@en)', 3),              # langString ok (as_string_lit)
+        ("UCASE(42)", None),
+        ('MD5("x"@en)', None),                # as_xsd_string rejects lang
+        ('CONCAT("a", 42)', None),            # any bad arg poisons CONCAT
+        ('CONCAT("a", "b"@en)', "ab"),
+        ('REPLACE("abc", "b"@en, "x")', None),  # pattern is as_xsd_string
+        ('LANGMATCHES("en"@en, "*")', None),    # as_xsd_string both
+        ("SUBSTR(<x:abc>, 2)", None),
+        ('STRDT("5", "notaniri")', None),       # datatype arg must be an IRI
+        ('STRLANG("x"@en, "fr")', None),        # lex arg is as_xsd_string
+        ('YEAR("2020-05-06"^^<http://www.w3.org/2001/XMLSchema#date>)',
+         None),                                 # as_xsd_date_time: date errs
+        ('YEAR("2020-05-06T01:02:03")', None),  # plain string errs
+        ('YEAR("2020-05-06T01:02:03"^^<http://www.w3.org/2001/XMLSchema#dateTime>)',
+         '"2020"^^<http://www.w3.org/2001/XMLSchema#integer>'),
+        ('TZ("2020-05-06T01:02:03Z")', None),   # plain string errs
+    ],
+)
+def test_strict_arg_coercion(unit, expr, exp):
+    got = _eval(unit, expr)
+    if isinstance(exp, int):
+        assert got == f'"{exp}"^^<http://www.w3.org/2001/XMLSchema#integer>'
+    else:
+        assert got == exp
