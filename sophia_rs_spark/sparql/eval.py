@@ -386,8 +386,6 @@ def _bool(
         ls, rs = lc.cast("string"), rc.cast("string")
         ln, rn = _num_from_col(lc), _num_from_col(rc)
         ldt, rdt = FN.xsd_datetime(ls), FN.xsd_datetime(rs)
-        lex_l = F.when(ls.startswith('"'), FN.lex(ls)).otherwise(ls)
-        lex_r = F.when(rs.startswith('"'), FN.lex(rs)).otherwise(rs)
         if binder is not None:
             # each derived view is a sizeable CASE/regex tree; bind them
             # once so the final predicate is column refs — keeps the
@@ -395,7 +393,6 @@ def _bool(
             # stage codegen instead of interpreted fallback)
             ln, rn = binder.bind(ln), binder.bind(rn)
             ldt, rdt = binder.bind(ldt), binder.bind(rdt)
-            lex_l, lex_r = binder.bind(lex_l), binder.bind(lex_r)
         numeric = ln.isNotNull() & rn.isNotNull()
         both_dt = ldt.isNotNull() & rdt.isNotNull()
         ops = {
@@ -436,18 +433,92 @@ def _bool(
                 .otherwise(F.lit(False))
             )
             return eq if sym == "=" else ~eq
+        # ORDER comparisons follow SparqlValue::partial_cmp
+        # (value.rs:223-237): within ONE value family only — numeric,
+        # dateTime (datatype-strict), boolean (by value), or string
+        # with the same taggedness (tag order, then lexical; plain
+        # computed values count as untagged simple literals).
+        # Cross-family operands, IRIs, bnodes, triple terms and
+        # unrecognized literals are a type error (NULL) — unless the
+        # two operands are literal-IDENTICAL (Equal: <=/>= hold, </>
+        # fail), the sparql_cmp literal-equality fallback.
+        otf = lambda c: F.when(c.rlike('^["<_]'), c).otherwise(
+            F.concat(F.lit('"'), c, F.lit('"'))
+        )
+        lt2, rt2 = otf(ls), otf(rs)
+        ldt2, rdt2 = FN.datatype(lt2), FN.datatype(rt2)
+        num_l = F.when(ls.startswith('"'), FN.numeric_value(ls))
+        num_r = F.when(rs.startswith('"'), FN.numeric_value(rs))
+        dtv_l = F.when(ldt2 == f"{_XSD_NS}dateTime", FN.lex(lt2)).try_cast(
+            "timestamp"
+        )
+        dtv_r = F.when(rdt2 == f"{_XSD_NS}dateTime", FN.lex(rt2)).try_cast(
+            "timestamp"
+        )
+        _STR_DTS2 = (
+            f"{_XSD_NS}string",
+            f"{_RDF_NS}langString",
+            f"{_RDF_NS}dirLangString",
+        )
+        bl = lambda dt, t: F.when(
+            dt == f"{_XSD_NS}boolean",
+            F.when(FN.lex(t).isin("true", "1"), 1).when(
+                FN.lex(t).isin("false", "0"), 0
+            ),
+        )
+        bool_l, bool_r = bl(ldt2, lt2), bl(rdt2, rt2)
+        tag_l = F.regexp_extract(lt2, _FULL_TAG_RE, 1)
+        tag_r = F.regexp_extract(rt2, _FULL_TAG_RE, 1)
+        slex_l, slex_r = FN.lex(lt2), FN.lex(rt2)
+        if binder is not None:
+            num_l, num_r = binder.bind(num_l), binder.bind(num_r)
+            dtv_l, dtv_r = binder.bind(dtv_l), binder.bind(dtv_r)
+            bool_l, bool_r = binder.bind(bool_l), binder.bind(bool_r)
+            tag_l, tag_r = binder.bind(tag_l), binder.bind(tag_r)
+            slex_l, slex_r = binder.bind(slex_l), binder.bind(slex_r)
+            lt2, rt2 = binder.bind(lt2), binder.bind(rt2)
+            ldt2, rdt2 = binder.bind(ldt2), binder.bind(rdt2)
+        str_ok = (
+            ldt2.isin(*_STR_DTS2)
+            & rdt2.isin(*_STR_DTS2)
+            & ((tag_l == "") == (tag_r == ""))
+        )
         return (
-            F.when(numeric, ops[sym](ln, rn))
-            .when(both_dt, ops[sym](ldt, rdt))
-            .otherwise(ops[sym](lex_l, lex_r))
+            F.when(num_l.isNotNull() & num_r.isNotNull(), ops[sym](num_l, num_r))
+            .when(dtv_l.isNotNull() & dtv_r.isNotNull(), ops[sym](dtv_l, dtv_r))
+            .when(
+                bool_l.isNotNull() & bool_r.isNotNull(),
+                ops[sym](bool_l, bool_r),
+            )
+            .when(
+                str_ok,
+                ops[sym](
+                    F.struct(tag_l.alias("t"), slex_l.alias("x")),
+                    F.struct(tag_r.alias("t"), slex_r.alias("x")),
+                ),
+            )
+            .when(
+                lt2.startswith('"') & rt2.startswith('"') & (lt2 == rt2),
+                ops[sym](F.lit(0), F.lit(0)),
+            )
+            .otherwise(F.lit(None).cast("boolean"))
         )
     if op == "in":
+        # IN is sparql_eq against each element in order, failing on the
+        # FIRST error even if a later element matches (expression.rs:
+        # 253-268, Jena behavior): 2 IN (2.0) is TRUE by numeric value,
+        # not term identity.  Build right-to-left so the compiled CASE
+        # checks elements in list order.
         target, items = e.args
-        tc = _term_col(target, df, binder)
-        cond = F.lit(False)
-        for it in items:
-            cond = cond | (tc == _term_col(it, df, binder))
-        return cond
+        res = F.lit(False).cast("boolean")
+        for it in reversed(items):
+            eq_i = _bool(A.Expr("cmp", ("=", target, it)), df, triples, binder)
+            res = (
+                F.when(eq_i, F.lit(True))
+                .when(eq_i.isNull(), F.lit(None).cast("boolean"))
+                .otherwise(res)
+            )
+        return res
     if op == "call":
         if e.args[0] in _BOOL_FNS:
             # compile raw — no boolean-term round-trip inside FILTER
@@ -547,12 +618,23 @@ def _call(
     sl = lambda c: F.when(_lit_ok(c, False), s(c))
     xs = lambda c: F.when(_lit_ok(c, True), s(c))
 
+    # plain computed values ARE literal values (EvalResult::Value in
+    # the reference) — wrap them as simple-literal terms for the
+    # term-introspection functions (LANG/DATATYPE/LANGDIR/ISLITERAL)
+    def tf(c):
+        cs = c.cast("string")
+        return F.when(cs.rlike('^["<_]'), cs).otherwise(
+            F.concat(F.lit('"'), cs, F.lit('"'))
+        )
+
     if fn == "STR":
         return s(cols[0])
     if fn == "LANG":
-        return FN.lang(cols[0].cast("string"))
+        return FN.lang(tf(cols[0]))
     if fn == "DATATYPE":
-        return FN.datatype(cols[0].cast("string"))
+        # returns an IRI TERM (function.rs:78 → ResultTerm IRI), so
+        # FILTER(DATATYPE(?x) = xsd:string) compares term-to-term
+        return FN.iri_term(FN.datatype(tf(cols[0])))
     if fn == "BOUND":
         return cols[0].isNotNull()
     if fn in ("IRI", "URI"):
@@ -625,7 +707,7 @@ def _call(
     if fn == "ISBLANK":
         return FN.is_blank(cols[0].cast("string"))
     if fn == "ISLITERAL":
-        return FN.is_literal(cols[0].cast("string"))
+        return FN.is_literal(tf(cols[0]))
     if fn == "ISNUMERIC":
         return FN.is_numeric(cols[0].cast("string"))
     if fn == "COALESCE":
@@ -714,7 +796,7 @@ def _call(
             FN.timezone_duration(cdt),
         )
     if fn == "LANGDIR":
-        return FN.lang_dir(cols[0].cast("string"))
+        return FN.lang_dir(tf(cols[0]))
     if fn == "HASLANG":
         return FN.has_lang(cols[0].cast("string"))
     if fn == "HASLANGDIR":
@@ -770,7 +852,16 @@ def _call(
         if typ == "string":
             return s(cols[0])
         if typ == "dateTime":
-            return FN.xsd_datetime(t)
+            # emit a canonical xsd:dateTime TERM (keeps the original
+            # lexical) so downstream YEAR/TZ/comparisons see a typed
+            # literal, not a raw Spark timestamp
+            dtl = FN.lex(t)
+            return F.when(
+                dtl.try_cast("timestamp").isNotNull(),
+                F.concat(
+                    F.lit('"'), dtl, F.lit(f'"^^<{_XSD_NS}dateTime>')
+                ),
+            )
         raise A.SparqlError(f"cast to xsd:{typ} not supported")
     if fn == "NOW":
         # fixed per query evaluation (exec.rs:76 `state.now()`)

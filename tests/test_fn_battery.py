@@ -324,3 +324,74 @@ def test_strict_arg_coercion(unit, expr, exp):
         assert got == f'"{exp}"^^<http://www.w3.org/2001/XMLSchema#integer>'
     else:
         assert got == exp
+
+
+# DATATYPE returns an IRI TERM (function.rs:78), so term equality with
+# a datatype IRI works; LANG/DATATYPE/ISLITERAL see plain computed
+# values as simple literals (EvalResult::Value); non-literal args err.
+@pytest.mark.parametrize(
+    "expr,exp",
+    [
+        ("DATATYPE(42)", "<http://www.w3.org/2001/XMLSchema#integer>"),
+        ('DATATYPE("x")', "<http://www.w3.org/2001/XMLSchema#string>"),
+        ('DATATYPE(UCASE("x"))', "<http://www.w3.org/2001/XMLSchema#string>"),
+        ('DATATYPE("x"@en)',
+         "<http://www.w3.org/1999/02/22-rdf-syntax-ns#langString>"),
+        ("DATATYPE(<x:i>)", None),
+        ('LANG(UCASE("x"))', ""),
+        ("LANG(<x:i>)", None),
+        ('ISLITERAL(UCASE("x"))', True),
+    ],
+)
+def test_term_introspection(unit, expr, exp):
+    assert _eval(unit, expr) == exp
+
+
+def test_datatype_eq_filter(unit):
+    got = query(
+        unit,
+        "PREFIX xsd: <http://www.w3.org/2001/XMLSchema#> "
+        'SELECT ?r { BIND((DATATYPE("v") = xsd:string) AS ?r) }',
+    ).collect()[0]
+    assert got["r"] == f'"true"{_XSD_BOOL}'
+
+
+# Order comparisons follow SparqlValue::partial_cmp (value.rs:223-237):
+# one value family only; cross-family / IRI / unrecognized operands are
+# type errors unless literal-identical (sparql_cmp's equality fallback).
+@pytest.mark.parametrize(
+    "expr,exp",
+    [
+        ("(<x:a> < <x:b>)", None),              # IRIs are not comparable
+        ('(2 < "abc")', None),                  # cross-family
+        ('("abc" < "abd")', True),
+        ('("b"@de < "a"@en)', True),            # tag order, then lexical
+        ('("a"@en < "b")', None),               # tagged vs untagged
+        ("(false < true)", True),
+        ('("1"^^<http://www.w3.org/2001/XMLSchema#boolean> '
+         '< "true"^^<http://www.w3.org/2001/XMLSchema#boolean>)', False),
+        ('("x"^^<my:dt> <= "x"^^<my:dt>)', True),   # literal-equal fallback
+        ('("x"^^<my:dt> < "y"^^<my:dt>)', None),    # distinct unrecognized
+        ('(SUBSTR("x2",2) < SUBSTR("x10",2))', False),  # computed strings
+        ('("2020-01-02T00:00:00"^^<http://www.w3.org/2001/XMLSchema#dateTime>'
+         ' < "2020-01-02T03:04:05")', None),    # dateTime vs plain string
+    ],
+)
+def test_value_family_order(unit, expr, exp):
+    assert _eval(unit, expr) == exp
+
+
+# IN is sparql_eq per element (expression.rs:253-268): value equality,
+# not term identity; errors on the first erroring element.
+@pytest.mark.parametrize(
+    "expr,exp",
+    [
+        ("(2 IN (2.0))", True),
+        ("(2 IN (3, 2))", True),
+        ('(2 IN (3, "a"))', False),
+        ("(2 IN ())", False),
+        ("(2 NOT IN (2.0))", False),
+    ],
+)
+def test_in_value_equality(unit, expr, exp):
+    assert _eval(unit, expr) == exp

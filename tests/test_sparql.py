@@ -628,7 +628,10 @@ def test_xsd_constructor_casts(spark, data):
         'BIND(xsd:dateTime("2020-01-02T03:04:05"'
         "^^<http://www.w3.org/2001/XMLSchema#dateTime>) AS ?t) }",
     ).collect()[0]
-    assert got3["t"].year == 2020 and got3["t"].second == 5
+    # the cast emits a canonical xsd:dateTime TERM (original lexical)
+    assert got3["t"] == (
+        '"2020-01-02T03:04:05"^^<http://www.w3.org/2001/XMLSchema#dateTime>'
+    )
 
 
 class TestDatasetClauses:
