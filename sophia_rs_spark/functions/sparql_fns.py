@@ -454,17 +454,17 @@ def xsd_datetime(term: Column) -> Column:
 
 
 def ebv(term: Column) -> Column:
-    """Effective boolean value (SPARQL 17.2.2): booleans by value, numerics
-    non-zero, strings non-empty; type error → NULL (row dropped by
-    Filter, matching error-poisoning in exec.rs:597-625)."""
+    """Effective boolean value (value.rs:107-115 ``is_truthy``):
+    booleans by value, numerics non-zero AND non-NaN, simple/xsd:string
+    non-empty; language-TAGGED strings, dateTimes and everything else
+    are a type error → NULL (row dropped by Filter, matching
+    error-poisoning in exec.rs:597-625)."""
     dt = datatype(term)
+    nv = numeric_value(term)
     return (
         F.when(dt == f"{XSD}boolean", xsd_boolean(term))
-        .when(dt.isin(_NUMERIC_DTS), numeric_value(term) != 0.0)
-        .when(
-            dt.isin(f"{XSD}string", f"{RDF}langString", f"{RDF}dirLangString"),
-            F.length(lex(term)) > 0,
-        )
+        .when(dt.isin(_NUMERIC_DTS), (nv != 0.0) & ~F.isnan(nv))
+        .when(dt == f"{XSD}string", F.length(lex(term)) > 0)
         .otherwise(F.lit(None).cast("boolean"))
     )
 

@@ -416,8 +416,18 @@ def _bool(
 
             lt, rt = termify(ls), termify(rs)
             lu, ru = _lit_unrecognized(lt), _lit_unrecognized(rt)
+            # xsd:boolean compares by VALUE (value.rs:120 sparql_eq):
+            # "1"^^xsd:boolean = "true"^^xsd:boolean
+            ebv_ = lambda t: F.when(
+                FN.datatype(t) == f"{_XSD_NS}boolean",
+                F.when(FN.lex(t).isin("true", "1"), 1).when(
+                    FN.lex(t).isin("false", "0"), 0
+                ),
+            )
+            lbv, rbv = ebv_(lt), ebv_(rt)
             if binder is not None:
                 lu, ru = binder.bind(lu), binder.bind(ru)
+                lbv, rbv = binder.bind(lbv), binder.bind(rbv)
             eq = (
                 # unbound/error operand → type error (NULL), NOT equal:
                 # two unbound vars must not compare true (expression.rs
@@ -426,6 +436,7 @@ def _bool(
                 .when(lt == rt, F.lit(True))
                 .when(numeric, ln == rn)
                 .when(both_dt, ldt == rdt)
+                .when(lbv.isNotNull() & rbv.isNotNull(), lbv == rbv)
                 .when(
                     lt.startswith('"') & rt.startswith('"') & (lu | ru),
                     F.lit(None).cast("boolean"),
@@ -628,7 +639,12 @@ def _call(
         )
 
     if fn == "STR":
-        return s(cols[0])
+        # IRI or literal only (function.rs:41-53) — a bnode errors
+        # instead of leaking its label through the plain-value branch
+        return F.when(
+            cols[0].cast("string").startswith("_:"),
+            F.lit(None).cast("string"),
+        ).otherwise(s(cols[0]))
     if fn == "LANG":
         return FN.lang(tf(cols[0]))
     if fn == "DATATYPE":

@@ -395,3 +395,49 @@ def test_value_family_order(unit, expr, exp):
 )
 def test_in_value_equality(unit, expr, exp):
     assert _eval(unit, expr) == exp
+
+
+# xsd:boolean equality is by VALUE (value.rs:120): "1" ≡ "true"
+@pytest.mark.parametrize(
+    "expr,exp",
+    [
+        ('("1"^^<http://www.w3.org/2001/XMLSchema#boolean> '
+         '= "true"^^<http://www.w3.org/2001/XMLSchema#boolean>)', True),
+        ('("0"^^<http://www.w3.org/2001/XMLSchema#boolean> '
+         '= "true"^^<http://www.w3.org/2001/XMLSchema#boolean>)', False),
+        ('("yes"^^<http://www.w3.org/2001/XMLSchema#boolean> '
+         '= "true"^^<http://www.w3.org/2001/XMLSchema#boolean>)', None),
+    ],
+)
+def test_boolean_value_equality(unit, expr, exp):
+    assert _eval(unit, expr) == exp
+
+
+# EBV is value.rs is_truthy: lang-tagged strings and dateTimes are
+# type errors; NaN is falsy; numerics non-zero; xsd:string non-empty.
+@pytest.mark.parametrize(
+    "cond,keeps",
+    [
+        ('"x"', True),
+        ('""', False),
+        ('"x"@en', False),      # error, row dropped
+        ('"NaN"^^<http://www.w3.org/2001/XMLSchema#double>', False),
+        ("1", True),
+        ("0", False),
+        ('"2010-06-21T11:28:01Z"^^<http://www.w3.org/2001/XMLSchema#dateTime>',
+         False),                # error
+    ],
+)
+def test_ebv_strictness(unit, cond, keeps):
+    got = query(unit, f"SELECT ?s {{ ?s ?p ?o FILTER({cond}) }}").collect()
+    assert (len(got) == 1) is keeps
+
+
+def test_str_bnode_errors(spark):
+    """STR() accepts IRIs and literals only (function.rs:41-53)."""
+    t = spark.createDataFrame(
+        [("_:b1", "<x:p>", '"v"', None)],
+        "s string, p string, o string, g string",
+    )
+    got = query(t, "SELECT ?r { ?s ?p ?o BIND(STR(?s) AS ?r) }").collect()
+    assert got[0]["r"] is None
