@@ -70,6 +70,20 @@ _LEX_DECODE = sorted(
 )
 
 
+def escape_lex(s_col: Column) -> Column:
+    """JVM-side canonical literal escaping (terms/model.escape_literal):
+    backslash doubled first, then the finite escape set; gated on a
+    needs-escape probe so clean strings skip the replace chain."""
+    enc = F.replace(s_col, F.lit("\\"), F.lit("\\\\"))
+    for _ch, _esc in _LEX_ESC_MAP.items():
+        if _ch == "\\":
+            continue
+        enc = F.replace(enc, F.lit(_ch), F.lit(_esc))
+    return F.when(
+        s_col.rlike('[\\x00-\\x1F\\x7F"\\\\￾￿]'), enc
+    ).otherwise(s_col)
+
+
 def lex(term: Column) -> Column:
     """Lexical form of a literal: full ECHAR/UCHAR decode of the canonical
     escape set (JVM-side; the per-row chain only runs for literals that

@@ -28,10 +28,13 @@ as_string_lit / as_xsd_string / as_xsd_date_time): IRIs, bnodes and
 non-string typed literals ERROR instead of passing their lexical
 form, and the xsd-string positions (hash args, regex patterns,
 LANGMATCHES, STRLANG/STRDT lex) reject language-tagged strings.
-Remaining deviation: string-valued RESULTS (STR, UCASE, …) stay plain
-Spark strings (≡ simple literals, language tags not preserved) until
-the results boundary; integers beyond 38 digits error instead of
-promoting to BigInt.
+String-function results carry their language/direction tags
+(UCASE/LCASE/SUBSTR/REPLACE keep the source tag, STRBEFORE/STRAFTER
+only on a match, CONCAT the common tag — function.rs:600-795); a
+tagged result is a full langString term with escaped lexical, while
+untagged results stay plain Spark strings (≡ simple literals, which
+is exact: simple ≡ xsd:string).  Remaining deviation: integers beyond
+38 digits error instead of promoting to BigInt.
 """
 
 from __future__ import annotations
@@ -638,6 +641,19 @@ def _call(
             F.concat(F.lit('"'), cs, F.lit('"'))
         )
 
+    # language/direction-tag propagation (function.rs:688-729, 767-795,
+    # 600-613): UCASE/LCASE/SUBSTR/REPLACE keep the source's tag,
+    # STRBEFORE/STRAFTER keep it only on a match, CONCAT keeps the
+    # common tag.  A tagged result is emitted as a full langString TERM
+    # (lexical escaped); untagged results stay plain (≡ simple literal).
+    def _tag_of(c):
+        return F.regexp_extract(c.cast("string"), _FULL_TAG_RE, 1)
+
+    def _retag(lexres, tag):
+        return F.when(tag == "", lexres).otherwise(
+            F.concat(F.lit('"'), FN.escape_lex(lexres), F.lit('"@'), tag)
+        )
+
     if fn == "STR":
         # IRI or literal only (function.rs:41-53) — a bnode errors
         # instead of leaking its label through the plain-value branch
@@ -663,9 +679,9 @@ def _call(
     if fn == "STRLEN":
         return FN.int_term(F.length(sl(cols[0])))
     if fn == "UCASE":
-        return F.upper(sl(cols[0]))
+        return _retag(F.upper(sl(cols[0])), _tag_of(cols[0]))
     if fn == "LCASE":
-        return F.lower(sl(cols[0]))
+        return _retag(F.lower(sl(cols[0])), _tag_of(cols[0]))
     if fn in ("CONTAINS", "STRSTARTS", "STRENDS"):
         op = {
             "CONTAINS": lambda a, b: a.contains(b),
@@ -683,17 +699,25 @@ def _call(
         st = F.round(n(cols[1]), 0).cast("int")
         begin = F.greatest(st, F.lit(1))
         if len(cols) == 2:
-            return sl(cols[0]).substr(begin, F.lit(2147483647))
+            return _retag(
+                sl(cols[0]).substr(begin, F.lit(2147483647)), _tag_of(cols[0])
+            )
         ln = F.round(n(cols[2]), 0).cast("int")
         eff = F.greatest(st + ln - begin, F.lit(0))
-        return sl(cols[0]).substr(begin, eff)
+        return _retag(sl(cols[0]).substr(begin, eff), _tag_of(cols[0]))
     if fn == "REPLACE":
         pat = xs(cols[1])
         if len(cols) >= 4:  # REPLACE(str, pat, rep, flags)
             pat = _regex_with_flags(pat, xs(cols[3]))
-        return F.regexp_replace(sl(cols[0]), pat, xs(cols[2]))
+        return _retag(
+            F.regexp_replace(sl(cols[0]), pat, xs(cols[2])), _tag_of(cols[0])
+        )
     if fn == "CONCAT":
-        return F.concat(*[sl(c) for c in cols])
+        tags = [_tag_of(c) for c in cols]
+        common = tags[0] if tags else F.lit("")
+        for _t in tags[1:]:
+            common = F.when(common == _t, common).otherwise(F.lit(""))
+        return _retag(F.concat(*[sl(c) for c in cols]), common)
     if fn == "REGEX":
         pat = xs(cols[1])
         if len(cols) >= 3:  # REGEX(str, pat, flags)
@@ -775,19 +799,28 @@ def _call(
     if fn == "STRBEFORE":
         src, sep = sl(cols[0]), sl(cols[1])
         i = F.instr(src, sep)
+        # haystack tag kept only on a MATCH; no-match → "" untagged
+        hit_tag = F.when(i > 0, _tag_of(cols[0])).otherwise(F.lit(""))
         return F.when(
             _args_compatible(cols[0], cols[1]),
-            F.when(i > 0, F.substring(src, F.lit(1), (i - 1).cast("int"))).otherwise(
-                F.lit("")
+            _retag(
+                F.when(
+                    i > 0, F.substring(src, F.lit(1), (i - 1).cast("int"))
+                ).otherwise(F.lit("")),
+                hit_tag,
             ),
         ).otherwise(F.lit(None).cast("string"))
     if fn == "STRAFTER":
         src, sep = sl(cols[0]), sl(cols[1])
         i = F.instr(src, sep)
+        hit_tag = F.when(i > 0, _tag_of(cols[0])).otherwise(F.lit(""))
         return F.when(
             _args_compatible(cols[0], cols[1]),
-            F.when(i > 0, src.substr(i + F.length(sep), F.length(src))).otherwise(
-                F.lit("")
+            _retag(
+                F.when(
+                    i > 0, src.substr(i + F.length(sep), F.length(src))
+                ).otherwise(F.lit("")),
+                hit_tag,
             ),
         ).otherwise(F.lit(None).cast("string"))
     if fn == "ENCODE_FOR_URI":

@@ -95,15 +95,16 @@ def test_replace(unit, args, exp):
     assert _eval(unit, f"REPLACE({args})") == exp
 
 
-# test.rs:282-316 — UCASE/LCASE full-unicode case mapping (lexical plane)
+# test.rs:282-316 — UCASE/LCASE full-unicode case mapping; the
+# source's language/direction tag is preserved (function.rs:688-729)
 @pytest.mark.parametrize(
     "fn,lit,exp",
     [
         ("UCASE", '"foo"', "FOO"),
         ("UCASE", '"fooBAR 1!⛄xY"', "FOOBAR 1!⛄XY"),
         ("UCASE", '"àéîôù"', "ÀÉÎÔÙ"),
-        ("LCASE", '"FOO"@en', "foo"),
-        ("LCASE", '"ÀÉÎÔÙ"@fr--ltr', "àéîôù"),
+        ("LCASE", '"FOO"@en', '"foo"@en'),
+        ("LCASE", '"ÀÉÎÔÙ"@fr--ltr', '"àéîôù"@fr--ltr'),
     ],
 )
 def test_case_mapping(unit, fn, lit, exp):
@@ -175,12 +176,12 @@ def test_regex_flags(unit, args, exp):
     assert _eval(unit, f"REGEX({args})") == exp
 
 
-# test.rs:143-149 — CONCAT over mixed-language args (lexical plane)
+# test.rs:143-149 — CONCAT keeps the COMMON tag (function.rs:600-613)
 @pytest.mark.parametrize(
     "args,exp",
     [
         ('"foo", "bar"', "foobar"),
-        ('"foo"@en, "bar"@en', "foobar"),
+        ('"foo"@en, "bar"@en', '"foobar"@en'),
         ('"foo"@en, "bar"@es', "foobar"),
         ('"foo"@en--ltr, "bar"', "foobar"),
     ],
@@ -441,3 +442,23 @@ def test_str_bnode_errors(spark):
     )
     got = query(t, "SELECT ?r { ?s ?p ?o BIND(STR(?s) AS ?r) }").collect()
     assert got[0]["r"] is None
+
+
+# Tag propagation (function.rs:638-795): SUBSTR/REPLACE keep the
+# source tag; STRBEFORE/STRAFTER keep it only on a match; results
+# with tags are full langString terms, untagged stay simple.
+@pytest.mark.parametrize(
+    "expr,exp",
+    [
+        ('SUBSTR("abcd"@fr, 2, 2)', '"bc"@fr'),
+        ('REPLACE("aba"@en, "b", "x")', '"axa"@en'),
+        ('STRBEFORE("abc"@en, "b"@en)', '"a"@en'),
+        ('STRBEFORE("abc"@en, "xyz")', ""),      # no match → untagged ""
+        ('STRAFTER("abc"@en, "b")', '"c"@en'),
+        ('UCASE(SUBSTR("abcd"@fr, 2))', '"BCD"@fr'),  # tags compose
+        ('LANG(UCASE("ab"@en))', "en"),
+        ('ENCODE_FOR_URI("a b"@en)', "a%20b"),   # always simple
+    ],
+)
+def test_tag_propagation(unit, expr, exp):
+    assert _eval(unit, expr) == exp
