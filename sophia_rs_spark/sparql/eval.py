@@ -789,10 +789,23 @@ def _call(
             F.when(dec.isNotNull(), F.lit(1)), dec, dec.cast("double")
         )
     if fn == "LANGMATCHES":
+        # an INVALID tag or range is false, checked before the "*"
+        # shortcut (function.rs:615-636 LanguageTag::new validation) —
+        # the BCP47 grammar runs JVM-side via the shared pattern
+        from ..terms.bcp47 import LANGTAG_RE
+
         tag, rng = xs(cols[0]), xs(cols[1])
-        return F.when(rng == "*", F.length(tag) > 0).otherwise(
+        jpat = "(?i)" + LANGTAG_RE.pattern
+        tag_ok = tag.rlike(jpat)
+        rng_ok = (rng == "*") | rng.rlike(jpat)
+        res = F.when(rng == "*", F.lit(True)).otherwise(
             (F.lower(tag) == F.lower(rng))
             | F.lower(tag).startswith(F.concat(F.lower(rng), F.lit("-")))
+        )
+        return (
+            F.when(tag.isNull() | rng.isNull(), F.lit(None).cast("boolean"))
+            .when(~tag_ok | ~rng_ok, F.lit(False))
+            .otherwise(res)
         )
     if fn == "SAMETERM":
         return cols[0].cast("string") == cols[1].cast("string")

@@ -462,3 +462,19 @@ def test_str_bnode_errors(spark):
 )
 def test_tag_propagation(unit, expr, exp):
     assert _eval(unit, expr) == exp
+
+
+# LANGMATCHES validates both tag and range as BCP47 (function.rs:
+# 615-636): an invalid tag or range is FALSE, checked before "*".
+@pytest.mark.parametrize(
+    "args,exp",
+    [
+        ('"en-GB", "en"', True),
+        ('"en", "*"', True),
+        ('"123", "*"', False),     # invalid tag
+        ('"en", "1-2"', False),    # invalid range
+        ('"i-klingon", "*"', True),  # grandfathered tag
+    ],
+)
+def test_langmatches_validation(unit, args, exp):
+    assert _eval(unit, f"LANGMATCHES({args})") == exp
