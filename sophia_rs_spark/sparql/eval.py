@@ -670,12 +670,22 @@ def _call(
     if fn == "BOUND":
         return cols[0].isNotNull()
     if fn in ("IRI", "URI"):
-        # valid on IRIs (pass-through) and string literals only —
-        # bnodes/triple terms error to NULL (function.rs:84-107)
+        # valid on IRIs (pass-through) and xsd:string literals whose
+        # text is a well-formed IRI REFERENCE (function.rs:84-107:
+        # IriRef::new validation — "not a iri" errors); bnodes/triple
+        # terms error to NULL.  BASE-relative resolution happens at
+        # parse time for constants; runtime IRI() keeps relative refs
+        # as-is (reference without a base does the same).
+        from ..terms.iri import IRELATIVE_REF_RE, IRI_RE
+
         c = cols[0].cast("string")
+        txt = xs(cols[0])
+        wellformed = txt.rlike(IRI_RE.pattern) | txt.rlike(
+            IRELATIVE_REF_RE.pattern
+        )
         return F.when(FN.is_iri(c), c).when(
             FN.is_blank(c) | FN.is_triple(c), F.lit(None).cast("string")
-        ).otherwise(FN.iri_term(xs(cols[0])))
+        ).otherwise(F.when(wellformed, FN.iri_term(txt)))
     if fn == "STRLEN":
         return FN.int_term(F.length(sl(cols[0])))
     if fn == "UCASE":
@@ -871,9 +881,22 @@ def _call(
         )
         return FN.strdt(xs(cols[0]), dt_iri)
     if fn == "STRLANG":
-        return FN.strlang(xs(cols[0]), xs(cols[1]))
+        # tag must be valid BCP47 (function.rs:902-910) — else error
+        from ..terms.bcp47 import LANGTAG_RE
+
+        tagc = xs(cols[1])
+        return F.when(
+            tagc.rlike("(?i)" + LANGTAG_RE.pattern),
+            FN.strlang(xs(cols[0]), tagc),
+        )
     if fn == "STRLANGDIR":
-        return FN.strlangdir(xs(cols[0]), xs(cols[1]), xs(cols[2]))
+        from ..terms.bcp47 import LANGTAG_RE
+
+        tagc = xs(cols[1])
+        return F.when(
+            tagc.rlike("(?i)" + LANGTAG_RE.pattern),
+            FN.strlangdir(xs(cols[0]), tagc, xs(cols[2])),
+        )
     if fn == "TRIPLE":
         return FN.triple_term(
             cols[0].cast("string"), cols[1].cast("string"), cols[2].cast("string")

@@ -478,3 +478,20 @@ def test_tag_propagation(unit, expr, exp):
 )
 def test_langmatches_validation(unit, args, exp):
     assert _eval(unit, f"LANGMATCHES({args})") == exp
+
+
+# IRI() validates its string as an IRI reference (function.rs:84-107);
+# STRLANG/STRLANGDIR validate the tag as BCP47 (function.rs:902-925).
+@pytest.mark.parametrize(
+    "expr,exp",
+    [
+        ('IRI("not a iri")', None),
+        ('IRI("http://e/x")', "<http://e/x>"),
+        ('IRI("rel/path")', "<rel/path>"),   # relative refs pass through
+        ('STRLANG("x", "123")', None),
+        ('STRLANG("x", "en-GB")', '"x"@en-gb'),
+        ('STRLANGDIR("x", "9z", "ltr")', None),
+    ],
+)
+def test_iri_strlang_validation(unit, expr, exp):
+    assert _eval(unit, expr) == exp
