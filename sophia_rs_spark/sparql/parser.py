@@ -357,13 +357,44 @@ class _P:
             p = self.parse_path()
             self.expect_op(")")
         elif t is not None and t[0] == "op" and t[1] == "!":
+            # PathNegatedPropertySet: bare `!iri`, `!^iri`, or
+            # `!( m1 | ... )` with '^'-prefixed and `a` members; the
+            # algebra translation splits forward and inverse members —
+            # !(p|^q) ≡ NPS({p}) UNION ^NPS({q}) (sparql11-query §18.2,
+            # spargebra's desugaring, which the reference consumes)
             self.next()
-            self.expect_op("(")
-            preds = [self.parse_term(allow_var=False)]
-            while self.op("|"):
-                preds.append(self.parse_term(allow_var=False))
-            self.expect_op(")")
-            p = PathExpr("neg", tuple(preds))
+
+            def _nps_member():
+                minv = self.op("^")
+                mt = self.peek()
+                if mt is not None and mt[0] == "kw" and mt[1].upper() == "A":
+                    self.next()
+                    return minv, RDF_TYPE_T
+                return minv, self.parse_term(allow_var=False)
+
+            members = []
+            if self.op("("):
+                if not self.op(")"):
+                    members.append(_nps_member())
+                    while self.op("|"):
+                        members.append(_nps_member())
+                    self.expect_op(")")
+            else:
+                members.append(_nps_member())
+            fwd = tuple(i for v, i in members if not v)
+            invs = tuple(i for v, i in members if v)
+            if invs and fwd:
+                p = PathExpr(
+                    "alt",
+                    (
+                        PathExpr("neg", fwd),
+                        PathExpr("inv", (PathExpr("neg", invs),)),
+                    ),
+                )
+            elif invs:
+                p = PathExpr("inv", (PathExpr("neg", invs),))
+            else:
+                p = PathExpr("neg", fwd)
         else:
             k, raw, pos = t if t else (None, "EOF", -1)
             if k == "var":

@@ -113,3 +113,38 @@ def test_ppath_negated_set(ds):
     got = query(ds, QPFX + "SELECT ?s ?o { :a1 !(:p|:r|:t|:d) ?o . BIND(:a1 AS ?s) }")
     vals = {r["o"] for r in got.collect()}
     assert vals == {"<x:b1>"}  # only :s remains from a1
+
+
+def test_ppath_negated_set_inverse_and_bare(spark):
+    """PathNegatedPropertySet extensions (sparql11-query §18.2
+    translation, consumed by the reference via spargebra): bare !iri,
+    !^iri, mixed !(p|^q) = NPS({p}) UNION ^NPS({q}), `a` members, and
+    the empty set !() matching every triple."""
+    t = spark.createDataFrame(
+        [
+            ("<x:a>", "<x:p>", "<x:b>", None),
+            ("<x:a>", "<x:q>", "<x:c>", None),
+            ("<x:d>", "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>",
+             "<x:T>", None),
+        ],
+        "s string, p string, o string, g string",
+    )
+    from sophia_rs_spark.sparql import query
+
+    def pairs(q):
+        return {(r["s"], r["o"]) for r in query(t, q).collect()}
+
+    assert pairs("SELECT ?s ?o { ?s !<x:p> ?o }") == {
+        ("<x:a>", "<x:c>"), ("<x:d>", "<x:T>")
+    }
+    assert pairs("SELECT ?s ?o { ?s !^<x:p> ?o }") == {
+        ("<x:c>", "<x:a>"), ("<x:T>", "<x:d>")
+    }
+    assert pairs("SELECT ?s ?o { ?s !(<x:p>|^<x:q>) ?o }") == {
+        ("<x:a>", "<x:c>"), ("<x:d>", "<x:T>"),
+        ("<x:b>", "<x:a>"), ("<x:T>", "<x:d>"),
+    }
+    assert pairs("SELECT ?s ?o { ?s !(a) ?o }") == {
+        ("<x:a>", "<x:b>"), ("<x:a>", "<x:c>")
+    }
+    assert len(pairs("SELECT ?s ?o { ?s !() ?o }")) == 3
