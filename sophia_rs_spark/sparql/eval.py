@@ -85,7 +85,42 @@ def _pattern_df(ctx: _Ctx, tp: A.TriplePattern) -> DataFrame:
     gvar = ctx.graph.name if isinstance(ctx.graph, A.Var) else None
 
     if isinstance(tp.p, A.PathExpr):
-        pairs = _compile_path(t.drop("g") if gvar else t, tp.p)
+        if gvar:
+            # GRAPH ?g { path }: the path is evaluated PER active graph
+            # (exec.rs path_rec under a graph matcher) — prefix every
+            # node with its graph id so walks cannot cross graphs and
+            # ?g rides along.  \x1D cannot occur raw in a canonical
+            # term (C0 controls are \u-escaped by the encoder), so the
+            # decode is unambiguous.
+            sep = "\x1d"
+            tg = t.select(
+                F.concat(F.col("g"), F.lit(sep), F.col("s")).alias("s"),
+                F.col("p"),
+                F.concat(F.col("g"), F.lit(sep), F.col("o")).alias("o"),
+            )
+            pairs = _compile_path(tg, tp.p).select(
+                F.substring_index(F.col("src"), sep, 1).alias("#pg"),
+                F.substring_index(F.col("src"), sep, -1).alias("#ps"),
+                F.substring_index(F.col("dst"), sep, -1).alias("#po"),
+            )
+            df = pairs
+            proj: dict = {}
+            for col, term in (
+                ("#pg", A.Var(gvar)),
+                ("#ps", tp.s),
+                ("#po", tp.o),
+            ):
+                if isinstance(term, A.Var):
+                    if term.name in proj:  # repeated var → unify
+                        df = df.filter(F.col(col) == F.col(proj[term.name]))
+                    else:
+                        proj[term.name] = col
+                else:
+                    df = df.filter(F.col(col) == term)
+            return df.select(
+                *[F.col(c).alias(n) for n, c in proj.items()]
+            )
+        pairs = _compile_path(t, tp.p)
         df = pairs
         proj = []
         for col, term in (("src", tp.s), ("dst", tp.o)):

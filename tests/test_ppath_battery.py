@@ -148,3 +148,37 @@ def test_ppath_negated_set_inverse_and_bare(spark):
         ("<x:a>", "<x:b>"), ("<x:a>", "<x:c>")
     }
     assert len(pairs("SELECT ?s ?o { ?s !() ?o }")) == 3
+
+
+def test_ppath_inside_graph_var(spark):
+    """GRAPH ?g { path }: per-active-graph evaluation — walks must not
+    cross graphs and ?g binds (exec.rs path under a graph matcher).
+    Regression: the path previously ran over the merged union of all
+    named graphs and never bound ?g."""
+    t = spark.createDataFrame(
+        [
+            ("<x:a>", "<x:p>", "<x:b>", "<g:1>"),
+            ("<x:b>", "<x:p>", "<x:c>", "<g:2>"),
+            ("<x:c>", "<x:p>", "<x:d>", "<g:2>"),
+        ],
+        "s string, p string, o string, g string",
+    )
+    from sophia_rs_spark.sparql import query
+
+    got = {
+        (r["g"], r["s"], r["o"])
+        for r in query(
+            t, "SELECT ?g ?s ?o { GRAPH ?g { ?s <x:p>+ ?o } }"
+        ).collect()
+    }
+    assert got == {
+        ("<g:1>", "<x:a>", "<x:b>"),
+        ("<g:2>", "<x:b>", "<x:c>"),
+        ("<g:2>", "<x:b>", "<x:d>"),
+        ("<g:2>", "<x:c>", "<x:d>"),
+    }
+    # bound endpoints inside GRAPH ?g
+    got2 = {r["g"] for r in query(
+        t, "SELECT ?g { GRAPH ?g { <x:b> <x:p>* <x:d> } }"
+    ).collect()}
+    assert got2 == {"<g:2>"}
