@@ -1492,6 +1492,22 @@ def _select_df(ctx: _Ctx, q: A.Query):
         if b.names:
             df = df.drop(*b.names)
 
+    if q.post_values is not None:
+        # trailing VALUES joins AFTER aggregation/HAVING and before
+        # projection (§18.2.4.6) — so COUNT(*) over the pattern is not
+        # inflated by the values rows
+        pv = q.post_values
+        vdf = ctx.all.sparkSession.createDataFrame(
+            [tuple(r) for r in pv.rows],
+            ", ".join(f"{n} string" for n in pv.names),
+        )
+        undef = {
+            n
+            for i, n in enumerate(pv.names)
+            if any(r[i] is None for r in pv.rows)
+        }
+        df = B.join_bindings(df, vdf, nullable=undef)
+
     if q.order_by:
         keys = []
         b = _TmpBinder(df)

@@ -9,7 +9,7 @@ IN, EXISTS/NOT EXISTS, and the builtin functions the engine provides),
 OPTIONAL, MINUS, UNION, BIND, VALUES, GRAPH ?g/<iri>, property-path
 atoms (``p+``, ``p*``, ``p?``, ``^p``, ``p1/p2``, ``p1|p2``), GROUP BY +
 aggregates (COUNT/SUM/AVG/MIN/MAX/GROUP_CONCAT/SAMPLE), ORDER BY
-ASC/DESC, LIMIT/OFFSET.
+ASC/DESC, LIMIT/OFFSET, trailing VALUES clause.
 
 The AST is plain dataclasses; evaluation lives in ``eval.py``.
 """
@@ -143,6 +143,7 @@ class Query:
     from_graphs: List[str] = field(default_factory=list)  # FROM <g>
     from_named: List[str] = field(default_factory=list)  # FROM NAMED <g>
     group_exprs: List[Tuple[Expr, str]] = field(default_factory=list)  # GROUP BY (e AS ?v)
+    post_values: Optional["Values"] = None  # trailing VALUES clause
 
 
 # ---------------------------------------------------------------------------
@@ -834,6 +835,10 @@ class _P:
         q.from_graphs = from_graphs
         q.from_named = from_named
         self._parse_modifiers(q)
+        # trailing ValuesClause (sparql11-query §18.2.4.6: joined after
+        # aggregation/HAVING, before projection)
+        if self.kw("VALUES"):
+            q.post_values = self._parse_values()
         return q
 
     def _parse_dataset_clauses(self):

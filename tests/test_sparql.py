@@ -759,3 +759,36 @@ class TestUnboundVarInExpression:
             PFX + "SELECT ?s ?b WHERE { ?s :age ?a BIND(BOUND(?nope) AS ?b) }",
         )
         assert all(r["b"] == FALSE for r in got.collect())
+
+
+class TestTrailingValues:
+    """Trailing VALUES clause (§18.2.4.6): joined AFTER aggregation and
+    HAVING, before projection — COUNT(*) over the pattern is not
+    inflated by the values rows."""
+
+    def test_cross_join(self, data):
+        got = query(
+            data,
+            PFX + "SELECT ?s ?x { ?s :age ?a } VALUES ?x { 1 2 }",
+        )
+        assert got.count() == 4  # 2 subjects x 2 values
+
+    def test_joins_on_shared_var(self, data):
+        got = query(
+            data,
+            PFX + 'SELECT ?s ?n { ?s :name ?n } VALUES ?n { "Alice" }',
+        ).collect()
+        assert [(r["s"], r["n"]) for r in got] == [
+            ("<http://example.org/ns/alice>", '"Alice"')
+        ]
+
+    def test_after_aggregation(self, data):
+        got = query(
+            data,
+            PFX + "SELECT (COUNT(*) AS ?n) ?x { ?s :age ?a } VALUES ?x { 1 2 }",
+        ).collect()
+        two = '"2"^^<http://www.w3.org/2001/XMLSchema#integer>'
+        assert sorted((r["n"], r["x"]) for r in got) == [
+            (two, '"1"^^<http://www.w3.org/2001/XMLSchema#integer>'),
+            (two, '"2"^^<http://www.w3.org/2001/XMLSchema#integer>'),
+        ]
