@@ -185,6 +185,7 @@ TOKEN_RE = re.compile(
     | (?P<comment>\#[^\n]*)
     | (?P<iri><(?:[^\x00-\x20<>"{{}}|^`\\]|\\u[0-9A-Fa-f]{{4}}|\\U[0-9A-Fa-f]{{8}})*>)
     | (?P<var>[?$][{_PN_CHARS_U}0-9][{_PN_CHARS_U}0-9]*)
+    | (?P<longstring>\"\"\"(?:[^"\\]|\\.|"(?!\"\")|""(?!"))*\"\"\"|'''(?:[^'\\]|\\.|'(?!'')|''(?!'))*''')
     | (?P<string>"(?:[^"\\\n\r]|\\.)*"|'(?:[^'\\\n\r]|\\.)*')
     | (?P<langdir>@[A-Za-z]+(?:-[A-Za-z0-9]+)*(?:--(?:ltr|rtl))?)
     | (?P<double>[+-]?(?:\d+\.\d*|\.\d+|\d+)[eE][+-]?\d+)
@@ -227,6 +228,7 @@ class _P:
         self.prefixes: dict[str, str] = {}
         self.bnode_ctr = 0
         self._anon = 0
+        self._pending: List[TriplePattern] = []
 
     def peek(self, k: int = 0):
         j = self.pos + k
@@ -291,8 +293,8 @@ class _P:
             return self._pname(raw, pos)
         if k == "bnode":
             return raw
-        if k == "string":
-            lex = unescape(raw[1:-1])
+        if k in ("string", "longstring"):
+            lex = unescape(raw[1:-1] if k == "string" else raw[3:-3])
             nxt = self.peek()
             if nxt is not None and nxt[0] == "langdir":
                 self.next()
@@ -319,16 +321,31 @@ class _P:
         if k == "kw" and raw.upper() == "A":
             return RDF_TYPE_T
         if k == "op" and raw == "[":
-            # [] = anonymous bnode pattern — a fresh existential variable
-            # (property lists inside [...] are not supported in queries)
+            # [] and [ props ] = anonymous bnode pattern — a fresh
+            # existential variable; a non-empty property list expands to
+            # extra triple patterns buffered in self._pending and
+            # drained by _parse_triples_into (sparql11-query §4.1.4 /
+            # BlankNodePropertyListPath)
+            self._anon += 1
+            # '#' cannot appear in a VARNAME: never collides with a
+            # user variable; dropped from SELECT * (eval._select_df)
+            bvar = Var(f"#anon{self._anon}")
             if self.op("]"):
-                self._anon += 1
-                # '#' cannot appear in a VARNAME: never collides with a
-                # user variable; dropped from SELECT * (eval._select_df)
-                return Var(f"#anon{self._anon}")
-            raise SparqlError(
-                "bnode property lists not supported in query patterns"
-            )
+                return bvar
+            while True:
+                pp = self.parse_path()
+                while True:
+                    oo = self.parse_term()
+                    self._pending.append(TriplePattern(bvar, pp, oo))
+                    if not self.op(","):
+                        break
+                if not self.op(";"):
+                    break
+                nt = self.peek()
+                if nt is not None and nt[0] == "op" and nt[1] == "]":
+                    break
+            self.expect_op("]")
+            return bvar
         raise SparqlError(f"bad term {raw!r} at {pos}")
 
     # -- property paths --------------------------------------------------------
@@ -682,19 +699,30 @@ class _P:
         return term
 
     def _parse_triples_into(self, g: Group):
+        pend0 = len(self._pending)
         s = self.parse_term()
-        while True:
-            p = self.parse_path()
+        t = self.peek()
+        # `[ props ] .` standalone: a subject-position property list
+        # with no following predicate list is a complete triples block
+        standalone = len(self._pending) > pend0 and (
+            t is None or (t[0] == "op" and t[1] in (".", "}"))
+        )
+        if not standalone:
             while True:
-                o = self.parse_term()
-                g.elements.append(TriplePattern(s, p, o))
-                if not self.op(","):
+                p = self.parse_path()
+                while True:
+                    o = self.parse_term()
+                    g.elements.append(TriplePattern(s, p, o))
+                    if not self.op(","):
+                        break
+                if not self.op(";"):
                     break
-            if not self.op(";"):
-                break
-            t = self.peek()
-            if t is None or (t[0] == "op" and t[1] in (".", "}")):
-                break
+                t = self.peek()
+                if t is None or (t[0] == "op" and t[1] in (".", "}")):
+                    break
+        if self._pending:
+            g.elements.extend(self._pending)
+            self._pending = []
 
     # -- query forms ---------------------------------------------------------
 

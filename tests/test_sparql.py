@@ -792,3 +792,26 @@ class TestTrailingValues:
             (two, '"1"^^<http://www.w3.org/2001/XMLSchema#integer>'),
             (two, '"2"^^<http://www.w3.org/2001/XMLSchema#integer>'),
         ]
+
+
+class TestPropertyListsAndLongStrings:
+    """BlankNodePropertyListPath patterns and long (triple-quoted)
+    string literals (sparql11-query grammar §4.1.4, §19.8)."""
+
+    def test_bnode_property_list_subject(self, data):
+        got = query(data, PFX + 'SELECT ?n { [ :name ?n ; :age ?a ] }')
+        assert {r["n"] for r in got.collect()} == {'"Alice"', '"Bob"'}
+
+    def test_bnode_property_list_standalone(self, data):
+        assert query(data, PFX + 'ASK { [ :name "Alice" ] }') is True
+        assert query(data, PFX + 'ASK { [ :name "Zed" ] }') is False
+
+    def test_long_string_literal(self, data):
+        got = query(data, PFX + 'SELECT ?s { ?s :name """Alice""" }')
+        assert [r["s"] for r in got.collect()] == [
+            "<http://example.org/ns/alice>"
+        ]
+        got2 = query(
+            data, "SELECT (STRLEN('''a\nb''') AS ?n) {}"
+        ).collect()
+        assert got2[0]["n"] == '"3"^^<http://www.w3.org/2001/XMLSchema#integer>'
