@@ -3,8 +3,8 @@
 Supported (the operator surface of SURVEY.md §2.5 that our evaluator
 implements): PREFIX/BASE prologue, SELECT [DISTINCT|REDUCED] (vars|*),
 ASK, CONSTRUCT {template}, WHERE groups with triple patterns (``;``/``,``
-sugar, ``a``, literal sugar, collections are NOT sugar-expanded here —
-use Turtle for data), FILTER (comparisons, logical ops, arithmetic,
+sugar, ``a``, literal sugar, blank-node property lists, collection
+sugar), FILTER (comparisons, logical ops, arithmetic,
 IN, EXISTS/NOT EXISTS, and the builtin functions the engine provides),
 OPTIONAL, MINUS, UNION, BIND, VALUES, GRAPH ?g/<iri>, property-path
 atoms (``p+``, ``p*``, ``p?``, ``^p``, ``p1/p2``, ``p1|p2``), GROUP BY +
@@ -346,6 +346,32 @@ class _P:
                     break
             self.expect_op("]")
             return bvar
+        if k == "op" and raw == "(":
+            # CollectionPath sugar: ( e1 e2 ... ) expands to an
+            # rdf:first/rdf:rest chain of fresh existential variables,
+            # () is rdf:nil (sparql11-query §4.1.4)
+            if self.op(")"):
+                return f"<{RDF}nil>"
+            items = []
+            while not self.op(")"):
+                items.append(self.parse_term())
+            head = None
+            prev = None
+            for it in items:
+                self._anon += 1
+                node = Var(f"#anon{self._anon}")
+                if head is None:
+                    head = node
+                else:
+                    self._pending.append(
+                        TriplePattern(prev, f"<{RDF}rest>", node)
+                    )
+                self._pending.append(TriplePattern(node, f"<{RDF}first>", it))
+                prev = node
+            self._pending.append(
+                TriplePattern(prev, f"<{RDF}rest>", f"<{RDF}nil>")
+            )
+            return head
         raise SparqlError(f"bad term {raw!r} at {pos}")
 
     # -- property paths --------------------------------------------------------

@@ -815,3 +815,25 @@ class TestPropertyListsAndLongStrings:
             data, "SELECT (STRLEN('''a\nb''') AS ?n) {}"
         ).collect()
         assert got2[0]["n"] == '"3"^^<http://www.w3.org/2001/XMLSchema#integer>'
+
+
+def test_collection_pattern_sugar(spark):
+    """CollectionPath sugar: ( e1 e2 ) expands to an rdf:first/rest
+    chain of fresh existential variables; () is rdf:nil (§4.1.4)."""
+    RDFNS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    XSDI = "http://www.w3.org/2001/XMLSchema#integer"
+    t = spark.createDataFrame(
+        [
+            ("<x:l1>", f"<{RDFNS}first>", f'"1"^^<{XSDI}>', None),
+            ("<x:l1>", f"<{RDFNS}rest>", "<x:l2>", None),
+            ("<x:l2>", f"<{RDFNS}first>", f'"2"^^<{XSDI}>', None),
+            ("<x:l2>", f"<{RDFNS}rest>", f"<{RDFNS}nil>", None),
+            ("<x:a>", "<x:vals>", "<x:l1>", None),
+            ("<x:b>", "<x:vals>", f"<{RDFNS}nil>", None),
+        ],
+        "s string, p string, o string, g string",
+    )
+    assert [r["s"] for r in query(t, "SELECT ?s { ?s <x:vals> (1 2) }").collect()] == ["<x:a>"]
+    assert [r["s"] for r in query(t, "SELECT ?s { ?s <x:vals> () }").collect()] == ["<x:b>"]
+    got = query(t, "SELECT ?v { ?s <x:vals> (?v 2) }").collect()
+    assert [r["v"] for r in got] == [f'"1"^^<{XSDI}>']
