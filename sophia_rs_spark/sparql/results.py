@@ -211,6 +211,45 @@ def bindings_to_csv(df: DataFrame, variables: Optional[List[str]] = None) -> str
     return "\r\n".join(lines) + "\r\n"
 
 
+def csv_lines_df(df: DataFrame, order: Optional[List[str]] = None) -> DataFrame:
+    """Distributed results-CSV sink: bindings DataFrame → one row per
+    CSV line ``(line_no int, line string)``, header at line 0.
+
+    The per-cell transform (sparql11-results-csv-tsv §3: lexical forms,
+    ``_:`` bnodes, RFC-4180 quoting) runs as an Arrow-batched pandas UDF
+    over the executors — reuses the same tested ``term_to_json`` /
+    ``_csv_cell`` logic as the driver-side writer, but scales with the
+    result set.  ``order`` gives the columns that define line order
+    (sorted by canonical encoding); the single-partition window that
+    assigns ``line_no`` is fine because *serialized result sets* are
+    small relative to the corpus (bulk output goes through parquet/NQ
+    sinks).
+    """
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.window import Window
+
+    def _cell_fn(s: pd.Series) -> pd.Series:
+        return s.map(lambda enc: _csv_cell(term_to_json(enc)))
+
+    _cell_fn.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    _cell = pandas_udf(_cell_fn, "string")
+
+    cols = df.columns
+    keys = order or cols
+    body = df.select(
+        *[F.col(k).alias(f"__k{i}") for i, k in enumerate(keys)],
+        F.concat_ws(",", *[_cell(F.col(c)) for c in cols]).alias("line"),
+    )
+    w = Window.orderBy(*[f"__k{i}" for i in range(len(keys))])
+    body = body.select(F.row_number().over(w).alias("line_no"), "line")
+    header = df.sparkSession.createDataFrame(
+        [(0, ",".join(cols))], "line_no int, line string"
+    )
+    return header.unionByName(body)
+
+
 def _tsv_cell(row_val: Optional[str]) -> str:
     if row_val is None:
         return ""
