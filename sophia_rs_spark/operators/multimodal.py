@@ -53,6 +53,35 @@ _HEADER = struct.Struct("<4s3sIIB")
 import binascii
 import zlib
 
+def _quarantine_malformed(fn):
+    """Decoder guard: truncated/corrupt payloads with a valid magic
+    raise ``struct.error`` / ``zlib.error`` / slicing errors from the
+    chunk walks — rewrap them as ``NotImplementedError`` so they hit
+    the documented per-row quarantine instead of failing the whole
+    Spark task (the feature extractors catch NotImplementedError
+    only)."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        try:
+            return fn(*args, **kwargs)
+        except NotImplementedError:
+            raise
+        except (
+            struct.error,
+            zlib.error,
+            ValueError,
+            IndexError,
+            ZeroDivisionError,
+            OverflowError,
+            MemoryError,
+        ) as e:
+            raise NotImplementedError(f"malformed {fn.__name__[7:]}: {e}")
+
+    return wrapped
+
+
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # color type → samples/pixel
 _COLOR_OF_CHANNELS = {1: 0, 3: 2, 4: 6}
@@ -124,6 +153,7 @@ def _png_unfilter(raw: bytes, width: int, height: int, channels: int) -> bytes:
     return bytes(out)
 
 
+@_quarantine_malformed
 def decode_png(data: bytes) -> Tuple[int, int, int, bytes]:
     """→ (width, height, channels, raw pixel bytes)."""
     if bytes(data[:8]) != _PNG_SIG:
@@ -151,10 +181,15 @@ def decode_png(data: bytes) -> Tuple[int, int, int, bytes]:
         elif tag == b"IDAT":
             idat += chunk
         elif tag == b"IEND":
+            saw_iend = True
             break
         pos += 12 + length
+    else:
+        saw_iend = False
     if width is None or not idat:
         raise NotImplementedError("PNG missing IHDR/IDAT")
+    if not saw_iend:
+        raise NotImplementedError("malformed PNG: truncated (no IEND)")
     raw = zlib.decompress(bytes(idat))
     return width, height, channels, _png_unfilter(raw, width, height, channels)
 
@@ -172,6 +207,7 @@ def encode_wav(
     return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
 
 
+@_quarantine_malformed
 def decode_wav(data: bytes) -> Tuple[int, int, int, bytes]:
     """→ (n_frames, sample_rate, channels, pcm bytes)."""
     if bytes(data[:4]) != b"RIFF" or bytes(data[8:12]) != b"WAVE":
@@ -246,6 +282,7 @@ def encode_avi(
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+@_quarantine_malformed
 def decode_avi(data: bytes) -> Tuple[int, int, int, int, list]:
     """→ (width, height, n_frames, fps, [top-down RGB frame bytes]).
 
@@ -255,6 +292,9 @@ def decode_avi(data: bytes) -> Tuple[int, int, int, int, list]:
     BGR scanlines of each '00db'/'00dc' chunk back to top-down RGB."""
     if bytes(data[:4]) != b"RIFF" or bytes(data[8:12]) != b"AVI ":
         raise NotImplementedError("not an AVI")
+    (riff_len,) = struct.unpack("<I", data[4:8])
+    if riff_len + 8 > len(data):
+        raise NotImplementedError("malformed AVI: truncated RIFF body")
     width = height = None
     scale, rate = 1, 10
     raw_frames: list = []
@@ -293,6 +333,8 @@ def decode_avi(data: bytes) -> Tuple[int, int, int, int, list]:
     pad = (-row) % 4
     frames = []
     for d in raw_frames:
+        if len(d) < (row + pad) * height:
+            raise NotImplementedError("malformed AVI: short frame chunk")
         out = bytearray()
         for y in range(height - 1, -1, -1):  # un-flip bottom-up
             r = bytearray(d[y * (row + pad) : y * (row + pad) + row])

@@ -37,15 +37,22 @@ _LEXICAL_RES = {
 }
 
 
-def is_ill_typed(term: Column) -> Column:
-    """True iff the term is a literal of a recognized datatype whose
-    lexical form is outside the datatype's lexical space."""
-    dt = datatype(term)
-    l = lex(term)
+def is_ill_typed_parts(term: Column, dt: Column, l: Column) -> Column:
+    """:func:`is_ill_typed` over pre-computed datatype/lexical columns —
+    callers that already materialized ``datatype(term)`` / ``lex(term)``
+    (the SPARQL comparison layer binds them as temp columns to keep
+    whole-stage codegen under janino's 64 KB method limit) pass them in
+    so the big decode trees are not re-inlined here."""
     expr = F.lit(False)
     for d, rx in _LEXICAL_RES.items():
         expr = F.when(dt == d, ~l.rlike(rx)).otherwise(expr)
     return F.when(term.startswith('"'), expr).otherwise(F.lit(False))
+
+
+def is_ill_typed(term: Column) -> Column:
+    """True iff the term is a literal of a recognized datatype whose
+    lexical form is outside the datatype's lexical space."""
+    return is_ill_typed_parts(term, datatype(term), lex(term))
 
 
 def ill_typed_literals(triples: DataFrame) -> DataFrame:

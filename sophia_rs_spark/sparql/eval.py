@@ -39,6 +39,7 @@ is exact: simple ≡ xsd:string).  Remaining deviation: integers beyond
 
 from __future__ import annotations
 
+import threading
 from typing import List, Optional, Union
 
 from pyspark.sql import Column, DataFrame
@@ -194,12 +195,25 @@ class _TmpBinder:
     def __init__(self, df: DataFrame):
         self.df = df
         self.names: List[str] = []
+        self._memo: dict = {}
 
     def bind(self, col: Column) -> Column:
+        # memoize on the unresolved expression string: IN / repeated
+        # comparisons decompose the SAME operand once per element —
+        # without the memo each repeat re-emits the full lex/datatype
+        # code and a 4-element IN alone overflows janino's 64 KB
+        try:
+            key = str(col._jc)
+        except Exception:
+            key = None
+        if key is not None and key in self._memo:
+            return F.col(self._memo[key])
         _TmpBinder._counter += 1
         name = f"#tmp{_TmpBinder._counter}"
         self.df = self.df.withColumn(name, _opaque(col))
         self.names.append(name)
+        if key is not None:
+            self._memo[key] = name
         return F.col(name)
 
 
@@ -236,16 +250,13 @@ def _boolterm(b: Column) -> Column:
 
 def _ebv_any(c: Column) -> Column:
     """EBV (sparql11-query 17.2.2) of a term-or-plain value: canonical
-    terms through FN.ebv; plain computed strings 'true'/'false' by
-    value (defensive — raw booleans stringify so), plain numerics
-    non-zero, other plain strings non-empty; NULL stays NULL."""
+    terms through FN.ebv; plain computed values are string-function
+    results, i.e. SIMPLE literals — non-empty ⇒ true (so
+    STRAFTER("a0","a") = "0" and a computed "false" are both truthy,
+    matching the reference's is_truthy); NULL stays NULL.  Numerics and
+    booleans arrive as typed terms and take the FN.ebv branch."""
     cs = c.cast("string")
-    return (
-        F.when(cs.rlike('^["<_]'), FN.ebv(cs))
-        .when(cs.isin("true", "false"), cs == "true")
-        .when(cs.try_cast("double").isNotNull(), cs.try_cast("double") != 0.0)
-        .otherwise(F.length(cs) > 0)
-    )
+    return F.when(cs.rlike('^["<_]'), FN.ebv(cs)).otherwise(F.length(cs) > 0)
 
 
 def _term_col(e: A.Expr, df: DataFrame, binder: Optional[_TmpBinder] = None) -> Column:
@@ -378,11 +389,9 @@ def _num_from_col(c: Column) -> Column:
 _RECOGNIZED_DTS = None  # built lazily (needs FN constants)
 
 
-def _lit_unrecognized(term_str: Column) -> Column:
-    """Literal with an unrecognized datatype OR an ill-formed lexical for
-    a recognized one — the operands that poison = / != (test.rs matrix)."""
+def _recognized_dts() -> list:
+    """Datatypes whose values = / != compares (test.rs matrix)."""
     global _RECOGNIZED_DTS
-    from ..operators.validate import is_ill_typed
     from ..terms.model import RDF, XSD
 
     if _RECOGNIZED_DTS is None:
@@ -394,7 +403,15 @@ def _lit_unrecognized(term_str: Column) -> Column:
             f"{XSD}dateTime",
             f"{XSD}date",
         ]
-    return ~FN.datatype(term_str).isin(_RECOGNIZED_DTS) | is_ill_typed(term_str)
+    return _RECOGNIZED_DTS
+
+
+def _lit_unrecognized(term_str: Column) -> Column:
+    """Literal with an unrecognized datatype OR an ill-formed lexical for
+    a recognized one — the operands that poison = / != (test.rs matrix)."""
+    from ..operators.validate import is_ill_typed
+
+    return ~FN.datatype(term_str).isin(_recognized_dts()) | is_ill_typed(term_str)
 
 
 def _bool(
@@ -422,15 +439,48 @@ def _bool(
             if r.op not in ("var", "term"):
                 rc = binder.bind(rc)
         ls, rs = lc.cast("string"), rc.cast("string")
-        ln, rn = _num_from_col(lc), _num_from_col(rc)
-        ldt, rdt = FN.xsd_datetime(ls), FN.xsd_datetime(rs)
-        if binder is not None:
-            # each derived view is a sizeable CASE/regex tree; bind them
-            # once so the final predicate is column refs — keeps the
-            # generated code under janino's 64KB method limit (whole-
-            # stage codegen instead of interpreted fallback)
-            ln, rn = binder.bind(ln), binder.bind(rn)
-            ldt, rdt = binder.bind(ldt), binder.bind(rdt)
+
+        def termify(c):
+            return F.when(c.rlike('^["<_]'), c).otherwise(
+                F.concat(F.lit('"'), c, F.lit('"'))
+            )
+
+        # Decompose each operand ONCE into (termified, datatype, lexical)
+        # temp columns; every derived view below is a small tree over
+        # those column refs.  lex() alone is a ~20-step escape-decode
+        # chain and datatype() a multi-regex CASE — inlining them into
+        # each view (numeric, dateTime, boolean, ill-typed probe)
+        # overflowed janino's 64 KB method limit on a single
+        # FILTER(?v1 = ?v2) and fell back to interpreted mode
+        # (r3 VERDICT perf-weak #1).  CONSTANT operands are left
+        # unbound: the _opaque temp wrapper is nondeterministic, which
+        # would block Catalyst from constant-folding their
+        # decomposition (an IN list compiles one eq per element —
+        # folded constants cost zero generated code).
+        ident = lambda c: c
+        if binder is None:
+            bind_l = bind_r = ident
+        else:
+            bind_l = ident if l.op == "term" else binder.bind
+            bind_r = ident if r.op == "term" else binder.bind
+        lt, rt = bind_l(termify(ls)), bind_r(termify(rs))
+        ldt_, rdt_ = bind_l(FN.datatype(lt)), bind_r(FN.datatype(rt))
+        llex, rlex = bind_l(FN.lex(lt)), bind_r(FN.lex(rt))
+
+        def num_view(raw, dt, lx):
+            # literals via the SPARQL numeric layer; plain computed
+            # values (raw without quotes) via try_cast
+            return F.when(
+                raw.rlike('^["<_]'),
+                F.when(dt.isin(FN._NUMERIC_DTS), lx.try_cast("double")),
+            ).otherwise(raw.try_cast("double"))
+
+        ln = bind_l(num_view(ls, ldt_, llex))
+        rn = bind_r(num_view(rs, rdt_, rlex))
+        # eq dateTime view: any LITERAL whose lexical parses (plain
+        # computed strings stay out — their pre-termify lex was empty)
+        ldt = bind_l(F.when(ls.startswith('"'), llex).try_cast("timestamp"))
+        rdt = bind_r(F.when(rs.startswith('"'), rlex).try_cast("timestamp"))
         numeric = ln.isNotNull() & rn.isNotNull()
         both_dt = ldt.isNotNull() & rdt.isNotNull()
         ops = {
@@ -441,31 +491,33 @@ def _bool(
             "<=": lambda a, b: a <= b,
             ">=": lambda a, b: a >= b,
         }
+
+        def bool_view(dt, lx):
+            # xsd:boolean compares by VALUE (value.rs:120 sparql_eq):
+            # "1"^^xsd:boolean = "true"^^xsd:boolean
+            return F.when(
+                dt == f"{_XSD_NS}boolean",
+                F.when(lx.isin("true", "1"), 1).when(lx.isin("false", "0"), 0),
+            )
+
         if sym in ("=", "!="):
             # RDFterm-equal + D (matrix `sparql/src/test.rs:2048-2158`):
             # same term → equal; numeric/dateTime by value; two literals
             # where either has an unrecognized datatype or an ill-formed
             # lexical → type error (NULL); anything else → not equal.
             # Plain computed values count as simple literals.
-            def termify(c):
-                return F.when(c.rlike('^["<_]'), c).otherwise(
-                    F.concat(F.lit('"'), c, F.lit('"'))
+            from ..operators.validate import is_ill_typed_parts
+
+            def unrecognized(t, dt, lx):
+                return ~dt.isin(_recognized_dts()) | is_ill_typed_parts(
+                    t, dt, lx
                 )
 
-            lt, rt = termify(ls), termify(rs)
-            lu, ru = _lit_unrecognized(lt), _lit_unrecognized(rt)
-            # xsd:boolean compares by VALUE (value.rs:120 sparql_eq):
-            # "1"^^xsd:boolean = "true"^^xsd:boolean
-            ebv_ = lambda t: F.when(
-                FN.datatype(t) == f"{_XSD_NS}boolean",
-                F.when(FN.lex(t).isin("true", "1"), 1).when(
-                    FN.lex(t).isin("false", "0"), 0
-                ),
+            lu, ru = (
+                bind_l(unrecognized(lt, ldt_, llex)),
+                bind_r(unrecognized(rt, rdt_, rlex)),
             )
-            lbv, rbv = ebv_(lt), ebv_(rt)
-            if binder is not None:
-                lu, ru = binder.bind(lu), binder.bind(ru)
-                lbv, rbv = binder.bind(lbv), binder.bind(rbv)
+            lbv, rbv = bind_l(bool_view(ldt_, llex)), bind_r(bool_view(rdt_, rlex))
             eq = (
                 # unbound/error operand → type error (NULL), NOT equal:
                 # two unbound vars must not compare true (expression.rs
@@ -491,45 +543,26 @@ def _bool(
         # unrecognized literals are a type error (NULL) — unless the
         # two operands are literal-IDENTICAL (Equal: <=/>= hold, </>
         # fail), the sparql_cmp literal-equality fallback.
-        otf = lambda c: F.when(c.rlike('^["<_]'), c).otherwise(
-            F.concat(F.lit('"'), c, F.lit('"'))
-        )
-        lt2, rt2 = otf(ls), otf(rs)
-        ldt2, rdt2 = FN.datatype(lt2), FN.datatype(rt2)
-        num_l = F.when(ls.startswith('"'), FN.numeric_value(ls))
-        num_r = F.when(rs.startswith('"'), FN.numeric_value(rs))
-        dtv_l = F.when(ldt2 == f"{_XSD_NS}dateTime", FN.lex(lt2)).try_cast(
-            "timestamp"
-        )
-        dtv_r = F.when(rdt2 == f"{_XSD_NS}dateTime", FN.lex(rt2)).try_cast(
-            "timestamp"
-        )
+        # All views reuse the bound (lt, ldt_, llex) decomposition.
+        num_l = F.when(ls.startswith('"'), F.when(ldt_.isin(FN._NUMERIC_DTS), llex.try_cast("double")))
+        num_r = F.when(rs.startswith('"'), F.when(rdt_.isin(FN._NUMERIC_DTS), rlex.try_cast("double")))
+        dtv_l = F.when(ldt_ == f"{_XSD_NS}dateTime", llex).try_cast("timestamp")
+        dtv_r = F.when(rdt_ == f"{_XSD_NS}dateTime", rlex).try_cast("timestamp")
         _STR_DTS2 = (
             f"{_XSD_NS}string",
             f"{_RDF_NS}langString",
             f"{_RDF_NS}dirLangString",
         )
-        bl = lambda dt, t: F.when(
-            dt == f"{_XSD_NS}boolean",
-            F.when(FN.lex(t).isin("true", "1"), 1).when(
-                FN.lex(t).isin("false", "0"), 0
-            ),
-        )
-        bool_l, bool_r = bl(ldt2, lt2), bl(rdt2, rt2)
-        tag_l = F.regexp_extract(lt2, _FULL_TAG_RE, 1)
-        tag_r = F.regexp_extract(rt2, _FULL_TAG_RE, 1)
-        slex_l, slex_r = FN.lex(lt2), FN.lex(rt2)
-        if binder is not None:
-            num_l, num_r = binder.bind(num_l), binder.bind(num_r)
-            dtv_l, dtv_r = binder.bind(dtv_l), binder.bind(dtv_r)
-            bool_l, bool_r = binder.bind(bool_l), binder.bind(bool_r)
-            tag_l, tag_r = binder.bind(tag_l), binder.bind(tag_r)
-            slex_l, slex_r = binder.bind(slex_l), binder.bind(slex_r)
-            lt2, rt2 = binder.bind(lt2), binder.bind(rt2)
-            ldt2, rdt2 = binder.bind(ldt2), binder.bind(rdt2)
+        bool_l, bool_r = bool_view(ldt_, llex), bool_view(rdt_, rlex)
+        tag_l = F.regexp_extract(lt, _FULL_TAG_RE, 1)
+        tag_r = F.regexp_extract(rt, _FULL_TAG_RE, 1)
+        num_l, num_r = bind_l(num_l), bind_r(num_r)
+        dtv_l, dtv_r = bind_l(dtv_l), bind_r(dtv_r)
+        bool_l, bool_r = bind_l(bool_l), bind_r(bool_r)
+        tag_l, tag_r = bind_l(tag_l), bind_r(tag_r)
         str_ok = (
-            ldt2.isin(*_STR_DTS2)
-            & rdt2.isin(*_STR_DTS2)
+            ldt_.isin(*_STR_DTS2)
+            & rdt_.isin(*_STR_DTS2)
             & ((tag_l == "") == (tag_r == ""))
         )
         return (
@@ -542,12 +575,12 @@ def _bool(
             .when(
                 str_ok,
                 ops[sym](
-                    F.struct(tag_l.alias("t"), slex_l.alias("x")),
-                    F.struct(tag_r.alias("t"), slex_r.alias("x")),
+                    F.struct(tag_l.alias("t"), llex.alias("x")),
+                    F.struct(tag_r.alias("t"), rlex.alias("x")),
                 ),
             )
             .when(
-                lt2.startswith('"') & rt2.startswith('"') & (lt2 == rt2),
+                lt.startswith('"') & rt.startswith('"') & (lt == rt),
                 ops[sym](F.lit(0), F.lit(0)),
             )
             .otherwise(F.lit(None).cast("boolean"))
@@ -1002,6 +1035,10 @@ def _call(
 
 _NOW_LITERAL: Optional[str] = None
 
+# serializes plan compilation (the spark.sql.caseSensitive flip in
+# evaluate() is session-global; see its docstring)
+_COMPILE_LOCK = threading.RLock()
+
 
 def _query_now_literal() -> str:
     """The per-evaluation NOW() literal; evaluate() pins it once so every
@@ -1143,14 +1180,20 @@ def evaluate(triples: DataFrame, q: A.Query):
     default case-insensitive resolution would throw AMBIGUOUS_REFERENCE.
     DataFrame analysis is eager, so flipping ``spark.sql.caseSensitive``
     for the duration of plan BUILDING (and restoring after) is safe —
-    execution of the returned plan does not re-resolve."""
+    execution of the returned plan does not re-resolve.  The flip is a
+    session-global, so compilation is serialized under a process-wide
+    lock: concurrent compile threads would otherwise race the flip
+    (failing resolution mid-build or leaking caseSensitive=true).
+    Execution of already-built plans is unaffected and fully
+    concurrent."""
     spark = triples.sparkSession
-    prev = spark.conf.get("spark.sql.caseSensitive", "false")
-    spark.conf.set("spark.sql.caseSensitive", "true")
-    try:
-        return _evaluate(triples, q)
-    finally:
-        spark.conf.set("spark.sql.caseSensitive", prev)
+    with _COMPILE_LOCK:
+        prev = spark.conf.get("spark.sql.caseSensitive", "false")
+        spark.conf.set("spark.sql.caseSensitive", "true")
+        try:
+            return _evaluate(triples, q)
+        finally:
+            spark.conf.set("spark.sql.caseSensitive", prev)
 
 
 def _evaluate(triples: DataFrame, q: A.Query):
@@ -1475,16 +1518,6 @@ def _select_df(ctx: _Ctx, q: A.Query):
         for alias, emit in post_emit:
             df = df.withColumn(alias, emit(F.col(alias)))
 
-    for e, alias in q.select_exprs:
-        b = _TmpBinder(df)
-        sval = _term_col(e, b.df, b)
-        if e.op not in ("var", "term"):
-            sval = _opaque(sval)
-        df = b.df.withColumn(alias, sval)
-        if b.names:
-            df = df.drop(*b.names)
-        maybe.add(alias)
-
     if q.having is not None:
         b = _TmpBinder(df)
         hcond = _bool(q.having, b.df, ctx.scoped(), b)
@@ -1493,9 +1526,10 @@ def _select_df(ctx: _Ctx, q: A.Query):
             df = df.drop(*b.names)
 
     if q.post_values is not None:
-        # trailing VALUES joins AFTER aggregation/HAVING and before
-        # projection (§18.2.4.6) — so COUNT(*) over the pattern is not
-        # inflated by the values rows
+        # trailing VALUES joins AFTER aggregation/HAVING (§18.2.4.3) and
+        # BEFORE SELECT expressions (§18.2.4.4) — so COUNT(*) over the
+        # pattern is not inflated by the values rows, while
+        # SELECT (?x+1 AS ?y) ... VALUES ?x { 1 } sees ?x bound
         pv = q.post_values
         vdf = ctx.all.sparkSession.createDataFrame(
             [tuple(r) for r in pv.rows],
@@ -1507,6 +1541,16 @@ def _select_df(ctx: _Ctx, q: A.Query):
             if any(r[i] is None for r in pv.rows)
         }
         df = B.join_bindings(df, vdf, nullable=undef)
+
+    for e, alias in q.select_exprs:
+        b = _TmpBinder(df)
+        sval = _term_col(e, b.df, b)
+        if e.op not in ("var", "term"):
+            sval = _opaque(sval)
+        df = b.df.withColumn(alias, sval)
+        if b.names:
+            df = df.drop(*b.names)
+        maybe.add(alias)
 
     if q.order_by:
         keys = []

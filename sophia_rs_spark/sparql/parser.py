@@ -535,6 +535,27 @@ class _P:
             if t is not None and t[0] == "op" and t[1] in ("+", "-"):
                 self.next()
                 left = Expr("arith", (t[1], left, self._mul_expr()))
+            elif (
+                t is not None
+                and t[0] in ("integer", "decimal", "double")
+                and t[1][0] in "+-"
+            ):
+                # AdditiveExpression's NumericLiteralPositive/Negative
+                # branch (sparql11-query grammar [116]): ?x+1 lexes the
+                # +1 as one signed literal meaning x + 1; the literal
+                # may continue multiplicatively (?x+1*2 = x + 1*2)
+                k, raw, _pos = self.next()
+                sign, mag = t[1][0], t[1][1:].lstrip("+")
+                dt = {"integer": "integer", "decimal": "decimal", "double": "double"}[k]
+                rhs = Expr("term", (f'"{mag}"^^<{XSD}{dt}>',))
+                while True:
+                    nt = self.peek()
+                    if nt is not None and nt[0] == "op" and nt[1] in ("*", "/"):
+                        self.next()
+                        rhs = Expr("arith", (nt[1], rhs, self._unary_expr()))
+                    else:
+                        break
+                left = Expr("arith", (sign, left, rhs))
             else:
                 return left
 

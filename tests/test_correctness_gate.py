@@ -57,7 +57,8 @@ QUERIES = entry_mod.queries()
 ORACLES = entry_mod.oracle_sql()
 
 # genuinely non-SQL-expressible ops → driver records rows-only check
-NO_ORACLE = {"emb_knn_bucketed"}
+# (empty since the hyperplane-signature twin landed for emb_knn_bucketed)
+NO_ORACLE = set()
 
 
 def test_every_query_has_oracle():

@@ -97,3 +97,39 @@ def test_bucketed_knn_guard(spark):
     b = sorted(map(tuple, bucketed_knn(emb, k=3, n_planes=2, dim=4).collect()))
     assert a == b and len(a) > 0
     assert got.count() < len(a)
+
+
+def test_lsh_buckets_no_driver_probe_job(spark):
+    """r3 VERDICT perf-weak #2: building the LSH bucket / bucketed-kNN
+    plan must launch NO driver job (the old path probed the embedding
+    dim with a .first() — one wasted job per call at 100×).  Weights
+    are now inline per-position expressions, so plan construction is
+    pure."""
+    from sophia_rs_spark.operators.similarity import (
+        bucketed_knn,
+        cosine_near_duplicates,
+        lsh_buckets,
+        oversized_lsh_buckets,
+    )
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), float(-i), 1.0, 0.5]) for i in range(1, 9)],
+        "vec_id bigint, embedding array<double>",
+    )
+    sc = spark.sparkContext
+    sc.setJobGroup("lsh-plan-probe", "no-job probe")
+    try:
+        dfs = [
+            lsh_buckets(emb, n_planes=4),
+            oversized_lsh_buckets(emb, n_planes=4, max_bucket=2),
+            bucketed_knn(emb, k=3, n_planes=4),
+            cosine_near_duplicates(emb, n_planes=4),
+        ]
+        for df in dfs:  # force analysis (eager) without execution
+            df.schema
+    finally:
+        sc.setJobGroup("", "")
+    jobs = sc.statusTracker().getJobIdsForGroup("lsh-plan-probe")
+    assert len(jobs) == 0, f"plan building launched {len(jobs)} driver jobs"
+    # and the operators still execute correctly
+    assert lsh_buckets(emb, n_planes=4).count() == 8

