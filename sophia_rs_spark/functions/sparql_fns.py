@@ -361,21 +361,85 @@ def double_e_lexical(d: Column) -> Column:
     )
 
 
-def typed_num_term(rank: Column, dec: Column, dbl: Column) -> Column:
-    """(rank, dec, dbl) → canonical numeric literal term (value.rs
-    lexical_form + the rank's datatype); NULL rank → NULL (error)."""
+def bigop(sym: str, l: Column, r: Column) -> Column:
+    """Exact big-integer arithmetic on lexical strings (the
+    `value/_number.rs` BigInt plane: Rust num_bigint there, Python
+    arbitrary-precision int here, Arrow-batched).  ``l``/``r`` are
+    integer lexicals; callers NULL-mask the inputs so the UDF sees
+    values only for the rare rows whose decimal(38) plane overflowed —
+    the Arrow transfer for the common all-NULL case is near-free.
+    '/' returns a canonical xsd:decimal lexical (BigDecimal division,
+    50-digit precision); zero divisor → NULL (error)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def run(lc: pd.Series, rc: pd.Series) -> pd.Series:
+        import decimal
+
+        out = []
+        for a, b in zip(lc, rc):
+            if a is None or b is None:
+                out.append(None)
+                continue
+            try:
+                if sym == "+":
+                    out.append(str(int(a) + int(b)))
+                elif sym == "-":
+                    out.append(str(int(a) - int(b)))
+                elif sym == "*":
+                    out.append(str(int(a) * int(b)))
+                elif sym == "/":
+                    if int(b) == 0:
+                        out.append(None)
+                        continue
+                    with decimal.localcontext() as cx:
+                        cx.prec = 50
+                        q = decimal.Decimal(int(a)) / decimal.Decimal(int(b))
+                    s = format(q, "f")
+                    if "." in s:
+                        s = s.rstrip("0").rstrip(".")
+                    i = int(decimal.Decimal(s)) if "." not in s else None
+                    out.append(f"{i}.0" if i is not None else s)
+                else:
+                    out.append(None)
+            except (ValueError, decimal.InvalidOperation):
+                out.append(None)
+        return pd.Series(out, dtype=object)
+
+    run.__annotations__ = {"lc": pd.Series, "rc": pd.Series, "return": pd.Series}
+    return pandas_udf(run, "string")(l, r)
+
+
+def canon_int_lex(lex_col: Column) -> Column:
+    """Integer lexical → canonical form: drop '+', strip leading zeros
+    (keeping one digit), normalize -0 to 0."""
+    c = F.regexp_replace(lex_col, r"^\+", "")
+    c = F.regexp_replace(c, r"^(-?)0+(?=\d)", "$1")
+    return F.when(c == "-0", F.lit("0")).otherwise(c)
+
+
+def typed_num_term(
+    rank: Column, dec: Column, dbl: Column, big: Column = None
+) -> Column:
+    """(rank, dec, dbl[, big]) → canonical numeric literal term
+    (value.rs lexical_form + the rank's datatype); NULL rank → NULL
+    (error).  ``big``, when given and non-NULL, carries the exact
+    lexical for values beyond the decimal(38) plane (integer lexical at
+    rank 0, canonical decimal lexical at rank 1)."""
+    int_lex = integer_lexical(dec) if big is None else F.coalesce(
+        big, integer_lexical(dec)
+    )
+    dec_lex = decimal_lexical(dec) if big is None else F.coalesce(
+        big, decimal_lexical(dec)
+    )
     return (
         F.when(
             rank == 0,
-            F.concat(
-                F.lit('"'), integer_lexical(dec), F.lit(f'"^^<{XSD}integer>')
-            ),
+            F.concat(F.lit('"'), int_lex, F.lit(f'"^^<{XSD}integer>')),
         )
         .when(
             rank == 1,
-            F.concat(
-                F.lit('"'), decimal_lexical(dec), F.lit(f'"^^<{XSD}decimal>')
-            ),
+            F.concat(F.lit('"'), dec_lex, F.lit(f'"^^<{XSD}decimal>')),
         )
         .when(
             rank == 2,

@@ -59,9 +59,13 @@ TOKEN_RE = re.compile(
     """
 )
 
-# fast path: escape-free, control-char-free simple triple/quad lines
-_F_TERM_S = rf'(?:<[^\x00-\x20<>"{{}}|^`\\]*>|{_BNODE})'
-_F_IRI = r'<[^\x00-\x20<>"{}|^`\\]*>'
+# fast path: escape-free, control-char-free simple triple/quad lines.
+# IRIs must be ABSOLUTE (scheme-prefixed) — the N-Triples family has no
+# base to resolve against (w3c rdf-tests nt-syntax-bad-uri-06..09);
+# relative ones fall through to the slow path, which rejects them.
+_SCHEME = r"[A-Za-z][A-Za-z0-9+.\-]*:"
+_F_TERM_S = rf'(?:<{_SCHEME}[^\x00-\x20<>"{{}}|^`\\]*>|{_BNODE})'
+_F_IRI = rf'<{_SCHEME}[^\x00-\x20<>"{{}}|^`\\]*>'
 # \x7f / U+FFFE / U+FFFF excluded: the canonical encoder escapes them
 # ( etc.), so lines containing them raw must take the slow path or
 # the same literal would get two different canonical strings.
@@ -77,6 +81,10 @@ FAST_RE_M = re.compile(FAST_RE.pattern.replace("$", r"\r?$"), re.MULTILINE)
 _NONTRIVIAL_RE = re.compile(r"^[ \t]*[^#\s\r\n]", re.MULTILINE)
 
 _XSD_STRING_SUFFIX = f"^^<{XSD_STRING}>"
+
+# absolute-IRI shape (RFC 3987 scheme) — required everywhere in the
+# N-Triples family, which has no base IRI
+_ABS_IRI_RE = re.compile(_SCHEME)
 
 
 class NxError(ValueError):
@@ -122,7 +130,12 @@ class _LineParser:
         available for preserve_bn_labels)."""
         kind, text, col = self.next()
         if kind == "iri":
-            iri = unescape(text[1:-1])
+            try:
+                iri = unescape(text[1:-1])
+            except ValueError as e:
+                raise NxError(str(e), col)
+            if not _ABS_IRI_RE.match(iri):
+                raise NxError(f"relative IRI {iri!r} not allowed here", col)
             return f"<{iri}>", "iri"
         if kind == "bnode":
             return text, "bnode"
@@ -131,7 +144,10 @@ class _LineParser:
                 raise NxError("variables only allowed in generalized mode", col)
             return text, "var"
         if kind == "string":
-            lex = unescape(text[1:-1])
+            try:
+                lex = unescape(text[1:-1])
+            except ValueError as e:
+                raise NxError(str(e), col)
             nxt = self.peek()
             if nxt is not None and nxt[0] == "langdir":
                 self.next()
@@ -147,7 +163,12 @@ class _LineParser:
                 dk, dtext, dcol = self.next()
                 if dk != "iri":
                     raise NxError("expected datatype IRI after ^^", dcol)
-                dt = unescape(dtext[1:-1])
+                try:
+                    dt = unescape(dtext[1:-1])
+                except ValueError as e:
+                    raise NxError(str(e), dcol)
+                if not _ABS_IRI_RE.match(dt):
+                    raise NxError(f"relative datatype IRI {dt!r}", dcol)
                 if dt == XSD_STRING:
                     return f'"{escape_literal(lex)}"', "literal"
                 return f'"{escape_literal(lex)}"^^<{dt}>', "literal"

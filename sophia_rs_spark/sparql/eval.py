@@ -296,9 +296,13 @@ def _term_col(e: A.Expr, df: DataFrame, binder: Optional[_TmpBinder] = None) -> 
 
 
 def _typed_view(c: Column):
-    """(rank, decimal view, double view) of a term-or-plain operand —
-    the typed numeric tower (value/_number.rs).  Plain computed values
-    (legacy paths) rank as integer when integral-looking, else double."""
+    """(rank, decimal view, double view, big view) of a term-or-plain
+    operand — the typed numeric tower (value/_number.rs).  Plain
+    computed values (legacy paths) rank as integer when
+    integral-looking, else double.  ``big`` carries the canonical
+    integer lexical ONLY when the value is an integer beyond the
+    decimal(38,10) plane (the SparqlNumber::BigInt promotion,
+    _number.rs:70-77)."""
     cs = c.cast("string")
     is_term = cs.rlike('^["<_]')
     rank = F.when(is_term, FN.num_rank(cs)).otherwise(
@@ -309,7 +313,10 @@ def _typed_view(c: Column):
     lexv = F.when(is_term, FN.lex(cs)).otherwise(cs)
     dec = lexv.try_cast("decimal(38,10)")
     dbl = F.when(is_term, FN.num_dbl(cs)).otherwise(cs.try_cast("double"))
-    return rank, dec, dbl
+    big = F.when(
+        (rank == 0) & dec.isNull(), FN.canon_int_lex(lexv)
+    )
+    return rank, dec, dbl, big
 
 
 _TYPED_NUM_FNS = ("ABS", "CEIL", "FLOOR", "ROUND")
@@ -325,17 +332,25 @@ def _typed_expr(e: A.Expr, df: DataFrame, binder: Optional[_TmpBinder] = None):
     check (error); float/double division is IEEE (INF, no error).
     Each level is bound to hidden columns when a binder is given."""
 
-    def out(r, dec, dbl):
+    def out(r, dec, dbl, big):
         if binder is not None:
-            return binder.bind(r), binder.bind(dec), binder.bind(dbl)
-        return r, dec, dbl
+            return (
+                binder.bind(r),
+                binder.bind(dec),
+                binder.bind(dbl),
+                binder.bind(big),
+            )
+        return r, dec, dbl, big
 
     if e.op == "neg":
-        r, dec, dbl = _typed_expr(e.args[0], df, binder)
-        return out(r, (-dec).try_cast("decimal(38,10)"), -dbl)
+        r, dec, dbl, big = _typed_expr(e.args[0], df, binder)
+        nbig = F.when(
+            big.startswith("-"), F.substring(big, 2, 2_000_000)
+        ).otherwise(F.concat(F.lit("-"), big))
+        return out(r, (-dec).try_cast("decimal(38,10)"), -dbl, nbig)
     if e.op == "call" and e.args[0] in _TYPED_NUM_FNS and len(e.args[1]) == 1:
         fn = e.args[0]
-        r, dec, dbl = _typed_expr(e.args[1][0], df, binder)
+        r, dec, dbl, big = _typed_expr(e.args[1][0], df, binder)
         op_dec = {
             "ABS": F.abs,
             "CEIL": lambda c: F.ceil(c).cast("decimal(38,10)"),
@@ -348,12 +363,17 @@ def _typed_expr(e: A.Expr, df: DataFrame, binder: Optional[_TmpBinder] = None):
             "FLOOR": lambda c: F.floor(c).cast("double"),
             "ROUND": lambda c: F.round(c, 0),
         }[fn]
-        return out(r, op_dec(dec), op_dbl(dbl))
+        # big values are integers — ABS strips the sign, CEIL/FLOOR/
+        # ROUND are the identity on integers
+        op_big = (
+            F.regexp_replace(big, r"^-", "") if fn == "ABS" else big
+        )
+        return out(r, op_dec(dec), op_dbl(dbl), op_big)
     if e.op != "arith":
         return out(*_typed_view(_term_col(e, df, binder)))
     sym, l, r = e.args
-    lr, ldec, ldbl = _typed_expr(l, df, binder)
-    rr, rdec, rdbl = _typed_expr(r, df, binder)
+    lr, ldec, ldbl, lbig = _typed_expr(l, df, binder)
+    rr, rdec, rdbl, rbig = _typed_expr(r, df, binder)
     rank = F.when(
         lr.isNull() | rr.isNull(), F.lit(None).cast("int")
     ).otherwise(F.greatest(lr, rr))
@@ -367,15 +387,37 @@ def _typed_expr(e: A.Expr, df: DataFrame, binder: Optional[_TmpBinder] = None):
             .when(ldbl == 0.0, F.lit(float("nan")))
         )
     else:
-        dec = {"+": ldec + rdec, "-": ldec - rdec, "*": ldec * rdec}[sym]
+        # try_* variants: decimal overflow → NULL (ANSI mode would
+        # throw), which the big plane below then picks up exactly
+        dec = {
+            "+": F.try_add(ldec, rdec),
+            "-": F.try_subtract(ldec, rdec),
+            "*": F.try_multiply(ldec, rdec),
+        }[sym]
         dbl = {"+": ldbl + rdbl, "-": ldbl - rdbl, "*": ldbl * rdbl}[sym]
-    dec = dec.try_cast("decimal(38,10)")  # overflow beyond 38 digits → error
-    # validity: the carrying plane must have a value (zero-division /
-    # decimal overflow → error)
-    rank = F.when(rank <= 1, F.when(dec.isNotNull(), rank)).otherwise(
-        F.when(dbl.isNotNull(), rank)
+    dec = dec.try_cast("decimal(38,10)")  # overflow beyond 38 digits → big
+    # exact BigInt path (_number.rs coercing_operator promoting through
+    # BigInt): engaged ONLY when both operands are integers and either
+    # one carries a big value or the decimal plane overflowed — the UDF
+    # inputs are NULL-masked for all other rows, so the Arrow round
+    # trip carries (nearly) empty columns on the common path
+    int_int = (F.coalesce(lr, F.lit(-1)) == 0) & (
+        F.coalesce(rr, F.lit(-1)) == 0
     )
-    return out(rank, dec, dbl)
+    need_big = int_int & (
+        lbig.isNotNull() | rbig.isNotNull() | dec.isNull()
+    )
+    big = FN.bigop(
+        sym,
+        F.when(need_big, F.coalesce(lbig, FN.integer_lexical(ldec))),
+        F.when(need_big, F.coalesce(rbig, FN.integer_lexical(rdec))),
+    )
+    # validity: some plane must carry a value (zero-division / overflow
+    # without a big fallback → error)
+    rank = F.when(
+        rank <= 1, F.when(dec.isNotNull() | big.isNotNull(), rank)
+    ).otherwise(F.when(dbl.isNotNull(), rank))
+    return out(rank, dec, dbl, big)
 
 
 def _num_from_col(c: Column) -> Column:
@@ -804,9 +846,12 @@ def _call(
     if fn in ("ABS", "CEIL", "FLOOR", "ROUND"):
         # rank-PRESERVING numeric functions (xpath fn:abs/ceiling/floor/
         # round return the argument's type; function.rs numeric dispatch)
-        r, dec, dbl = _typed_view(cols[0])
+        r, dec, dbl, big = _typed_view(cols[0])
         if binder is not None:
-            r, dec, dbl = binder.bind(r), binder.bind(dec), binder.bind(dbl)
+            r, dec, dbl, big = (
+                binder.bind(r), binder.bind(dec), binder.bind(dbl),
+                binder.bind(big),
+            )
         op_dec = {
             "ABS": F.abs,
             "CEIL": lambda c: F.ceil(c).cast("decimal(38,10)"),
@@ -819,7 +864,8 @@ def _call(
             "FLOOR": lambda c: F.floor(c).cast("double"),
             "ROUND": lambda c: F.round(c, 0),
         }[fn]
-        return FN.typed_num_term(r, op_dec(dec), op_dbl(dbl))
+        op_big = F.regexp_replace(big, r"^-", "") if fn == "ABS" else big
+        return FN.typed_num_term(r, op_dec(dec), op_dbl(dbl), op_big)
     if fn in ("ISIRI", "ISURI"):
         return FN.is_iri(cols[0].cast("string"))
     if fn == "ISBLANK":
@@ -1320,7 +1366,7 @@ def _select_df(ctx: _Ctx, q: A.Query):
             argval = _term_col(a.arg, b.df, b)
             df = b.df.withColumn(cn, argval)
             if a.fn in ("sum", "avg"):
-                rr, dd, bb = _typed_view(F.col(cn))
+                rr, dd, bb, _big = _typed_view(F.col(cn))
                 df = (
                     df.withColumn(cn + "r", rr)
                     .withColumn(cn + "d", dd)
@@ -1379,7 +1425,7 @@ def _select_df(ctx: _Ctx, q: A.Query):
                     )
 
                     def _merge(acc, x):
-                        xr, xdec, xdbl = _typed_view(x)
+                        xr, xdec, xdbl, _xbig = _typed_view(x)
                         return F.struct(
                             F.greatest(acc["r"], xr).cast("int").alias("r"),
                             (acc["dec"] + xdec)
