@@ -361,53 +361,104 @@ def double_e_lexical(d: Column) -> Column:
     )
 
 
-def bigop(sym: str, l: Column, r: Column) -> Column:
-    """Exact big-integer arithmetic on lexical strings (the
-    `value/_number.rs` BigInt plane: Rust num_bigint there, Python
-    arbitrary-precision int here, Arrow-batched).  ``l``/``r`` are
-    integer lexicals; callers NULL-mask the inputs so the UDF sees
-    values only for the rare rows whose decimal(38) plane overflowed —
-    the Arrow transfer for the common all-NULL case is near-free.
-    '/' returns a canonical xsd:decimal lexical (BigDecimal division,
-    50-digit precision); zero divisor → NULL (error)."""
+def _bignum_parse(a: str):
+    """Numeric lexical (integer or decimal form) → scaled int (m, s)
+    with value = m / 10**s.  Exact — no float round-trip."""
+    if "." in a:
+        ip, _, fp = a.partition(".")
+        neg = ip.startswith("-")
+        m = int((ip or ("-0" if neg else "0")) + fp or "0")
+        return m, len(fp)
+    return int(a), 0
+
+
+def _bignum_render(m: int, s: int, decimal_style: bool) -> str:
+    """Scaled int → canonical lexical.  Integer style = plain digits;
+    decimal style = `dec2string` (mandatory single fraction digit,
+    trailing zeros stripped: "3.0", "1.6")."""
+    while s > 0 and m % 10 == 0:
+        m //= 10
+        s -= 1
+    if s == 0:
+        return f"{m}.0" if decimal_style else str(m)
+    digits = str(abs(m)).rjust(s + 1, "0")
+    sign = "-" if m < 0 else ""
+    return f"{sign}{digits[:-s]}.{digits[-s:]}"
+
+
+def bigop(sym: str, l: Column, r: Column, rank: Column = None) -> Column:
+    """Exact big-number arithmetic on lexical strings (the
+    `value/_number.rs` BigInt/BigDecimal plane: Rust num_bigint there,
+    Python scaled-int arbitrary precision here, Arrow-batched).
+    ``l``/``r`` are integer or decimal lexicals; callers NULL-mask the
+    inputs so the UDF sees values only for the rare rows whose
+    decimal(38,10) plane overflowed — the Arrow transfer for the
+    common all-NULL case is near-free.  ``rank`` (when given) selects
+    the output style per row: 0 → integer lexical, 1 → canonical
+    decimal lexical.  '+','-','*' are exact at any width; '/' is
+    BigDecimal division at 50 significant digits (zero divisor → NULL
+    = error).  Unary 'CEIL'/'FLOOR'/'ROUND' (r ignored) mirror the
+    decimal plane's semantics (ROUND = half away from zero, like
+    Spark's ROUND on the in-range decimal view)."""
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
-    def run(lc: pd.Series, rc: pd.Series) -> pd.Series:
+    def run(lc: pd.Series, rc: pd.Series, kc: pd.Series) -> pd.Series:
         import decimal
 
         out = []
-        for a, b in zip(lc, rc):
-            if a is None or b is None:
+        for a, b, k in zip(lc, rc, kc):
+            if a is None or (b is None and sym in "+-*/"):
                 out.append(None)
                 continue
+            dec_style = (int(k) == 1) if k is not None else (sym == "/")
             try:
-                if sym == "+":
-                    out.append(str(int(a) + int(b)))
-                elif sym == "-":
-                    out.append(str(int(a) - int(b)))
-                elif sym == "*":
-                    out.append(str(int(a) * int(b)))
+                ma, sa = _bignum_parse(a)
+                if sym in ("+", "-", "*"):
+                    mb, sb = _bignum_parse(b)
+                    if sym == "*":
+                        m, s = ma * mb, sa + sb
+                    else:
+                        s = max(sa, sb)
+                        ma, mb = ma * 10 ** (s - sa), mb * 10 ** (s - sb)
+                        m = ma + mb if sym == "+" else ma - mb
+                    out.append(_bignum_render(m, s, dec_style))
                 elif sym == "/":
-                    if int(b) == 0:
+                    mb, sb = _bignum_parse(b)
+                    if mb == 0:
                         out.append(None)
                         continue
                     with decimal.localcontext() as cx:
                         cx.prec = 50
-                        q = decimal.Decimal(int(a)) / decimal.Decimal(int(b))
-                    s = format(q, "f")
-                    if "." in s:
-                        s = s.rstrip("0").rstrip(".")
-                    i = int(decimal.Decimal(s)) if "." not in s else None
-                    out.append(f"{i}.0" if i is not None else s)
+                        q = decimal.Decimal(a) / decimal.Decimal(b)
+                    t = format(q, "f")
+                    if "." in t:
+                        t = t.rstrip("0").rstrip(".")
+                    mq, sq = _bignum_parse(t)
+                    out.append(_bignum_render(mq, sq, True))
+                elif sym in ("CEIL", "FLOOR", "ROUND"):
+                    t = 10**sa
+                    if sym == "CEIL":
+                        m = -((-ma) // t)
+                    elif sym == "FLOOR":
+                        m = ma // t
+                    else:  # half away from zero (= the dec plane)
+                        m = (abs(ma) + t // 2) // t * (1 if ma >= 0 else -1)
+                    out.append(_bignum_render(m, 0, dec_style))
                 else:
                     out.append(None)
             except (ValueError, decimal.InvalidOperation):
                 out.append(None)
         return pd.Series(out, dtype=object)
 
-    run.__annotations__ = {"lc": pd.Series, "rc": pd.Series, "return": pd.Series}
-    return pandas_udf(run, "string")(l, r)
+    run.__annotations__ = {
+        "lc": pd.Series, "rc": pd.Series, "kc": pd.Series, "return": pd.Series
+    }
+    if rank is None:
+        rank = F.lit(None).cast("int")
+    if r is None:
+        r = F.lit(None).cast("string")
+    return pandas_udf(run, "string")(l, r, rank)
 
 
 def canon_int_lex(lex_col: Column) -> Column:
@@ -416,6 +467,141 @@ def canon_int_lex(lex_col: Column) -> Column:
     c = F.regexp_replace(lex_col, r"^\+", "")
     c = F.regexp_replace(c, r"^(-?)0+(?=\d)", "$1")
     return F.when(c == "-0", F.lit("0")).otherwise(c)
+
+
+SUM_LIMBS = 7
+_LIMB_W = 18
+_SUM_DIGITS = SUM_LIMBS * _LIMB_W  # 126 digits, scaled by 10^10
+
+
+def sum_limb_parts(lexv: Column, rank: Column):
+    """Exact-SUM decomposition of a rank≤1 numeric lexical (the
+    aggregate twin of the scalar BigInt/BigDecimal plane,
+    `value/_number.rs`): the value ×10^10 as a 126-digit string
+    (``digits``, NULL unless in range), its ``sign`` (±1), and
+    ``monster`` — the raw lexical for the (absurdly rare) elements
+    beyond 116 integer digits or 10 fraction digits, which the caller
+    collects and folds exactly at emit time.  Summing fixed-width
+    digit LIMBS of this decomposition distributes perfectly: each limb
+    is an independent decimal(38,0) SUM with map-side partial
+    aggregation, and 18-digit limbs leave 10^20 rows of headroom."""
+    neg = lexv.startswith("-")
+    mag = F.regexp_replace(lexv, r"^[+-]", "")
+    ip = F.regexp_extract(mag, r"^(\d*)", 1)
+    fr = F.regexp_extract(mag, r"\.(\d+)", 1)
+    digits = F.concat(ip, F.rpad(fr, 10, "0"))
+    in_range = (
+        (rank <= 1)
+        & (F.length(fr) <= 10)
+        & (F.length(digits) <= _SUM_DIGITS)
+    )
+    sign = F.when(neg, F.lit(-1)).otherwise(F.lit(1))
+    monster = F.when((rank <= 1) & ~in_range, lexv)
+    return (
+        F.when(in_range, F.lpad(digits, _SUM_DIGITS, "0")),
+        sign,
+        monster,
+    )
+
+
+def sum_limb(digits: Column, sign: Column, i: int) -> Column:
+    """The i-th (least-significant-first) 18-digit limb of a
+    :func:`sum_limb_parts` decomposition, as a signed decimal(38,0)."""
+    start = _SUM_DIGITS - _LIMB_W * (i + 1) + 1
+    return F.substring(digits, start, _LIMB_W).cast("decimal(38,0)") * sign
+
+
+def sum_limbs_combine(limbs: Column) -> Column:
+    """JVM fast-path recombination of summed limbs → the exact total
+    ×10^10 as decimal(38,0), or NULL when the total needs the big
+    plane (overflow / any limb beyond the third nonzero)."""
+    scaled = F.try_add(
+        F.try_add(
+            limbs[0],
+            F.try_multiply(
+                limbs[1], F.lit(str(10**_LIMB_W)).cast("decimal(38,0)")
+            ),
+        ),
+        F.try_multiply(
+            limbs[2],
+            F.lit(str(10 ** (2 * _LIMB_W))).cast("decimal(38,0)"),
+        ),
+    )
+    higher_zero = None
+    for i in range(3, SUM_LIMBS):
+        z = F.coalesce(limbs[i], F.lit(0).cast("decimal(38,0)")) == 0
+        higher_zero = z if higher_zero is None else (higher_zero & z)
+    return F.when(higher_zero, scaled)
+
+
+def bigsum_emit(avg: bool, limbs: Column, monsters: Column,
+                n: Column, rank: Column) -> Column:
+    """Arrow-batched exact finalizer for the (rare) SUM/AVG groups the
+    JVM limb recombination cannot represent: Python arbitrary-precision
+    fold of the limb sums plus any monster elements; AVG divides at 50
+    significant digits (the BigDecimal division contract).  Inputs are
+    NULL-masked by the caller so the common path transfers empty Arrow
+    columns.  Returns the result lexical (integer style at rank 0 for
+    SUM, decimal style otherwise); NULL = poison (a limb sum overflowed
+    decimal(38), needing >10^20 rows — reported as unbound)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def run(lc: pd.Series, mc: pd.Series, nc: pd.Series,
+            kc: pd.Series) -> pd.Series:
+        import decimal
+
+        out = []
+        for ls, ms, n_, k in zip(lc, mc, nc, kc):
+            if ls is None or n_ is None or k is None:
+                out.append(None)
+                continue
+            try:
+                if any(x is None for x in ls):
+                    out.append(None)  # limb-sum overflow: poison
+                    continue
+                m_tot = sum(int(x) * 10 ** (_LIMB_W * i)
+                            for i, x in enumerate(ls))
+                s_tot = 10
+                for mlex in (ms if ms is not None else []):
+                    mm, ss = _bignum_parse(mlex)
+                    s2 = max(s_tot, ss)
+                    m_tot = m_tot * 10 ** (s2 - s_tot) + mm * 10 ** (s2 - ss)
+                    s_tot = s2
+                if avg:
+                    with decimal.localcontext() as cx:
+                        cx.prec = 50
+                        q = (decimal.Decimal(m_tot)
+                             / (decimal.Decimal(int(n_)) * 10**s_tot))
+                    t = format(q, "f")
+                    if "." in t:
+                        t = t.rstrip("0").rstrip(".")
+                    mq, sq = _bignum_parse(t)
+                    out.append(_bignum_render(mq, sq, True))
+                else:
+                    out.append(_bignum_render(m_tot, s_tot, int(k) == 1))
+            except (ValueError, decimal.InvalidOperation):
+                out.append(None)
+        return pd.Series(out, dtype=object)
+
+    run.__annotations__ = {
+        "lc": pd.Series, "mc": pd.Series, "nc": pd.Series,
+        "kc": pd.Series, "return": pd.Series,
+    }
+    return pandas_udf(run, "string")(limbs, monsters, n, rank)
+
+
+def canon_dec_lex(lex_col: Column) -> Column:
+    """Decimal lexical → canonical `dec2string` form: drop '+', ensure
+    one integer digit and one fraction digit, strip redundant zeros
+    ("+00.50" → "0.5"; "5" → "5.0"; ".5" → "0.5"; "-0.0" → "0.0")."""
+    c = F.regexp_replace(lex_col, r"^\+", "")
+    c = F.when(c.contains("."), c).otherwise(F.concat(c, F.lit(".0")))
+    c = F.regexp_replace(c, r"^(-?)\.", "$10.")
+    c = F.regexp_replace(c, r"(\.\d*?)0*$", "$1")
+    c = F.regexp_replace(c, r"\.$", ".0")
+    c = F.regexp_replace(c, r"^(-?)0+(?=\d)", "$1")
+    return F.when(c == "-0.0", F.lit("0.0")).otherwise(c)
 
 
 def typed_num_term(
@@ -559,10 +745,33 @@ def order_key(term: Column):
         term.isNotNull(),  # unbound (NULL) sorts first
         kind(term),
         F.when(is_numeric(term), numeric_value(term)).otherwise(F.lit(None)),
+        *int_order_keys(datatype(term), lex(term)),
         datatype(term),
         lang(term),
         F.when(is_literal(term), lex(term)).otherwise(term),
     ]
+
+
+def int_order_keys(dt: Column, lx: Column) -> list:
+    """Exact integer ordering components — the classic bignum sort key
+    (sign, signed digit-count, digit-complemented magnitude), pure
+    JVM expressions.  NULL (no effect) unless the operand is an
+    integer-datatyped literal with an integer lexical; used as a
+    refinement AFTER the double-valued key, whose 53-bit mantissa
+    cannot distinguish large integers (the BigInt plane's exact
+    compare, value/_number.rs partial_cmp)."""
+    is_int = dt.isin(_INT_RANK_DTS) & lx.rlike(_INT_LEX_RE)
+    canon = canon_int_lex(lx)
+    neg = canon.startswith("-")
+    digits = F.regexp_replace(canon, r"^-", "")
+    sign = F.when(is_int, F.when(neg, F.lit(0)).otherwise(F.lit(1)))
+    # negative: longer magnitude sorts FIRST (more negative) → negate
+    # the length; digit-complement flips lexicographic order
+    dlen = F.when(neg, -F.length(digits)).otherwise(F.length(digits))
+    dcmp = F.when(neg, F.translate(digits, "0123456789", "9876543210")).otherwise(
+        digits
+    )
+    return [sign, F.when(is_int, dlen), F.when(is_int, dcmp)]
 
 
 def order_key_any(c: Column):
@@ -585,6 +794,7 @@ def order_key_any(c: Column):
         c.isNotNull(),
         kind(t),
         nv,
+        *int_order_keys(datatype(t), lex(t)),
         datatype(t),
         lang(t),
         F.when(is_literal(t), lex(t)).otherwise(t),

@@ -43,9 +43,16 @@ def is_ill_typed_parts(term: Column, dt: Column, l: Column) -> Column:
     (the SPARQL comparison layer binds them as temp columns to keep
     whole-stage codegen under janino's 64 KB method limit) pass them in
     so the big decode trees are not re-inlined here."""
-    expr = F.lit(False)
+    # group datatypes that share a lexical regex: fewer CASE branches →
+    # smaller generated code (this probe is inlined per comparison
+    # operand in the SPARQL eq path)
+    by_rx: dict = {}
     for d, rx in _LEXICAL_RES.items():
-        expr = F.when(dt == d, ~l.rlike(rx)).otherwise(expr)
+        by_rx.setdefault(rx, []).append(d)
+    expr = F.lit(False)
+    for rx, dts in by_rx.items():
+        cond = (dt == dts[0]) if len(dts) == 1 else dt.isin(dts)
+        expr = F.when(cond, ~l.rlike(rx)).otherwise(expr)
     return F.when(term.startswith('"'), expr).otherwise(F.lit(False))
 
 

@@ -313,8 +313,15 @@ def _typed_view(c: Column):
     lexv = F.when(is_term, FN.lex(cs)).otherwise(cs)
     dec = lexv.try_cast("decimal(38,10)")
     dbl = F.when(is_term, FN.num_dbl(cs)).otherwise(cs.try_cast("double"))
+    # big engages for integers beyond decimal(38) AND for decimals the
+    # (38,10) plane cannot hold exactly (overflow, or >10 fraction
+    # digits — try_cast silently rounds those)
+    frac_len = F.length(F.regexp_extract(lexv, r"\.(\d+)", 1))
     big = F.when(
         (rank == 0) & dec.isNull(), FN.canon_int_lex(lexv)
+    ).when(
+        (rank == 1) & (dec.isNull() | (frac_len > 10)),
+        FN.canon_dec_lex(lexv),
     )
     return rank, dec, dbl, big
 
@@ -363,11 +370,17 @@ def _typed_expr(e: A.Expr, df: DataFrame, binder: Optional[_TmpBinder] = None):
             "FLOOR": lambda c: F.floor(c).cast("double"),
             "ROUND": lambda c: F.round(c, 0),
         }[fn]
-        # big values are integers — ABS strips the sign, CEIL/FLOOR/
-        # ROUND are the identity on integers
-        op_big = (
-            F.regexp_replace(big, r"^-", "") if fn == "ABS" else big
-        )
+        # big values: ABS strips the sign (works for integer and
+        # decimal lexicals alike); CEIL/FLOOR/ROUND are the identity
+        # on integer-formed bigs and go through the exact UDF for the
+        # (rare) decimal-formed ones
+        if fn == "ABS":
+            op_big = F.regexp_replace(big, r"^-", "")
+        else:
+            frac = big.contains(".")
+            op_big = F.when(
+                frac, FN.bigop(fn, F.when(frac, big), None, r)
+            ).otherwise(big)
         return out(r, op_dec(dec), op_dbl(dbl), op_big)
     if e.op != "arith":
         return out(*_typed_view(_term_col(e, df, binder)))
@@ -396,21 +409,31 @@ def _typed_expr(e: A.Expr, df: DataFrame, binder: Optional[_TmpBinder] = None):
         }[sym]
         dbl = {"+": ldbl + rdbl, "-": ldbl - rdbl, "*": ldbl * rdbl}[sym]
     dec = dec.try_cast("decimal(38,10)")  # overflow beyond 38 digits → big
-    # exact BigInt path (_number.rs coercing_operator promoting through
-    # BigInt): engaged ONLY when both operands are integers and either
-    # one carries a big value or the decimal plane overflowed — the UDF
-    # inputs are NULL-masked for all other rows, so the Arrow round
-    # trip carries (nearly) empty columns on the common path
-    int_int = (F.coalesce(lr, F.lit(-1)) == 0) & (
-        F.coalesce(rr, F.lit(-1)) == 0
-    )
-    need_big = int_int & (
+    # exact BigInt/BigDecimal path (_number.rs coercing_operator
+    # promoting through BigInt): engaged ONLY when the result rank is
+    # integer/decimal and either operand carries a big value or the
+    # decimal plane overflowed — the UDF inputs are NULL-masked for
+    # all other rows, so the Arrow round trip carries (nearly) empty
+    # columns on the common path.  Mixed big∘decimal works: each
+    # operand contributes its exact lexical (big string, or the
+    # in-range plane rendered by its own rank).
+    need_big = (rank <= 1) & (
         lbig.isNotNull() | rbig.isNotNull() | dec.isNull()
     )
+    _opl = F.coalesce(
+        lbig,
+        F.when(lr == 0, FN.integer_lexical(ldec)).otherwise(
+            FN.decimal_lexical(ldec)
+        ),
+    )
+    _opr = F.coalesce(
+        rbig,
+        F.when(rr == 0, FN.integer_lexical(rdec)).otherwise(
+            FN.decimal_lexical(rdec)
+        ),
+    )
     big = FN.bigop(
-        sym,
-        F.when(need_big, F.coalesce(lbig, FN.integer_lexical(ldec))),
-        F.when(need_big, F.coalesce(rbig, FN.integer_lexical(rdec))),
+        sym, F.when(need_big, _opl), F.when(need_big, _opr), rank
     )
     # validity: some plane must carry a value (zero-division / overflow
     # without a big fallback → error)
@@ -507,7 +530,17 @@ def _bool(
             bind_r = ident if r.op == "term" else binder.bind
         lt, rt = bind_l(termify(ls)), bind_r(termify(rs))
         ldt_, rdt_ = bind_l(FN.datatype(lt)), bind_r(FN.datatype(rt))
-        llex, rlex = bind_l(FN.lex(lt)), bind_r(FN.lex(rt))
+        # RAW lexical (single regexp, escapes NOT decoded): equivalent
+        # for every view below — numeric/dateTime/boolean/integer
+        # lexicals never contain escapes (a backslash just fails the
+        # try_cast/regex exactly like the decoded form would), and
+        # VALUE equality of strings is covered by term identity because
+        # the canonical encoding is injective.  The full ~20-step
+        # escape decode (FN.lex) is emitted ONLY for the string-family
+        # ORDER compare further down — keeping each comparison's
+        # generated code well under janino's 64 KB method limit.
+        _rawlex = lambda t: F.regexp_extract(t, r'^"((?:[^"\\]|\\.)*)"', 1)
+        llex, rlex = bind_l(_rawlex(lt)), bind_r(_rawlex(rt))
 
         def num_view(raw, dt, lx):
             # literals via the SPARQL numeric layer; plain computed
@@ -525,6 +558,17 @@ def _bool(
         rdt = bind_r(F.when(rs.startswith('"'), rlex).try_cast("timestamp"))
         numeric = ln.isNotNull() & rn.isNotNull()
         both_dt = ldt.isNotNull() & rdt.isNotNull()
+        # exact integer refinement: two INTEGER-datatyped literals
+        # compare on the bignum sort key (sign, signed digit count,
+        # digit-complemented magnitude) — the double plane's 53-bit
+        # mantissa cannot distinguish large integers
+        l_int = ldt_.isin(FN._INT_RANK_DTS) & llex.rlike(FN._INT_LEX_RE)
+        r_int = rdt_.isin(FN._INT_RANK_DTS) & rlex.rlike(FN._INT_LEX_RE)
+        both_int = ls.startswith('"') & rs.startswith('"') & l_int & r_int
+        l_ikey = F.struct(*FN.int_order_keys(ldt_, llex))
+        r_ikey = F.struct(*FN.int_order_keys(rdt_, rlex))
+        if binder is not None:
+            l_ikey, r_ikey = bind_l(l_ikey), bind_r(r_ikey)
         ops = {
             "=": lambda a, b: a == b,
             "!=": lambda a, b: a != b,
@@ -566,6 +610,7 @@ def _bool(
                 # error-poisoning; eqNullSafe would yield TRUE here)
                 F.when(lt.isNull() | rt.isNull(), F.lit(None).cast("boolean"))
                 .when(lt == rt, F.lit(True))
+                .when(both_int, l_ikey == r_ikey)
                 .when(numeric, ln == rn)
                 .when(both_dt, ldt == rdt)
                 .when(lbv.isNotNull() & rbv.isNotNull(), lbv == rbv)
@@ -602,13 +647,18 @@ def _bool(
         dtv_l, dtv_r = bind_l(dtv_l), bind_r(dtv_r)
         bool_l, bool_r = bind_l(bool_l), bind_r(bool_r)
         tag_l, tag_r = bind_l(tag_l), bind_r(tag_r)
+        # string-family ORDER compares on the DECODED lexical ("a\nb"
+        # must sort by 0x0A, not by the escape's 0x5C) — the one place
+        # that pays for the full escape-decode chain
+        slex_l, slex_r = bind_l(FN.lex(lt)), bind_r(FN.lex(rt))
         str_ok = (
             ldt_.isin(*_STR_DTS2)
             & rdt_.isin(*_STR_DTS2)
             & ((tag_l == "") == (tag_r == ""))
         )
         return (
-            F.when(num_l.isNotNull() & num_r.isNotNull(), ops[sym](num_l, num_r))
+            F.when(both_int, ops[sym](l_ikey, r_ikey))
+            .when(num_l.isNotNull() & num_r.isNotNull(), ops[sym](num_l, num_r))
             .when(dtv_l.isNotNull() & dtv_r.isNotNull(), ops[sym](dtv_l, dtv_r))
             .when(
                 bool_l.isNotNull() & bool_r.isNotNull(),
@@ -617,8 +667,8 @@ def _bool(
             .when(
                 str_ok,
                 ops[sym](
-                    F.struct(tag_l.alias("t"), llex.alias("x")),
-                    F.struct(tag_r.alias("t"), rlex.alias("x")),
+                    F.struct(tag_l.alias("t"), slex_l.alias("x")),
+                    F.struct(tag_r.alias("t"), slex_r.alias("x")),
                 ),
             )
             .when(
@@ -708,15 +758,23 @@ def _call(
     raw_args,
     binder: Optional[_TmpBinder] = None,
 ) -> Column:
+    # every coercion view below goes through the (memoizing) binder:
+    # each inlines the full lex/datatype decode chains, and a FILTER
+    # with several string-function calls would otherwise re-emit them
+    # per use site and overflow janino's 64 KB whole-stage method
+    _b = binder.bind if binder is not None else (lambda c: c)
+
     # string view: lexical form for terms; plain computed values via
     # cast, with integral doubles rendered integer-style ("1", not
     # "1.0" — arithmetic flattens to double in our value plane)
-    s = lambda c: F.when(c.cast("string").startswith('"'), FN.lex(c.cast("string"))).otherwise(
-        F.when(c.cast("string").startswith("<"), FN.str_(c.cast("string"))).otherwise(
-            F.regexp_replace(c.cast("string"), r"^(-?\d+)\.0$", "$1")
+    s = lambda c: _b(
+        F.when(c.cast("string").startswith('"'), FN.lex(c.cast("string"))).otherwise(
+            F.when(c.cast("string").startswith("<"), FN.str_(c.cast("string"))).otherwise(
+                F.regexp_replace(c.cast("string"), r"^(-?\d+)\.0$", "$1")
+            )
         )
     )
-    n = _num_from_col
+    n = lambda c: _b(_num_from_col(c))
 
     # strict argument coercions (expression.rs:441-479): ``sl`` accepts
     # any STRING literal — simple / xsd:string / language-tagged
@@ -739,16 +797,18 @@ def _call(
         )
         return F.when(cs.startswith('"'), allowed).otherwise(~cs.rlike("^[<_]"))
 
-    sl = lambda c: F.when(_lit_ok(c, False), s(c))
-    xs = lambda c: F.when(_lit_ok(c, True), s(c))
+    sl = lambda c: _b(F.when(_lit_ok(c, False), s(c)))
+    xs = lambda c: _b(F.when(_lit_ok(c, True), s(c)))
 
     # plain computed values ARE literal values (EvalResult::Value in
     # the reference) — wrap them as simple-literal terms for the
     # term-introspection functions (LANG/DATATYPE/LANGDIR/ISLITERAL)
     def tf(c):
         cs = c.cast("string")
-        return F.when(cs.rlike('^["<_]'), cs).otherwise(
-            F.concat(F.lit('"'), cs, F.lit('"'))
+        return _b(
+            F.when(cs.rlike('^["<_]'), cs).otherwise(
+                F.concat(F.lit('"'), cs, F.lit('"'))
+            )
         )
 
     # language/direction-tag propagation (function.rs:688-729, 767-795,
@@ -1366,11 +1426,17 @@ def _select_df(ctx: _Ctx, q: A.Query):
             argval = _term_col(a.arg, b.df, b)
             df = b.df.withColumn(cn, argval)
             if a.fn in ("sum", "avg"):
-                rr, dd, bb, _big = _typed_view(F.col(cn))
+                rr, _dd, bb, _big = _typed_view(F.col(cn))
+                df = df.withColumn(cn + "r", rr).withColumn(cn + "f", bb)
+                # exact-sum limb decomposition (scaled ×10^10): limb
+                # SUMs distribute with map-side partials at any width
+                cs = F.col(cn).cast("string")
+                lexv = F.when(cs.startswith('"'), FN.lex(cs)).otherwise(cs)
+                dg, sg, mon = FN.sum_limb_parts(lexv, F.col(cn + "r"))
                 df = (
-                    df.withColumn(cn + "r", rr)
-                    .withColumn(cn + "d", dd)
-                    .withColumn(cn + "f", bb)
+                    df.withColumn(cn + "dg", dg)
+                    .withColumn(cn + "sg", sg)
+                    .withColumn(cn + "m", mon)
                 )
             argcol[i] = cn
         aggs = []
@@ -1408,10 +1474,17 @@ def _select_df(ctx: _Ctx, q: A.Query):
                 # integer inputs sum to integer, any decimal promotes to
                 # decimal, float/double to float/double; AVG divides —
                 # int/dec inputs land in decimal, float/double stay.
+                # int/dec accumulation is EXACT at any width (the
+                # BigInt/BigDecimal accumulator): each element's value
+                # ×10^10 is decomposed into 18-digit limbs and each limb
+                # sums independently as decimal(38,0) — fully
+                # distributed, map-side partial aggregation — with a
+                # JVM recombination fast path and an Arrow-batched
+                # arbitrary-precision finalizer for overflowing groups.
                 rin = F.col(argcol[i] + "r")
-                decin = F.col(argcol[i] + "d")
                 dblin = F.col(argcol[i] + "f")
                 poison = _poisoned_by(rin.isNull())
+                zero_limb = F.lit(0).cast("decimal(38,0)")
                 if a.distinct:
                     # DISTINCT dedups on the TERM (aggregate_iter.rs
                     # seen: HashSet<ResultTerm> — "2.0"^^decimal and
@@ -1420,27 +1493,52 @@ def _select_df(ctx: _Ctx, q: A.Query):
                     terms = F.collect_set(c.cast("string"))
                     init = F.struct(
                         F.lit(0).cast("int").alias("r"),
-                        F.lit(0).cast("decimal(38,10)").alias("dec"),
+                        F.array(
+                            *[zero_limb for _ in range(FN.SUM_LIMBS)]
+                        ).alias("limbs"),
                         F.lit(0.0).alias("dbl"),
+                        F.array().cast("array<string>").alias("m"),
                     )
 
                     def _merge(acc, x):
-                        xr, xdec, xdbl, _xbig = _typed_view(x)
+                        xr, _xdec, xdbl, _xbig = _typed_view(x)
+                        xlex = F.when(
+                            x.startswith('"'), FN.lex(x)
+                        ).otherwise(x)
+                        dg, sg, mon = FN.sum_limb_parts(xlex, xr)
+                        newlimbs = F.array(*[
+                            F.try_add(
+                                acc["limbs"][j],
+                                F.coalesce(
+                                    FN.sum_limb(dg, sg, j), zero_limb
+                                ),
+                            )
+                            for j in range(FN.SUM_LIMBS)
+                        ])
                         return F.struct(
                             F.greatest(acc["r"], xr).cast("int").alias("r"),
-                            (acc["dec"] + xdec)
-                            .try_cast("decimal(38,10)")
-                            .alias("dec"),
+                            newlimbs.alias("limbs"),
                             (acc["dbl"] + xdbl).alias("dbl"),
+                            F.when(
+                                mon.isNotNull(),
+                                F.array_append(acc["m"], mon),
+                            ).otherwise(acc["m"]).alias("m"),
                         )
 
                     folded = F.aggregate(terms, init, _merge)
                     rank_out = folded["r"]
-                    sdec, sdbl = folded["dec"], folded["dbl"]
+                    limb_sums, monsters = folded["limbs"], folded["m"]
+                    sdbl = folded["dbl"]
                     n = F.size(terms)
                 else:
                     rank_out = F.max(rin)
-                    sdec = F.sum(decin).try_cast("decimal(38,10)")
+                    dg = F.col(argcol[i] + "dg")
+                    sg = F.col(argcol[i] + "sg")
+                    limb_sums = F.array(*[
+                        F.coalesce(F.sum(FN.sum_limb(dg, sg, j)), zero_limb)
+                        for j in range(FN.SUM_LIMBS)
+                    ])
+                    monsters = F.collect_list(F.col(argcol[i] + "m"))
                     sdbl = F.sum(dblin)
                     n = F.count(c)
                 # two-phase: aggregate the RAW typed state (a small
@@ -1451,7 +1549,8 @@ def _select_df(ctx: _Ctx, q: A.Query):
                 # analysis tree
                 raw = F.struct(
                     rank_out.cast("int").alias("r"),
-                    sdec.alias("dec"),
+                    limb_sums.alias("limbs"),
+                    monsters.alias("m"),
                     sdbl.alias("dbl"),
                     n.cast("long").alias("n"),
                     poison.alias("bad"),
@@ -1459,15 +1558,35 @@ def _select_df(ctx: _Ctx, q: A.Query):
                 aggs.append(raw.alias(a.alias))
 
                 def _emit_sum_avg(col, fn=a.fn):
-                    rank_out, sdec, sdbl, n, poison = (
-                        col["r"], col["dec"], col["dbl"], col["n"], col["bad"]
+                    rank_out, limbs, monsters, sdbl, n, poison = (
+                        col["r"], col["limbs"], col["m"],
+                        col["dbl"], col["n"], col["bad"],
                     )
+                    # JVM fast path: recombine limb sums when the total
+                    # fits the decimal(38,10) plane and no element
+                    # overflowed it
+                    scaled = F.when(
+                        F.size(monsters) == 0, FN.sum_limbs_combine(limbs)
+                    )
+                    sdec = F.try_divide(
+                        scaled, F.lit(10**10).cast("decimal(38,0)")
+                    ).try_cast("decimal(38,10)")
+                    need_udf = (
+                        (rank_out <= 1) & sdec.isNull() & ~poison & (n > 0)
+                    )
+                    mask = lambda col_: F.when(need_udf, col_)
                     if fn == "sum":
+                        big = FN.bigsum_emit(
+                            False, mask(limbs), mask(monsters),
+                            mask(n), mask(rank_out),
+                        )
                         # SUM{} = 0 (accumulator starts at integer 0,
                         # aggregate_iter.rs:150)
                         result = F.when(
                             n == 0, F.lit(f'"0"^^<{_XSD_NS}integer>')
-                        ).otherwise(FN.typed_num_term(rank_out, sdec, sdbl))
+                        ).otherwise(
+                            FN.typed_num_term(rank_out, sdec, sdbl, big)
+                        )
                     else:
                         # AVG finalizes sum / max(count, 1): int/dec →
                         # decimal division, float/double stay
@@ -1478,10 +1597,14 @@ def _select_df(ctx: _Ctx, q: A.Query):
                         adec = F.try_divide(sdec, n).try_cast(
                             "decimal(38,10)"
                         )
+                        abig = FN.bigsum_emit(
+                            True, mask(limbs), mask(monsters),
+                            mask(n), mask(rank_out),
+                        )
                         result = F.when(
                             n == 0, F.lit(f'"0.0"^^<{_XSD_NS}decimal>')
                         ).otherwise(
-                            FN.typed_num_term(rank_avg, adec, sdbl / n)
+                            FN.typed_num_term(rank_avg, adec, sdbl / n, abig)
                         )
                     return (
                         F.when(poison, F.lit(None).cast("string"))

@@ -657,14 +657,17 @@ class _P:
                         self.expect_op(")")
                     else:
                         g.elements.append(Filter(self.parse_expr()))
+                    self.op(".")
                     continue
                 if word == "OPTIONAL":
                     self.next()
                     g.elements.append(Optional_(self.parse_group()))
+                    self.op(".")
                     continue
                 if word == "MINUS":
                     self.next()
                     g.elements.append(Minus(self.parse_group()))
+                    self.op(".")
                     continue
                 if word == "BIND":
                     self.next()
@@ -676,15 +679,18 @@ class _P:
                         raise SparqlError("expected variable after AS")
                     self.expect_op(")")
                     g.elements.append(Bind(e, Var(v[1][1:])))
+                    self.op(".")
                     continue
                 if word == "VALUES":
                     self.next()
                     g.elements.append(self._parse_values())
+                    self.op(".")
                     continue
                 if word == "GRAPH":
                     self.next()
                     name = self.parse_term()
                     g.elements.append(GraphClause(name, self.parse_group()))
+                    self.op(".")
                     continue
             if t[0] == "op" and t[1] == "{":
                 nxt = self.peek(1)
@@ -693,6 +699,7 @@ class _P:
                     q = self.parse_query_body()
                     self.expect_op("}")
                     g.elements.append(SubSelect(q))
+                    self.op(".")
                     continue
                 sub = self.parse_group()
                 if self.kw("UNION"):
@@ -703,12 +710,13 @@ class _P:
                     g.elements.append(u)
                 else:
                     g.elements.append(SubGroup(sub))
+                self.op(".")
                 continue
             # triples block
             self._parse_triples_into(g)
-            # optional '.' separators
-            while self.op("."):
-                pass
+            # at most one '.' separator (a second stray dot is a
+            # syntax error per the grammar)
+            self.op(".")
         return g
 
     def _parse_values(self) -> Values:
@@ -734,6 +742,10 @@ class _P:
             row = []
             while not self.op(")"):
                 row.append(self._values_cell())
+            if len(row) != len(names):
+                raise SparqlError(
+                    f"VALUES row arity {len(row)} != {len(names)} variables"
+                )
             rows.append(row)
         return Values(names, rows)
 
@@ -830,11 +842,31 @@ class _P:
             self._check_end()
             return q
         if self.kw("CONSTRUCT"):
-            tmpl_group = self.parse_group()
-            template = [e for e in tmpl_group.elements if isinstance(e, TriplePattern)]
-            from_graphs, from_named = self._parse_dataset_clauses()
-            self.kw("WHERE")  # optional before the group
-            q = Query("construct", [], [], self.parse_group(), template=template)
+            t0 = self.peek()
+            if t0 is not None and t0[0] == "op" and t0[1] == "{":
+                tmpl_group = self.parse_group()
+                template = [
+                    e for e in tmpl_group.elements if isinstance(e, TriplePattern)
+                ]
+                from_graphs, from_named = self._parse_dataset_clauses()
+                self.kw("WHERE")  # optional before the group
+                q = Query(
+                    "construct", [], [], self.parse_group(), template=template
+                )
+            else:
+                # short form (sparql11-query §10.2.3): CONSTRUCT
+                # [DatasetClause] WHERE { TriplesTemplate? } — the
+                # pattern doubles as the template, so it must be plain
+                # triples
+                from_graphs, from_named = self._parse_dataset_clauses()
+                self.expect_kw("WHERE")
+                grp = self.parse_group()
+                if not all(isinstance(e, TriplePattern) for e in grp.elements):
+                    raise SparqlError(
+                        "CONSTRUCT WHERE short form allows only triple patterns"
+                    )
+                template = [e for e in grp.elements if isinstance(e, TriplePattern)]
+                q = Query("construct", [], [], grp, template=template)
             q.from_graphs = from_graphs
             q.from_named = from_named
             self._parse_modifiers(q)
@@ -914,6 +946,26 @@ class _P:
         # aggregation/HAVING, before projection)
         if self.kw("VALUES"):
             q.post_values = self._parse_values()
+        # grouped-query projection rule (§18.2.4.4 / w3c syntax tests
+        # agg08, group06): once grouping/aggregation is in play, a plain
+        # projected variable must be a group key
+        if aggregates or q.group_by or q.group_exprs:
+            derived = (
+                {a.alias for a in aggregates}
+                | {al for _, al in select_exprs}
+                | {al for _, al in q.group_exprs}
+            )
+            keys = set(q.group_by) | {al for _, al in q.group_exprs}
+            if q.post_values is not None:
+                # trailing-VALUES vars join AFTER aggregation
+                # (§18.2.4.6) — they are in scope for projection
+                keys |= set(q.post_values.names)
+            for v in variables:
+                if v not in derived and v not in keys:
+                    raise SparqlError(
+                        f"variable ?{v} is projected but neither grouped "
+                        "nor aggregated"
+                    )
         return q
 
     def _parse_dataset_clauses(self):

@@ -46,6 +46,29 @@ CASES = [
     # BigInt→f64 coercion)
     (f"SELECT (?x * 1e0 AS ?a) {{ VALUES ?x {{ {BIG} }} }}",
      '"1e40"^^<http://www.w3.org/2001/XMLSchema#double>', "big times double"),
+    # --- mixed big∘decimal (r4: BigDecimal plane, exact) ---------------
+    (f"SELECT (?x + 0.5 AS ?a) {{ VALUES ?x {{ {BIG} }} }}",
+     f'"{BIG}.5{XD}', "big plus dec"),
+    (f"SELECT (?x * 2.0 AS ?a) {{ VALUES ?x {{ {BIG} }} }}",
+     '"1' + "9" * 39 + "8.0" + XD, "big times dec"),
+    (f"SELECT (CEIL(?x + 0.5) AS ?a) {{ VALUES ?x {{ {BIG} }} }}",
+     '"1' + "0" * 40 + ".0" + XD, "ceil big dec"),
+    (f"SELECT (FLOOR(?x + 0.5) AS ?a) {{ VALUES ?x {{ {BIG} }} }}",
+     f'"{BIG}.0{XD}', "floor big dec"),
+    (f"SELECT (ROUND(?x + 0.5) AS ?a) {{ VALUES ?x {{ {BIG} }} }}",
+     '"1' + "0" * 40 + ".0" + XD, "round big dec"),
+    (f"SELECT (ABS(0.25 - ?x) AS ?a) {{ VALUES ?x {{ {BIG} }} }}",
+     '"' + "9" * 39 + "8.75" + XD, "abs big dec"),
+    # big/int division is exact (not 50-digit-truncated) when it
+    # terminates
+    (f"SELECT (?x / 4 AS ?a) {{ VALUES ?x {{ {BIG} }} }}",
+     '"24' + "9" * 38 + ".75" + XD, "big div int"),
+    # >10 fraction digits: the decimal(38,10) plane would silently
+    # round — the big plane keeps them exact
+    ("SELECT (?x + 0.123456789012345 AS ?a) { VALUES ?x { 0.1 } }",
+     '"0.223456789012345' + XD, "hi-scale add"),
+    ('SELECT ("0.12345678901234567890"^^xsd:decimal + 0 AS ?a) {}',
+     '"0.1234567890123456789' + XD, "hi-scale literal"),
 ]
 
 
@@ -73,3 +96,87 @@ def test_bigop_masked_inputs_stay_null(unit):
         "SELECT (?x * ?y AS ?a) { VALUES (?x ?y) { (6 7) (-2 3) } }",
     ).collect()
     assert sorted(r["a"] for r in got) == ['"-6' + XI, '"42' + XI]
+
+
+# --- exact comparisons / ordering (the double plane is 53-bit) -----------
+
+P53A, P53B = str(2**53 + 1), str(2**53 + 2)  # equal as doubles
+
+
+COMPARE_CASES = [
+    (f"ASK {{ FILTER({P53A} = {P53B}) }}", False, "exact eq 2^53"),
+    (f"ASK {{ FILTER({P53A} != {P53B}) }}", True, "exact neq 2^53"),
+    (f"ASK {{ FILTER({P53A} < {P53B}) }}", True, "exact lt 2^53"),
+    (f"ASK {{ FILTER({BIG} = {BIG}) }}", True, "exact eq 40dig"),
+    (f"ASK {{ FILTER(-{BIG} < -{P53A}) }}", True, "negative magnitude"),
+    (f"ASK {{ FILTER(-{P53A} < {P53A}) }}", True, "sign split"),
+    (f"ASK {{ FILTER(9 < 10) }}", True, "digit count"),
+    (f"ASK {{ FILTER(\"0{P53A}\"^^xsd:integer = {P53A}) }}", True,
+     "leading zeros eq"),
+    # cross-type int/decimal equality still works by (double) value
+    ("ASK { FILTER(1 = 1.0) }", True, "int dec eq"),
+]
+
+
+@pytest.mark.parametrize("q,exp,name", COMPARE_CASES, ids=[c[2] for c in COMPARE_CASES])
+def test_exact_int_compare(unit, q, exp, name):
+    got = query(unit, "PREFIX xsd: <http://www.w3.org/2001/XMLSchema#> " + q)
+    assert got is exp or got == exp, name
+
+
+def test_min_max_order_exact(unit):
+    vals = f"{P53A} {P53B} -{BIG} {BIG}"
+    got = query(
+        unit,
+        f"SELECT (MIN(?x) AS ?lo) (MAX(?x) AS ?hi) {{ VALUES ?x {{ {vals} }} }}",
+    ).collect()
+    assert got[0]["lo"] == f'"-{BIG}{XI}'
+    assert got[0]["hi"] == f'"{BIG}{XI}'
+    ordered = query(
+        unit,
+        f"SELECT ?x {{ VALUES ?x {{ {P53B} {BIG} {P53A} }} }} ORDER BY ?x",
+    ).collect()
+    assert [r["x"] for r in ordered] == [
+        f'"{P53A}{XI}', f'"{P53B}{XI}', f'"{BIG}{XI}',
+    ]
+
+
+# --- exact SUM/AVG at any width (r4: distributed limb plane) --------------
+
+AGG_CASES = [
+    (f"SELECT (SUM(?x) AS ?a) {{ VALUES ?x {{ {BIG} 1 }} }}",
+     '"1' + "0" * 40 + XI, "sum big"),
+    (f"SELECT (SUM(?x) AS ?a) {{ VALUES ?x {{ {BIG} {BIG} }} }}",
+     '"1' + "9" * 39 + "8" + XI, "sum two bigs"),
+    (f"SELECT (SUM(?x) AS ?a) {{ VALUES ?x {{ -{BIG} 1 }} }}",
+     '"-' + "9" * 39 + "8" + XI, "sum neg big"),
+    (f"SELECT (AVG(?x) AS ?a) {{ VALUES ?x {{ {BIG} 1 }} }}",
+     '"5' + "0" * 39 + ".0" + XD, "avg big"),
+    (f"SELECT (SUM(?x) AS ?a) {{ VALUES ?x {{ {BIG} 0.5 }} }}",
+     f'"{BIG}.5{XD}', "sum big plus dec"),
+    ("SELECT (SUM(?x) AS ?a) { VALUES ?x { 0.123456789012345 0.1 } }",
+     '"0.223456789012345' + XD, "sum hi-scale exact"),
+    (f"SELECT (SUM(DISTINCT ?x) AS ?a) {{ VALUES ?x {{ {BIG} {BIG} 1 }} }}",
+     '"1' + "0" * 40 + XI, "sum distinct big"),
+    (f"SELECT (AVG(DISTINCT ?x) AS ?a) {{ VALUES ?x {{ {BIG} {BIG} 1 }} }}",
+     '"5' + "0" * 39 + ".0" + XD, "avg distinct big"),
+    # the small fast path is unchanged (pure-JVM limb recombination)
+    ("SELECT (SUM(?x) AS ?a) { VALUES ?x { 1 2 3 } }", '"6' + XI, "sum small"),
+    ("SELECT (SUM(?x) AS ?a) { VALUES ?x { -5 2 } }", '"-3' + XI, "sum negative"),
+    ("SELECT (AVG(?x) AS ?a) { VALUES ?x { 1 2 } }", '"1.5' + XD, "avg small"),
+    ("SELECT (SUM(?x) AS ?a) { VALUES ?x { 2.5 1 } }", '"3.5' + XD, "sum mixed"),
+    # float/double inputs stay on the IEEE plane
+    ("SELECT (SUM(?x) AS ?a) { VALUES ?x { 1e0 2 } }",
+     '"3e0"^^<http://www.w3.org/2001/XMLSchema#double>', "sum double"),
+    # error-poisoning is unaffected
+    ('SELECT (SUM(?x) AS ?a) { VALUES ?x { 1 "a" } }', None, "sum poison"),
+]
+
+
+@pytest.mark.parametrize("q,exp,name", AGG_CASES, ids=[c[2] for c in AGG_CASES])
+def test_bignum_aggregates(unit, q, exp, name):
+    got = query(
+        unit, "PREFIX xsd: <http://www.w3.org/2001/XMLSchema#> " + q
+    ).collect()
+    assert len(got) == 1
+    assert got[0]["a"] == exp, name
