@@ -319,7 +319,10 @@ def decimal_lexical(dec: Column) -> Column:
     """`dec2string` (value.rs:239-246): normalized, with a mandatory
     fraction digit — Decimal(3) → "3.0", Decimal(1.60) → "1.6"."""
     s = F.regexp_replace(dec.cast("string"), r"(\.\d*?)0+$", "$1")
-    return F.regexp_replace(s, r"\.$", ".0")
+    s = F.regexp_replace(s, r"\.$", ".0")
+    # a scale-0 decimal (e.g. F.round's return type) stringifies with
+    # no point at all — the mandatory fraction digit still applies
+    return F.when(s.contains("."), s).otherwise(F.concat(s, F.lit(".0")))
 
 
 def double_e_lexical(d: Column) -> Column:

@@ -39,6 +39,7 @@ is exact: simple ≡ xsd:string).  Remaining deviation: integers beyond
 
 from __future__ import annotations
 
+import re
 import threading
 from typing import List, Optional, Union
 
@@ -362,7 +363,7 @@ def _typed_expr(e: A.Expr, df: DataFrame, binder: Optional[_TmpBinder] = None):
             "ABS": F.abs,
             "CEIL": lambda c: F.ceil(c).cast("decimal(38,10)"),
             "FLOOR": lambda c: F.floor(c).cast("decimal(38,10)"),
-            "ROUND": lambda c: F.round(c, 0),
+            "ROUND": lambda c: F.round(c, 0).cast("decimal(38,10)"),
         }[fn]
         op_dbl = {
             "ABS": F.abs,
@@ -916,7 +917,7 @@ def _call(
             "ABS": F.abs,
             "CEIL": lambda c: F.ceil(c).cast("decimal(38,10)"),
             "FLOOR": lambda c: F.floor(c).cast("decimal(38,10)"),
-            "ROUND": lambda c: F.round(c, 0),
+            "ROUND": lambda c: F.round(c, 0).cast("decimal(38,10)"),
         }[fn]
         op_dbl = {
             "ABS": F.abs,
@@ -937,8 +938,17 @@ def _call(
     if fn == "COALESCE":
         return F.coalesce(*cols)
     if fn == "IF":
-        # condition is EBV of the (possibly boolean-term) value
-        return F.when(_ebv_any(cols[0]), cols[1]).otherwise(cols[2])
+        # condition is EBV of the (possibly boolean-term) value; an
+        # ERROR condition makes the whole IF an error (17.4.1.2) — it
+        # does NOT fall through to the else branch
+        eb = _ebv_any(cols[0])
+        if binder is not None:
+            eb = binder.bind(eb)
+        return (
+            F.when(eb, cols[1])
+            .when(~eb, cols[2])
+            .otherwise(F.lit(None).cast("string"))
+        )
     if fn == "MD5":
         return F.md5(xs(cols[0]).cast("binary"))
     if fn == "SHA1":
@@ -950,14 +960,26 @@ def _call(
         # arg must BE an xsd:dateTime literal (as_xsd_date_time,
         # expression.rs:482-492) — a dateTime-shaped plain string or
         # xsd:date errors
+        # field access reads the LITERAL'S OWN clock (chrono
+        # DateTime<FixedOffset> accessors, `value/_xsd_date_time.rs:
+        # 265-281`): hours("…T14:45:13-05:00") = 14, NOT the
+        # session-timezone instant — so the fields come from the
+        # lexical; the timestamp cast is only the validity probe
+        # (rejects 2023-02-29 etc.)
         cdt = cols[0].cast("string")
-        ts = F.when(
-            FN.datatype(cdt) == f"{_XSD_NS}dateTime", FN.lex(cdt)
-        ).try_cast("timestamp")
-        return FN.int_term({
-            "YEAR": F.year, "MONTH": F.month, "DAY": F.dayofmonth,
-            "HOURS": F.hour, "MINUTES": F.minute,
-        }[fn](ts))
+        lexs = F.when(FN.datatype(cdt) == f"{_XSD_NS}dateTime", FN.lex(cdt))
+        valid = lexs.try_cast("timestamp").isNotNull()
+        pat = {
+            "YEAR": r"^(-?\d{4,})-",
+            "MONTH": r"^-?\d{4,}-(\d\d)-",
+            "DAY": r"^-?\d{4,}-\d\d-(\d\d)T",
+            "HOURS": r"T(\d\d):",
+            "MINUTES": r"T\d\d:(\d\d):",
+        }[fn]
+        fld = F.regexp_extract(lexs, pat, 1)
+        return FN.int_term(
+            F.when(valid & (fld != ""), fld).cast("int")
+        )
     if fn == "SECONDS":
         # xsd:decimal, fraction preserved — taken from the LEXICAL
         # seconds field (F.second truncates sub-second digits); arg
@@ -1165,8 +1187,197 @@ def _query_now_literal() -> str:
 # ---------------------------------------------------------------------------
 
 
-def _eval_group(ctx: _Ctx, g: A.Group):
-    """Evaluate a group → ``(bindings DataFrame, maybe_unbound vars)``.
+def _subst_vars(e, mapping: dict):
+    """Substitute variables in an expression tree (used to recompile an
+    OPTIONAL's filter against the MERGED LeftJoin domain, where the
+    right side's columns are temporarily renamed)."""
+    if not isinstance(e, A.Expr):
+        return e
+    if e.op == "var":
+        return mapping.get(e.args[0], e)
+    if e.op in ("exists", "not_exists"):
+        return e  # pattern scope — never substituted
+
+    def walk(x):
+        if isinstance(x, A.Expr):
+            return _subst_vars(x, mapping)
+        if isinstance(x, (tuple, list)):
+            return tuple(walk(y) for y in x)
+        return x
+
+    return A.Expr(e.op, tuple(walk(a) for a in e.args))
+
+
+def _contains_exists(e) -> bool:
+    if not isinstance(e, A.Expr):
+        return False
+    if e.op in ("exists", "not_exists"):
+        return True
+
+    def any_in(x):
+        if isinstance(x, A.Expr):
+            return _contains_exists(x)
+        if isinstance(x, (tuple, list)):
+            return any(any_in(y) for y in x)
+        return False
+
+    return any(any_in(a) for a in e.args)
+
+
+class _JoinBinder:
+    """A :class:`_TmpBinder` for JOIN CONDITIONS: each bound coercion
+    view is materialized as a hidden column on whichever join SIDE it
+    references (the sides' columns are pre-renamed ``#l_*`` / ``#r_*``,
+    so a substring probe on the unresolved expression is a reliable
+    router).  Views that straddle both sides (comparisons over a
+    maybe-unbound SHARED var, whose merged value is COALESCE(l, r))
+    stay inline — only those can still grow the generated code."""
+
+    def __init__(self, left: DataFrame, right: DataFrame):
+        self.left, self.right = left, right
+        self._memo: dict = {}
+        self._side: dict = {}  # temp name → "l" | "r"
+
+    def bind(self, col: Column) -> Column:
+        try:
+            key = str(col._jc)
+        except Exception:
+            return col
+        if key in self._memo:
+            return F.col(self._memo[key])
+        refs_l, refs_r = "#l_" in key, "#r_" in key
+        # a view built on top of an earlier bound view references that
+        # temp, not the side's columns — inherit the temp's side
+        for t in re.findall(r"#tmp\d+", key):
+            side = self._side.get(t)
+            if side == "l":
+                refs_l = True
+            elif side == "r":
+                refs_r = True
+        if refs_l and refs_r:
+            return col
+        _TmpBinder._counter += 1
+        name = f"#tmp{_TmpBinder._counter}"
+        if refs_r:
+            self.right = self.right.withColumn(name, _opaque(col))
+            self._side[name] = "r"
+        else:
+            self.left = self.left.withColumn(name, _opaque(col))
+            self._side[name] = "l"
+        self._memo[key] = name
+        return F.col(name)
+
+
+def _optional_cond(
+    ctx: _Ctx,
+    left: DataFrame,
+    right: DataFrame,
+    fexprs: List[A.Expr],
+    nullable,
+) -> DataFrame:
+    """LeftJoin(left, right, expr) with the expression in the JOIN
+    CONDITION evaluated over the MERGED solution (sparql11-query
+    18.2.2.5 / `sparql/src/exec.rs:520-551`): a filter at the top level
+    of an OPTIONAL group sees the variables of the LEFT side too —
+    ``?s :age ?a OPTIONAL { ?s :mbox ?m FILTER(?a > 27) }`` keeps the
+    mbox binding only where the OUTER ?a passes (the dawg
+    ``optional-filter`` cases).  Both sides' columns are renamed
+    (``#l_*`` / ``#r_*``) so the condition compiles against unambiguous
+    names and its coercion views can be bound per side (codegen stays
+    under janino's method limit); the shared-var equalities remain
+    plain column equalities, so Catalyst still extracts equi-join keys
+    (hash join, no cartesian).  A condition error counts as false
+    (left row kept, right side unbound)."""
+    shared = [c for c in left.columns if c in right.columns]
+    compat = set(shared) & set(nullable)
+    lcols, rcols = list(left.columns), list(right.columns)
+    l2 = left.withColumnsRenamed({c: "#l_" + c for c in lcols})
+    r2 = right.withColumnsRenamed({c: "#r_" + c for c in rcols})
+    mapping = {}
+    for v in set(lcols) | set(rcols):
+        if v in compat:
+            mapping[v] = A.Expr(
+                "call",
+                (
+                    "COALESCE",
+                    (
+                        A.Expr("var", ("#l_" + v,)),
+                        A.Expr("var", ("#r_" + v,)),
+                    ),
+                ),
+            )
+        elif v in lcols:  # left-only, or certain-bound shared (equal)
+            mapping[v] = A.Expr("var", ("#l_" + v,))
+        else:
+            mapping[v] = A.Expr("var", ("#r_" + v,))
+    binder = _JoinBinder(l2, r2)
+    stand_in = l2.limit(0).crossJoin(r2.limit(0))
+    cond = None
+    for fe in fexprs:
+        c = _bool(_subst_vars(fe, mapping), stand_in, ctx.scoped(), binder)
+        cond = c if cond is None else (cond & c)
+    jcond = F.coalesce(cond, F.lit(False))
+    for c in shared:
+        lc, rc = F.col("#l_" + c), F.col("#r_" + c)
+        if c in compat:
+            jcond = jcond & (lc.isNull() | rc.isNull() | (lc == rc))
+        else:
+            jcond = jcond & (lc == rc)
+    out = binder.left.join(binder.right, jcond, "left_outer")
+    keep = [
+        (
+            F.coalesce(F.col("#l_" + c), F.col("#r_" + c)).alias(c)
+            if c in compat
+            else F.col("#l_" + c).alias(c)
+        )
+        for c in lcols
+    ] + [F.col("#r_" + c).alias(c) for c in rcols if c not in shared]
+    return out.select(*keep)
+
+
+def _expr_vars(e) -> set:
+    """Free variables of an expression.  EXISTS/NOT EXISTS subpatterns
+    are excluded — they are pattern-scoped and never substituted."""
+    out: set = set()
+    if not isinstance(e, A.Expr):
+        return out
+    if e.op == "var":
+        out.add(e.args[0])
+        return out
+    if e.op in ("exists", "not_exists"):
+        return out
+
+    def walk(x):
+        if isinstance(x, A.Expr):
+            out.update(_expr_vars(x))
+        elif isinstance(x, (tuple, list)):
+            for y in x:
+                walk(y)
+
+    for a in e.args:
+        walk(a)
+    return out
+
+
+def _apply_filters(ctx: _Ctx, df: DataFrame, filters) -> DataFrame:
+    for fe in filters:
+        if fe.op in ("exists", "not_exists"):
+            sub, _sm = _eval_group(ctx, fe.args[0])
+            df = B.exists_filter(df, sub, negated=(fe.op == "not_exists"))
+        else:
+            b = _TmpBinder(df)
+            cond = _bool(fe, b.df, ctx.scoped(), b)
+            df = b.df.filter(F.coalesce(cond, F.lit(False)))  # error → drop
+            if b.names:
+                df = df.drop(*b.names)
+    return df
+
+
+def _eval_group(ctx: _Ctx, g: A.Group, defer_filters: bool = False):
+    """Evaluate a group → ``(bindings DataFrame, maybe_unbound vars)``
+    (or, with ``defer_filters``, a 3-tuple that additionally carries the
+    group's top-level FILTER expressions UNAPPLIED — the OPTIONAL caller
+    folds them into its LeftJoin condition per sparql11-query 18.2.2.5).
 
     ``maybe_unbound`` tracks which columns can be NULL (UNDEF in VALUES,
     the optional side of OPTIONAL, asymmetric UNION branches, BIND):
@@ -1200,9 +1411,29 @@ def _eval_group(ctx: _Ctx, g: A.Group):
         elif isinstance(el, A.Filter):
             filters.append(el.expr)
         elif isinstance(el, A.Optional_):
-            right, rmaybe = _eval_group(ctx, el.group)
+            right, rmaybe, rfilters = _eval_group(
+                ctx, el.group, defer_filters=True
+            )
             base = df if df is not None else _unit(spark)
-            df = B.optional(base, right, nullable=maybe | rmaybe)
+            basecols = set(base.columns)
+            # a top-level filter of the OPTIONAL group belongs in the
+            # LeftJoin CONDITION (18.2.2.5) — it sees the merged
+            # domain, i.e. outer variables too.  Filters that mention
+            # no outer variable are equivalent applied to the right
+            # side pre-join (cheaper: keeps the plain equi-join path);
+            # EXISTS filters stay on the right side (pattern-scoped).
+            local, defer = [], []
+            for fe in rfilters:
+                if _contains_exists(fe) or not (_expr_vars(fe) & basecols):
+                    local.append(fe)
+                else:
+                    defer.append(fe)
+            if local:
+                right = _apply_filters(ctx, right, local)
+            if defer:
+                df = _optional_cond(ctx, base, right, defer, maybe | rmaybe)
+            else:
+                df = B.optional(base, right, nullable=maybe | rmaybe)
             maybe |= (set(right.columns) - set(base.columns)) | rmaybe
         elif isinstance(el, A.Minus):
             right, rm = _eval_group(ctx, el.group)
@@ -1260,17 +1491,9 @@ def _eval_group(ctx: _Ctx, g: A.Group):
 
     if df is None:
         df = _unit(spark)
-    for fe in filters:
-        if fe.op in ("exists", "not_exists"):
-            sub, _sm = _eval_group(ctx, fe.args[0])
-            df = B.exists_filter(df, sub, negated=(fe.op == "not_exists"))
-        else:
-            b = _TmpBinder(df)
-            cond = _bool(fe, b.df, ctx.scoped(), b)
-            df = b.df.filter(F.coalesce(cond, F.lit(False)))  # error → drop
-            if b.names:
-                df = df.drop(*b.names)
-    return df, maybe
+    if defer_filters:
+        return df, maybe, filters
+    return _apply_filters(ctx, df, filters), maybe
 
 
 def _unit(spark) -> DataFrame:

@@ -189,6 +189,14 @@ def test_comparison_codegen_no_fallback(spark):
             FILTER(?v1 = ?v2 || ?v1 < ?v2 || ?v1 > "0" && ?v2 >= "1") }""", 2),
         ('SELECT ?s { ?s ?p ?o FILTER(STRLEN(?o) > 0 && ?o != "x" '
          '&& SUBSTR(?o,1,1) < "5") }', 3),
+        # OPTIONAL whose filter references an OUTER var compiles the
+        # expression into the LeftJoin CONDITION (_optional_cond) —
+        # its per-side coercion views must bind as hidden columns
+        # (_JoinBinder) to stay under the janino method limit
+        ("""SELECT ?s WHERE { ?s ?pp ?oo .
+            OPTIONAL { ?s <x:p> ?v1 FILTER(?oo = ?v1 || ?oo < ?v1) } }""", 3),
+        ("""SELECT ?s WHERE { ?s <x:p> ?o .
+            OPTIONAL { ?s <x:q> ?v1 FILTER(STRLEN(?o) > 0 && ?v1 >= ?o) } }""", 2),
     ]
     prev = spark.conf.get("spark.sql.codegen.fallback", "true")
     spark.conf.set("spark.sql.codegen.fallback", "false")

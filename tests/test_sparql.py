@@ -837,3 +837,127 @@ def test_collection_pattern_sugar(spark):
     assert [r["s"] for r in query(t, "SELECT ?s { ?s <x:vals> () }").collect()] == ["<x:b>"]
     got = query(t, "SELECT ?v { ?s <x:vals> (?v 2) }").collect()
     assert [r["v"] for r in got] == [f'"1"^^<{XSDI}>']
+
+
+class TestOptionalFilterScope:
+    """FILTER at the top level of an OPTIONAL group is the LeftJoin
+    EXPRESSION (sparql11-query 18.2.2.5, the dawg ``optional-filter``
+    family; `sparql/src/exec.rs:520-551`): it is evaluated over the
+    MERGED solution, so it sees variables bound by the LEFT side."""
+
+    @pytest.fixture(scope="class")
+    def people(self, spark):
+        NS = "http://example.org/ns/"
+        rows = [
+            (f"<{NS}alice>", f"<{NS}age>", f'"30"^^<{XSD}integer>', None),
+            (f"<{NS}alice>", f"<{NS}mbox>", '"alice@x"', None),
+            (f"<{NS}alice>", f"<{NS}nick>", '"ali"', None),
+            (f"<{NS}bob>", f"<{NS}age>", f'"20"^^<{XSD}integer>', None),
+            (f"<{NS}bob>", f"<{NS}mbox>", '"bob@x"', None),
+            (f"<{NS}carol>", f"<{NS}age>", f'"40"^^<{XSD}integer>', None),
+        ]
+        df = spark.createDataFrame(rows, "s string, p string, o string, g string")
+        df.cache().count()
+        yield df
+        df.unpersist()
+
+    def test_outer_var_in_optional_filter(self, people):
+        # dawg-optional-filter-005 shape: the condition references ?a
+        # bound OUTSIDE the optional group — alice (30>25) keeps her
+        # mbox; bob (20) and carol (no mbox) get unbound
+        got = query(
+            people,
+            PFX + "SELECT ?s ?m { ?s :age ?a"
+            "  OPTIONAL { ?s :mbox ?m FILTER(?a > 25) } }",
+        )
+        vals = dict(rows_of(got))
+        assert vals["<http://example.org/ns/alice>"] == '"alice@x"'
+        assert vals["<http://example.org/ns/bob>"] is None
+        assert vals["<http://example.org/ns/carol>"] is None
+
+    def test_mixed_inner_and_outer_filters(self, people):
+        got = query(
+            people,
+            PFX + "SELECT ?s ?m { ?s :age ?a OPTIONAL { ?s :mbox ?m"
+            '  FILTER(?a > 25) FILTER(STRSTARTS(?m, "a")) } }',
+        )
+        vals = dict(rows_of(got))
+        assert vals["<http://example.org/ns/alice>"] == '"alice@x"'
+        assert vals["<http://example.org/ns/bob>"] is None
+
+    def test_bound_outer_var(self, people):
+        got = query(
+            people,
+            PFX + "SELECT ?s ?m { ?s :age ?a"
+            "  OPTIONAL { ?s :mbox ?m FILTER(BOUND(?a)) } }",
+        )
+        vals = dict(rows_of(got))
+        assert vals["<http://example.org/ns/bob>"] == '"bob@x"'
+        assert vals["<http://example.org/ns/carol>"] is None
+
+    def test_condition_error_counts_as_false(self, people):
+        # ?m is a plain string: ?m > 25 is a type ERROR → false → the
+        # optional side stays unbound, the left row survives
+        got = query(
+            people,
+            PFX + "SELECT ?s ?n { ?s :mbox ?m"
+            "  OPTIONAL { ?s :nick ?n FILTER(?m > 25) } }",
+        )
+        assert [v for _, v in rows_of(got)] == [None, None]
+
+    def test_nested_optional_filter_is_level_scoped(self, people):
+        # the INNER LeftJoin's expression sees only ITS merged domain
+        # ({?s ?m} ⋈ {?s ?n}) — ?a from the outermost group is unbound
+        # there, so the condition errors and ?n stays unbound for all
+        # (strict bottom-up algebra)
+        got = query(
+            people,
+            PFX + "SELECT ?s ?m ?n { ?s :age ?a OPTIONAL { ?s :mbox ?m"
+            "  OPTIONAL { ?s :nick ?n FILTER(?a < 35) } } }",
+        )
+        assert all(n is None for _, _, n in rows_of(got))
+
+    def test_exists_filter_stays_right_side(self, people):
+        got = query(
+            people,
+            PFX + "SELECT ?s ?m { ?s :age ?a OPTIONAL { ?s :mbox ?m"
+            "  FILTER EXISTS { ?s :nick ?x } } }",
+        )
+        vals = dict(rows_of(got))
+        assert vals["<http://example.org/ns/alice>"] == '"alice@x"'
+        assert vals["<http://example.org/ns/bob>"] is None
+
+    def test_negation_by_failure(self, people):
+        got = query(
+            people,
+            PFX + "SELECT ?s { ?s :age ?a"
+            "  OPTIONAL { ?s :mbox ?m FILTER(?a > 100) }"
+            "  FILTER(!BOUND(?m)) }",
+        )
+        assert got.count() == 3
+
+
+class TestIfErrorPropagation:
+    def test_if_error_condition_is_error(self, data):
+        # IF(error, …) is an ERROR (17.4.1.2) — NOT the else branch
+        got = query(
+            data,
+            PFX + "SELECT ?s (IF(?u, 1, 2) AS ?x) { ?s :age ?a }",
+        )
+        assert all(x is None for _, x in rows_of(got))
+
+    def test_if_division_error(self, data):
+        got = query(
+            data,
+            PFX + "SELECT ?s (IF(1/0 > 0, 1, 2) AS ?x) { ?s :age ?a }",
+        )
+        assert all(x is None for _, x in rows_of(got))
+
+    def test_if_true_false_still_work(self, data):
+        got = query(
+            data,
+            PFX + "SELECT ?s (IF(?a < 10, 1, 2) AS ?x) { ?s :age ?a }",
+        )
+        vals = dict(rows_of(got))
+        assert vals["<http://example.org/ns/bob>"].startswith('"1"')
+        assert vals["<http://example.org/ns/alice>"].startswith('"2"')

@@ -1,0 +1,598 @@
+"""Vendored subset of the W3C SPARQL 1.1 Query EVALUATION test suite
+(w3c/rdf-tests sparql/sparql11/), complementing the syntax-only suite in
+``test_sparql_syntax_suite.py``.  The reference treats the W3C suites as
+its conformance yardstick (`/root/reference/README.md:104-105`); this
+sandbox has no network, so each case below is re-authored from the
+public suite structure: upstream test NAME, inline Turtle/TriG data, the
+query, and the expected solution sequence in our canonical term-string
+format (``<iri>``, ``"lex"``, ``"lex"@lang``, ``"lex"^^<dt>``).
+
+Bindings are compared as BAGS (order-insensitive multisets) unless the
+case is marked ``ordered`` (ORDER BY tests).  Cases whose results would
+contain fresh blank nodes are avoided — bnode isomorphism is covered by
+``operators/c14n.py`` tests.
+"""
+
+import pytest
+
+from sophia_rs_spark.sources.turtle import parse_turtle_document
+from sophia_rs_spark.sparql import query
+
+XSD = "http://www.w3.org/2001/XMLSchema#"
+INT = f"^^<{XSD}integer>"
+DEC = f"^^<{XSD}decimal>"
+DBL = f"^^<{XSD}double>"
+STR = f"^^<{XSD}string>"
+BOOL = f"^^<{XSD}boolean>"
+DT = f"^^<{XSD}dateTime>"
+DUR = f"^^<{XSD}dayTimeDuration>"
+
+PFX = (
+    "PREFIX : <http://example.org/>\n"
+    "PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>\n"
+)
+TTL_PFX = "@prefix : <http://example.org/> .\n@prefix xsd: <http://www.w3.org/2001/XMLSchema#> .\n"
+
+
+def _load(spark, ttl, quads=False):
+    rows = parse_turtle_document(
+        "http://example.org/", TTL_PFX + ttl, quads=quads, preserve_bn_labels=True
+    )
+    bad = [r for r in rows if r[5] is not None]
+    assert not bad, f"fixture Turtle failed to parse: {bad}"
+    data = [(r[1], r[2], r[3], r[4]) for r in rows]
+    return spark.createDataFrame(data, "s string, p string, o string, g string")
+
+
+def _bag(df, cols):
+    return sorted(
+        tuple(r[c] if c in df.columns else None for c in cols)
+        for r in df.collect()
+    )
+
+
+def _rows(expected):
+    """expected: list of dicts var→term-string (None = unbound)."""
+    cols = sorted({k for d in expected for k in d})
+    return cols, sorted(tuple(d.get(c) for c in cols) for d in expected)
+
+
+def check(spark, ttl, q, expected, *, quads=False, ordered=False):
+    df = _load(spark, ttl, quads=quads)
+    got = query(df, PFX + q)
+    if isinstance(expected, bool):
+        assert got is expected
+        return
+    if not expected:
+        assert got.count() == 0
+        return
+    cols, want = _rows(expected)
+    assert sorted(got.columns) == cols, (sorted(got.columns), cols)
+    if ordered:
+        want = [tuple(d.get(c) for c in cols) for d in expected]
+        have = [tuple(r[c] for c in cols) for r in got.collect()]
+        assert have == want, (have, want)
+    else:
+        assert _bag(got, cols) == want, (_bag(got, cols), want)
+
+
+# ---------------------------------------------------------------------------
+# aggregates/ — agg01..agg08, per-function, error and empty-group cases
+# ---------------------------------------------------------------------------
+
+AGG_DATA = """\
+:s1 :p "1"^^xsd:integer , "2"^^xsd:integer .
+:s2 :p "3"^^xsd:integer .
+"""
+
+
+class TestAggregates:
+    def test_agg01_count_star_group(self, spark):
+        check(
+            spark,
+            AGG_DATA,
+            "SELECT ?s (COUNT(*) AS ?count) WHERE { ?s :p ?o } GROUP BY ?s",
+            [
+                {"s": "<http://example.org/s1>", "count": f'"2"{INT}'},
+                {"s": "<http://example.org/s2>", "count": f'"1"{INT}'},
+            ],
+        )
+
+    def test_agg04_count_star_no_group(self, spark):
+        check(
+            spark,
+            AGG_DATA,
+            "SELECT (COUNT(*) AS ?c) WHERE { ?s ?p ?o }",
+            [{"c": f'"3"{INT}'}],
+        )
+
+    def test_count_star_empty_is_zero(self, spark):
+        check(
+            spark,
+            AGG_DATA,
+            "SELECT (COUNT(*) AS ?c) WHERE { ?s :none ?o }",
+            [{"c": f'"0"{INT}'}],
+        )
+
+    def test_empty_group_by_yields_no_rows(self, spark):
+        check(
+            spark,
+            AGG_DATA,
+            "SELECT ?s (COUNT(*) AS ?c) WHERE { ?s :none ?o } GROUP BY ?s",
+            [],
+        )
+
+    def test_sum_empty_is_integer_zero(self, spark):
+        # 18.5.1.5: Sum({}) = "0"^^xsd:integer
+        check(
+            spark,
+            AGG_DATA,
+            "SELECT (SUM(?o) AS ?c) WHERE { ?s :none ?o }",
+            [{"c": f'"0"{INT}'}],
+        )
+
+    def test_min_empty_is_error_unbound(self, spark):
+        # Min({}) is an error → variable stays unbound in the solution
+        check(
+            spark,
+            AGG_DATA,
+            "SELECT (MIN(?o) AS ?c) WHERE { ?s :none ?o }",
+            [{"c": None}],
+        )
+
+    def test_agg_sum_01(self, spark):
+        check(
+            spark,
+            AGG_DATA,
+            "SELECT (SUM(?o) AS ?sum) WHERE { ?s :p ?o }",
+            [{"sum": f'"6"{INT}'}],
+        )
+
+    def test_agg_sum_mixed_promotes_decimal(self, spark):
+        check(
+            spark,
+            ':s :n "1"^^xsd:integer , "2.5"^^xsd:decimal .',
+            "SELECT (SUM(?o) AS ?sum) WHERE { ?s :n ?o }",
+            [{"sum": f'"3.5"{DEC}'}],
+        )
+
+    def test_agg_avg_01(self, spark):
+        check(
+            spark,
+            ':s :n "1"^^xsd:integer , "2"^^xsd:integer .',
+            "SELECT (AVG(?o) AS ?avg) WHERE { ?s :n ?o }",
+            [{"avg": f'"1.5"{DEC}'}],
+        )
+
+    def test_agg_min_max_mixed_numeric(self, spark):
+        # value order across numeric types; result is the ORIGINAL term
+        check(
+            spark,
+            ':s :n "1"^^xsd:integer , "0.5"^^xsd:decimal , "3"^^xsd:integer .',
+            "SELECT (MIN(?o) AS ?mn) (MAX(?o) AS ?mx) WHERE { ?s :n ?o }",
+            [{"mn": f'"0.5"{DEC}', "mx": f'"3"{INT}'}],
+        )
+
+    def test_agg_groupconcat_separator(self, spark):
+        check(
+            spark,
+            ':s :q "a" . :s :r "b" .',
+            'SELECT (GROUP_CONCAT(?o; SEPARATOR="|") AS ?g) '
+            "WHERE { ?s ?p ?o } ",
+            [{"g": '"a|b"'}],
+        )
+
+    def test_agg_err_propagates_to_unbound(self, spark):
+        # aggregates/agg-err-01 family: SUM over a non-numeric → error
+        check(
+            spark,
+            ':s :n "1"^^xsd:integer , "zap" .',
+            "SELECT (SUM(?o) AS ?sum) WHERE { ?s :n ?o }",
+            [{"sum": None}],
+        )
+
+    def test_count_var_skips_unbound(self, spark):
+        check(
+            spark,
+            ':a :p "1"^^xsd:integer . :b :q "x" .',
+            "SELECT (COUNT(?v) AS ?c) WHERE { ?s ?p ?o OPTIONAL { ?s :p ?v } }",
+            [{"c": f'"1"{INT}'}],
+        )
+
+
+# ---------------------------------------------------------------------------
+# negation/ — EXISTS / NOT EXISTS / MINUS
+# ---------------------------------------------------------------------------
+
+NEG_DATA = """\
+:alice a :Person ; :name "Alice" .
+:bob a :Person ; :name "Bob" ; :email "bob@work" .
+:carol a :Person .
+"""
+
+
+class TestNegation:
+    def test_exists_01(self, spark):
+        check(
+            spark,
+            NEG_DATA,
+            "SELECT ?s WHERE { ?s a :Person FILTER EXISTS { ?s :name ?n } }",
+            [{"s": "<http://example.org/alice>"}, {"s": "<http://example.org/bob>"}],
+        )
+
+    def test_subset_by_exclusion_nex_1(self, spark):
+        check(
+            spark,
+            NEG_DATA,
+            "SELECT ?s WHERE { ?s a :Person FILTER NOT EXISTS { ?s :email ?e } }",
+            [{"s": "<http://example.org/alice>"}, {"s": "<http://example.org/carol>"}],
+        )
+
+    def test_minus_full_minuend(self, spark):
+        check(
+            spark,
+            NEG_DATA,
+            "SELECT ?s WHERE { ?s a :Person MINUS { ?s :email ?e } }",
+            [{"s": "<http://example.org/alice>"}, {"s": "<http://example.org/carol>"}],
+        )
+
+    def test_minus_disjoint_domain_removes_nothing(self, spark):
+        # negation/subtraction with no shared variable: nothing removed
+        check(
+            spark,
+            NEG_DATA,
+            "SELECT ?s WHERE { ?s a :Person MINUS { ?x :email ?e } }",
+            [
+                {"s": "<http://example.org/alice>"},
+                {"s": "<http://example.org/bob>"},
+                {"s": "<http://example.org/carol>"},
+            ],
+        )
+
+
+# ---------------------------------------------------------------------------
+# bind/ + bindings/ (VALUES)
+# ---------------------------------------------------------------------------
+
+
+class TestBindValues:
+    def test_bind01(self, spark):
+        check(
+            spark,
+            ':s :p "1"^^xsd:integer .',
+            "SELECT ?z WHERE { ?s :p ?o . BIND(?o + 10 AS ?z) }",
+            [{"z": f'"11"{INT}'}],
+        )
+
+    def test_bind_then_filter(self, spark):
+        check(
+            spark,
+            ':s :p "1"^^xsd:integer , "5"^^xsd:integer .',
+            "SELECT ?z WHERE { ?s :p ?o . BIND(?o + 10 AS ?z) FILTER(?z > 12) }",
+            [{"z": f'"15"{INT}'}],
+        )
+
+    def test_inline01_values_post_pattern(self, spark):
+        check(
+            spark,
+            ':a :p "1"^^xsd:integer . :b :p "2"^^xsd:integer .',
+            "SELECT ?s ?o WHERE { ?s :p ?o } VALUES ?s { :a }",
+            [{"s": "<http://example.org/a>", "o": f'"1"{INT}'}],
+        )
+
+    def test_inline02_undef(self, spark):
+        check(
+            spark,
+            ':a :p "1"^^xsd:integer . :b :p "2"^^xsd:integer .',
+            "SELECT ?s ?o WHERE { VALUES (?s ?o) { (:a UNDEF) } ?s :p ?o }",
+            [{"s": "<http://example.org/a>", "o": f'"1"{INT}'}],
+        )
+
+
+# ---------------------------------------------------------------------------
+# property-path/ — pp01.. subset
+# ---------------------------------------------------------------------------
+
+PP_DATA = """\
+:a :p1 :b . :b :p2 :c .
+:a :q :d .
+:x :r :y . :y :r :z . :z :r :x .
+"""
+
+
+class TestPropertyPaths:
+    def test_pp01_seq(self, spark):
+        check(
+            spark,
+            PP_DATA,
+            "SELECT ?v WHERE { :a :p1/:p2 ?v }",
+            [{"v": "<http://example.org/c>"}],
+        )
+
+    def test_pp03_alt(self, spark):
+        check(
+            spark,
+            PP_DATA,
+            "SELECT ?v WHERE { :a (:p1|:q) ?v }",
+            [{"v": "<http://example.org/b>"}, {"v": "<http://example.org/d>"}],
+        )
+
+    def test_pp_inverse(self, spark):
+        check(
+            spark,
+            PP_DATA,
+            "SELECT ?v WHERE { :b ^:p1 ?v }",
+            [{"v": "<http://example.org/a>"}],
+        )
+
+    def test_pp_star_cycle_distinct_nodes(self, spark):
+        # zero-or-more over the 3-cycle: each node reached exactly once
+        check(
+            spark,
+            PP_DATA,
+            "SELECT ?v WHERE { :x :r* ?v }",
+            [
+                {"v": "<http://example.org/x>"},
+                {"v": "<http://example.org/y>"},
+                {"v": "<http://example.org/z>"},
+            ],
+        )
+
+    def test_pp_plus_cycle(self, spark):
+        check(
+            spark,
+            PP_DATA,
+            "SELECT ?v WHERE { :x :r+ ?v }",
+            [
+                {"v": "<http://example.org/x>"},
+                {"v": "<http://example.org/y>"},
+                {"v": "<http://example.org/z>"},
+            ],
+        )
+
+    def test_pp_negated_property_set(self, spark):
+        check(
+            spark,
+            PP_DATA,
+            "SELECT ?v WHERE { :a !(:q) ?v }",
+            [{"v": "<http://example.org/b>"}],
+        )
+
+
+# ---------------------------------------------------------------------------
+# optional-filter/ (dawg) + optional/
+# ---------------------------------------------------------------------------
+
+OPT_DATA = """\
+:x1 :p "4"^^xsd:integer .
+:x2 :p "1"^^xsd:integer .
+:x3 :q "5"^^xsd:integer .
+"""
+
+
+class TestOptional:
+    def test_dawg_optional_001(self, spark):
+        check(
+            spark,
+            OPT_DATA,
+            "SELECT ?s ?q WHERE { ?s :p ?v OPTIONAL { ?s :q ?q } }",
+            [
+                {"s": "<http://example.org/x1>", "q": None},
+                {"s": "<http://example.org/x2>", "q": None},
+            ],
+        )
+
+    def test_dawg_optional_filter_001(self, spark):
+        # the FILTER inside the OPTIONAL references the OUTER ?v
+        check(
+            spark,
+            ':x1 :p "4"^^xsd:integer ; :q "a" .\n:x2 :p "1"^^xsd:integer ; :q "b" .',
+            "SELECT ?s ?w WHERE { ?s :p ?v OPTIONAL { ?s :q ?w FILTER(?v > 2) } }",
+            [
+                {"s": "<http://example.org/x1>", "w": '"a"'},
+                {"s": "<http://example.org/x2>", "w": None},
+            ],
+        )
+
+
+# ---------------------------------------------------------------------------
+# functions/ — string/numeric/datetime/hash builtins (the project-fn suite)
+# ---------------------------------------------------------------------------
+
+FN_ONE = ':s :p "x" .'
+
+
+def one(spark, expr, expected):
+    """Evaluate a single SELECT expression over one dummy row."""
+    check(
+        spark,
+        FN_ONE,
+        f"SELECT ({expr} AS ?out) WHERE {{ ?s :p ?o }}",
+        [{"out": expected}],
+    )
+
+
+class TestFunctions:
+    # NOTE on the value-plane convention (documented in
+    # test_fn_battery.py): computed SIMPLE-literal results surface as
+    # bare Spark strings; lang/dir-tagged and typed results surface as
+    # canonical RDF term strings.
+
+    def test_strbefore01a(self, spark):
+        one(spark, 'STRBEFORE("abc", "b")', "a")
+        one(spark, 'STRBEFORE("abc"@en, "b")', '"a"@en')
+        one(spark, 'STRBEFORE("abc", "xyz")', "")
+        one(spark, 'STRBEFORE("abc"@en, "")', '""@en')
+
+    def test_strafter01a(self, spark):
+        one(spark, 'STRAFTER("abc", "b")', "c")
+        one(spark, 'STRAFTER("abc"@en, "ab")', '"c"@en')
+        one(spark, 'STRAFTER("abc", "")', "abc")
+        one(spark, 'STRAFTER("abc", "xyz")', "")
+
+    def test_concat(self, spark):
+        one(spark, 'CONCAT("foo", "bar")', "foobar")
+        one(spark, 'CONCAT("foo"@en, "bar"@en)', '"foobar"@en')
+        one(spark, 'CONCAT("foo"@en, "bar")', "foobar")
+
+    def test_replace(self, spark):
+        one(spark, 'REPLACE("abcd", "b", "Z")', "aZcd")
+        one(spark, 'REPLACE("ab", "B", "Z", "i")', "aZ")
+
+    def test_substr(self, spark):
+        one(spark, 'SUBSTR("foobar", 4)', "bar")
+        one(spark, 'SUBSTR("foobar"@en, 4, 1)', '"b"@en')
+
+    def test_case(self, spark):
+        one(spark, 'UCASE("foo"@en)', '"FOO"@en')
+        one(spark, 'LCASE("BAR")', "bar")
+
+    def test_contains_starts_ends(self, spark):
+        one(spark, 'CONTAINS("foobar", "oba")', f'"true"{BOOL}')
+        one(spark, 'STRSTARTS("foobar"@en, "foo")', f'"true"{BOOL}')
+        one(spark, 'STRENDS("foobar"@en, "bar"@en)', f'"true"{BOOL}')
+
+    def test_if_coalesce(self, spark):
+        one(spark, "IF(1 < 2, \"yes\", \"no\")", '"yes"')
+        one(spark, 'COALESCE(?unbound, "fallback")', '"fallback"')
+
+    def test_numeric(self, spark):
+        # decimal-ranked results carry the mandatory fraction digit
+        # (`value.rs:239-246` dec2string: "11.0"); ROUND is the
+        # reference's RoundingMode::HalfUp = half AWAY FROM ZERO
+        # (`value/_number.rs:171-181`, test.rs round battery: round(-1.5)
+        # → "-2.0"), a documented deviation from XPath fn:round
+        one(spark, "ABS(-1.5)", f'"1.5"{DEC}')
+        one(spark, "CEIL(10.5)", f'"11.0"{DEC}')
+        one(spark, "FLOOR(-10.5)", f'"-11.0"{DEC}')
+        one(spark, "ROUND(2.5)", f'"3.0"{DEC}')
+        one(spark, "ROUND(-2.5)", f'"-3.0"{DEC}')
+        one(spark, "ROUND(1.4)", f'"1.0"{DEC}')
+
+    def test_numeric_promotion(self, spark):
+        one(spark, "1 + 2.5", f'"3.5"{DEC}')
+        one(spark, "3 / 2", f'"1.5"{DEC}')
+        one(spark, "1 + 1e0", f'"2e0"{DBL}')
+
+    def test_hash(self, spark):
+        one(spark, 'MD5("abc")', "900150983cd24fb0d6963f7d28e17f72")
+        one(spark, 'SHA1("abc")', "a9993e364706816aba3e25717850c26c9cd0d89d")
+
+    def test_encode_for_uri(self, spark):
+        one(spark, 'ENCODE_FOR_URI("Los Angeles")', "Los%20Angeles")
+
+    def test_strdt_strlang(self, spark):
+        one(spark, 'STRDT("123", xsd:integer)', f'"123"{INT}')
+        one(spark, 'STRLANG("chat", "en")', '"chat"@en')
+
+    def test_isnumeric(self, spark):
+        one(spark, 'ISNUMERIC("12"^^xsd:integer)', f'"true"{BOOL}')
+        one(spark, 'ISNUMERIC("12")', f'"false"{BOOL}')
+
+    def test_in_notin(self, spark):
+        one(spark, "2 IN (1, 2, 3)", f'"true"{BOOL}')
+        one(spark, "2 NOT IN (1, 3)", f'"true"{BOOL}')
+
+    def test_datetime_accessors(self, spark):
+        dt = f'"2011-01-10T14:45:13.815-05:00"{DT}'
+        one(spark, f"YEAR({dt})", f'"2011"{INT}')
+        one(spark, f"MONTH({dt})", f'"1"{INT}')
+        one(spark, f"DAY({dt})", f'"10"{INT}')
+        one(spark, f"HOURS({dt})", f'"14"{INT}')
+        one(spark, f"MINUTES({dt})", f'"45"{INT}')
+        one(spark, f"SECONDS({dt})", f'"13.815"{DEC}')
+        one(spark, f"TZ({dt})", "-05:00")
+        one(spark, f"TIMEZONE({dt})", f'"-PT5H"{DUR}')
+        one(spark, f'TZ("2011-01-10T14:45:13Z"{DT})', "Z")
+        one(spark, f'TIMEZONE("2011-01-10T14:45:13Z"{DT})', f'"PT0S"{DUR}')
+
+
+# ---------------------------------------------------------------------------
+# expr-equals/ — value equality, open-world comparison
+# ---------------------------------------------------------------------------
+
+
+class TestExprEquals:
+    def test_eq_1_numeric_value_equality(self, spark):
+        check(
+            spark,
+            ':a :p "1"^^xsd:integer . :b :p "01"^^xsd:integer . :c :p "2"^^xsd:integer .',
+            "SELECT ?s WHERE { ?s :p ?v FILTER(?v = 1) }",
+            [{"s": "<http://example.org/a>"}, {"s": "<http://example.org/b>"}],
+        )
+
+    def test_eq_cross_type(self, spark):
+        check(
+            spark,
+            ':a :p "1"^^xsd:integer .',
+            'SELECT ?s WHERE { ?s :p ?v FILTER(?v = "1.0"^^xsd:decimal) }',
+            [{"s": "<http://example.org/a>"}],
+        )
+
+    def test_incomparable_is_error_drops_row(self, spark):
+        # "a" = "a"@en is neither true nor false — type error → dropped
+        check(
+            spark,
+            ':a :p "a"@en .',
+            'SELECT ?s WHERE { ?s :p ?v FILTER(?v = "a") }',
+            [],
+        )
+
+
+# ---------------------------------------------------------------------------
+# subquery/ + solution modifiers
+# ---------------------------------------------------------------------------
+
+
+class TestSubqueryModifiers:
+    def test_subquery_order_limit(self, spark):
+        check(
+            spark,
+            ':a :p "3"^^xsd:integer . :b :p "1"^^xsd:integer . :c :p "2"^^xsd:integer .',
+            "SELECT ?s WHERE { { SELECT ?s WHERE { ?s :p ?o } ORDER BY ?o LIMIT 1 } }",
+            [{"s": "<http://example.org/b>"}],
+        )
+
+    def test_order_by_numeric_then_offset(self, spark):
+        check(
+            spark,
+            ':a :p "10"^^xsd:integer . :b :p "2"^^xsd:integer . :c :p "33"^^xsd:integer .',
+            "SELECT ?o WHERE { ?s :p ?o } ORDER BY DESC(?o) OFFSET 1 LIMIT 2",
+            [{"o": f'"10"{INT}'}, {"o": f'"2"{INT}'}],
+            ordered=True,
+        )
+
+    def test_distinct_star(self, spark):
+        check(
+            spark,
+            ':a :p "1" . :b :p "1" .',
+            "SELECT DISTINCT ?o WHERE { ?s :p ?o }",
+            [{"o": '"1"'}],
+        )
+
+
+# ---------------------------------------------------------------------------
+# construct/ + ask/ + graph (TriG data)
+# ---------------------------------------------------------------------------
+
+
+class TestConstructAskGraph:
+    def test_constructwhere01(self, spark):
+        df = _load(spark, ':s :p "o" .')
+        got = query(df, PFX + "CONSTRUCT WHERE { ?s :p ?o }")
+        assert [tuple(r) for r in got.collect()] == [
+            ("<http://example.org/s>", "<http://example.org/p>", '"o"')
+        ]
+
+    def test_ask(self, spark):
+        check(spark, ':s :p "o" .', "ASK { :s :p ?x }", True)
+        check(spark, ':s :p "o" .', "ASK { :s :none ?x }", False)
+
+    def test_graph_var_binds(self, spark):
+        check(
+            spark,
+            ':s :p :default .\n:g1 { :s :p :one . }',
+            "SELECT ?g ?o WHERE { GRAPH ?g { ?s :p ?o } }",
+            [{"g": "<http://example.org/g1>", "o": "<http://example.org/one>"}],
+            quads=True,
+        )
