@@ -705,6 +705,29 @@ def _q_sparql_agg(spark, sf):
     )
 
 
+def _q_sparql_optional_filter(spark, sf):
+    """OPTIONAL-group FILTER referencing an OUTER variable — the
+    LeftJoin-condition scoping of sparql11-query §18.2.2.5 (the dawg
+    ``optional-filter`` family; `sparql/src/exec.rs:520-551`): nations
+    with a key above 10 keep their region name, the rest (and any
+    nation without a region link) get an unbound ?rname while the left
+    row survives."""
+    from sophia_rs_spark.sparql import query as sparql_query
+
+    t = spark_triples(spark, sf)
+    return sparql_query(
+        t,
+        f"""
+        PREFIX voc: <{VOC}>
+        SELECT ?n ?rname WHERE {{
+          ?n voc:key ?k
+          OPTIONAL {{ ?n voc:inRegion ?r . ?r voc:name ?rname
+                      FILTER(?k > 10) }}
+        }}
+        """,
+    )
+
+
 def _q_sparql_bool_bind(spark, sf):
     """Boolean value plane through the text front-end: a comparison
     BIND, a boolean built-in BIND, IF over a boolean-term condition
@@ -821,6 +844,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fn_hash2": _q_fn_hash2,
         "fn_datetime_tz": _q_fn_datetime_tz,
         "emb_ivf_knn2": _q_emb_ivf_knn2,
+        "sparql_optional_filter": _q_sparql_optional_filter,
     }
 
 
@@ -1501,5 +1525,24 @@ FROM triples t
 LEFT JOIN comp cs ON cs.member = t.s
 LEFT JOIN comp co ON co.member = t.o
 """.strip()
+
+    # LeftJoin-condition filter scoping (§18.2.2.5): the ON clause
+    # references the OUTER row's key literal — exactly the merged-domain
+    # evaluation the SPARQL text query performs
+    qs["sparql_optional_filter"] = with_triples(
+        f"""
+SELECT tk.s AS n, rn.rname AS rname
+FROM triples tk
+LEFT JOIN (
+  SELECT tr.s AS rs, tn.o AS rname
+  FROM triples tr JOIN triples tn
+    ON tn.s = tr.o AND tn.p = '{P_NAME}'
+  WHERE tr.p = '{P_IN_REGION}'
+) rn
+  ON rn.rs = tk.s
+ AND TRY_CAST(regexp_extract(tk.o, '^"(-?[0-9]+)"', 1) AS BIGINT) > 10
+WHERE tk.p = '<{VOC}key>'
+""".strip()
+    )
 
     return qs
