@@ -389,6 +389,38 @@ def _bignum_render(m: int, s: int, decimal_style: bool) -> str:
     return f"{sign}{digits[:-s]}.{digits[-s:]}"
 
 
+def _bignum_div(num: int, den: int):
+    """``num/den`` as (mantissa, scale): EXACT when the quotient
+    terminates (reduced denominator has only 2/5 factors), else rounded
+    at 100 significant digits — the bigdecimal crate's default
+    precision, which is what the reference's Decimal÷Decimal
+    (`value/_number.rs`) divides with.  den must be nonzero."""
+    import decimal
+    import math
+
+    if den < 0:
+        num, den = -num, -den
+    g = math.gcd(abs(num), den)
+    num, den = num // g, den // g
+    d2, e2, e5 = den, 0, 0
+    while d2 % 2 == 0:
+        d2 //= 2
+        e2 += 1
+    while d2 % 5 == 0:
+        d2 //= 5
+        e5 += 1
+    if d2 == 1:
+        k = max(e2, e5)
+        return num * 2 ** (k - e2) * 5 ** (k - e5), k
+    with decimal.localcontext() as cx:
+        cx.prec = 100
+        q = decimal.Decimal(num) / decimal.Decimal(den)
+    t = format(q, "f")
+    if "." in t:
+        t = t.rstrip("0").rstrip(".")
+    return _bignum_parse(t)
+
+
 def bigop(sym: str, l: Column, r: Column, rank: Column = None) -> Column:
     """Exact big-number arithmetic on lexical strings (the
     `value/_number.rs` BigInt/BigDecimal plane: Rust num_bigint there,
@@ -398,8 +430,10 @@ def bigop(sym: str, l: Column, r: Column, rank: Column = None) -> Column:
     decimal(38,10) plane overflowed — the Arrow transfer for the
     common all-NULL case is near-free.  ``rank`` (when given) selects
     the output style per row: 0 → integer lexical, 1 → canonical
-    decimal lexical.  '+','-','*' are exact at any width; '/' is
-    BigDecimal division at 50 significant digits (zero divisor → NULL
+    decimal lexical.  '+','-','*' are exact at any width; '/' is EXACT
+    whenever the quotient terminates, else rounded at 100 significant
+    digits — the bigdecimal crate's default precision, which is what
+    the reference's Decimal÷Decimal divides with (zero divisor → NULL
     = error).  Unary 'CEIL'/'FLOOR'/'ROUND' (r ignored) mirror the
     decimal plane's semantics (ROUND = half away from zero, like
     Spark's ROUND on the in-range decimal view)."""
@@ -431,13 +465,8 @@ def bigop(sym: str, l: Column, r: Column, rank: Column = None) -> Column:
                     if mb == 0:
                         out.append(None)
                         continue
-                    with decimal.localcontext() as cx:
-                        cx.prec = 50
-                        q = decimal.Decimal(a) / decimal.Decimal(b)
-                    t = format(q, "f")
-                    if "." in t:
-                        t = t.rstrip("0").rstrip(".")
-                    mq, sq = _bignum_parse(t)
+                    # value = (ma·10^sb) / (mb·10^sa)
+                    mq, sq = _bignum_div(ma * 10**sb, mb * 10**sa)
                     out.append(_bignum_render(mq, sq, True))
                 elif sym in ("CEIL", "FLOOR", "ROUND"):
                     t = 10**sa
@@ -572,14 +601,7 @@ def bigsum_emit(avg: bool, limbs: Column, monsters: Column,
                     m_tot = m_tot * 10 ** (s2 - s_tot) + mm * 10 ** (s2 - ss)
                     s_tot = s2
                 if avg:
-                    with decimal.localcontext() as cx:
-                        cx.prec = 50
-                        q = (decimal.Decimal(m_tot)
-                             / (decimal.Decimal(int(n_)) * 10**s_tot))
-                    t = format(q, "f")
-                    if "." in t:
-                        t = t.rstrip("0").rstrip(".")
-                    mq, sq = _bignum_parse(t)
+                    mq, sq = _bignum_div(m_tot, int(n_) * 10**s_tot)
                     out.append(_bignum_render(mq, sq, True))
                 else:
                     out.append(_bignum_render(m_tot, s_tot, int(k) == 1))

@@ -69,6 +69,17 @@ CASES = [
      '"0.223456789012345' + XD, "hi-scale add"),
     ('SELECT ("0.12345678901234567890"^^xsd:decimal + 0 AS ?a) {}',
      '"0.1234567890123456789' + XD, "hi-scale literal"),
+    # terminating quotient WIDER than 50 significant digits stays exact
+    # (pre-r4 the divider rounded at 50): (10^60+1)/2 = 5…0.5 with 60
+    # integer digits
+    ("SELECT (?x / 2 AS ?a) { VALUES ?x { %s } }" % ("1" + "0" * 59 + "1"),
+     '"5' + "0" * 58 + "0.5" + XD, "div exact wide"),
+    # non-terminating quotient rounds at 100 significant digits — the
+    # bigdecimal crate's default the reference divides with
+    (f"SELECT (?x / 7 AS ?a) {{ VALUES ?x {{ {BIG} }} }}",
+     '"1428571428571428571428571428571428571428.'
+     "428571428571428571428571428571428571428571428571428571428571"
+     + XD, "div nonterm 100"),
 ]
 
 
