@@ -1287,7 +1287,16 @@ def _optional_cond(
     under janino's method limit); the shared-var equalities remain
     plain column equalities, so Catalyst still extracts equi-join keys
     (hash join, no cartesian).  A condition error counts as false
-    (left row kept, right side unbound)."""
+    (left row kept, right side unbound).
+
+    Known deviation: an EXISTS/NOT EXISTS inside an OPTIONAL's filter
+    is applied to the RIGHT side pre-join (see the caller's routing) —
+    equivalent to merged-domain evaluation whenever its pattern only
+    mentions right-side/shared variables (the join keeps shared values
+    equal), but an EXISTS whose pattern references an OUTER-ONLY
+    variable would need per-merged-row substitution (§18.6) that a
+    join condition cannot express; such filters are rare and currently
+    see the variable as unbound."""
     shared = [c for c in left.columns if c in right.columns]
     compat = set(shared) & set(nullable)
     lcols, rcols = list(left.columns), list(right.columns)
