@@ -33,12 +33,14 @@ String-function results carry their language/direction tags
 only on a match, CONCAT the common tag — function.rs:600-795); a
 tagged result is a full langString term with escaped lexical, while
 untagged results stay plain Spark strings (≡ simple literals, which
-is exact: simple ≡ xsd:string).  Remaining deviation: integers beyond
-38 digits error instead of promoting to BigInt.
+is exact: simple ≡ xsd:string).  Integers beyond 38 digits promote to
+the exact string-backed bignum plane (value/_number.rs BigInt parity).
 """
 
 from __future__ import annotations
 
+import dataclasses
+import itertools
 import re
 import threading
 from typing import List, Optional, Union
@@ -487,6 +489,10 @@ def _bool(
     binder: Optional[_TmpBinder] = None,
 ) -> Column:
     op = e.op
+    if op == "marker":
+        # EXISTS marker column (see _rewrite_exists): TRUE where a
+        # compatible solution of the subpattern exists, NULL otherwise
+        return F.coalesce(F.col(e.args[0]), F.lit(False))
     if op == "and":
         return _bool(e.args[0], df, triples, binder) & _bool(e.args[1], df, triples, binder)
     if op == "or":
@@ -1224,6 +1230,104 @@ def _contains_exists(e) -> bool:
     return any(any_in(a) for a in e.args)
 
 
+_MARKER_SEQ = itertools.count()  # compilation is serialized (_COMPILE_LOCK)
+
+
+def _ast_vars(node) -> set:
+    """All variable names mentioned anywhere in a pattern AST subtree.
+    Over-approximation by design: it only decides whether an EXISTS
+    must see outer bindings, and extra hits just route the filter to
+    the slower-but-correct merged path."""
+    out: set = set()
+    stack = [node]
+    while stack:
+        x = stack.pop()
+        if isinstance(x, A.Var):
+            out.add(x.name)
+        elif isinstance(x, A.Expr):
+            if x.op == "var":
+                out.add(x.args[0])
+            else:
+                stack.extend(x.args)
+        elif isinstance(x, A.Values):
+            out.update(x.names)
+        elif isinstance(x, (tuple, list)):
+            stack.extend(x)
+        elif isinstance(x, A.Query):
+            out.update(x.variables)
+            out.update(al for _, al in x.select_exprs)
+            stack.extend(getattr(x, f.name) for f in dataclasses.fields(x))
+        elif dataclasses.is_dataclass(x) and not isinstance(x, type):
+            stack.extend(getattr(x, f.name) for f in dataclasses.fields(x))
+    return out
+
+
+def _exists_pattern_vars(e) -> set:
+    """Variables mentioned inside the EXISTS/NOT EXISTS subpatterns of
+    an expression — the complement of :func:`_expr_vars`, which
+    excludes them."""
+    out: set = set()
+    if not isinstance(e, A.Expr):
+        return out
+    if e.op in ("exists", "not_exists"):
+        return _ast_vars(e.args[0])
+
+    def walk(x):
+        if isinstance(x, A.Expr):
+            out.update(_exists_pattern_vars(x))
+        elif isinstance(x, (tuple, list)):
+            for y in x:
+                walk(y)
+
+    for a in e.args:
+        walk(a)
+    return out
+
+
+def _rewrite_exists(ctx: "_Ctx", df: DataFrame, e, names: List[str]):
+    """Replace every exists/not_exists node nested inside a boolean
+    expression with a precomputed MARKER column (`sparql/src/
+    expression.rs:60` Exists, sparql11-query §18.6): the subpattern is
+    evaluated once, projected to its variables shared with ``df``,
+    deduplicated, and LEFT-joined back — the marker reads TRUE where a
+    compatible solution exists and NULL otherwise (distinct keeps
+    multiplicities intact).  A correlated per-row substitution becomes
+    one distributed hash join.  Returns ``(df-with-markers, rewritten
+    expr)``; ``names`` collects the marker columns for the caller to
+    drop after filtering."""
+    if not isinstance(e, A.Expr):
+        return df, e
+    if e.op in ("exists", "not_exists"):
+        sub, _sm = _eval_group(ctx, e.args[0])
+        name = f"#ex{next(_MARKER_SEQ)}"
+        shared = [c for c in df.columns if c in sub.columns]
+        if shared:
+            marker = sub.select(*shared).distinct().withColumn(name, F.lit(True))
+            df = df.join(marker, shared, "left")
+        else:
+            # no shared vars: the subpattern either matches for every
+            # row or for none — ≤1-row broadcast, no driver action
+            one = sub.limit(1).select(F.lit(True).alias(name))
+            df = df.join(F.broadcast(one), F.lit(True), "left")
+        names.append(name)
+        m = A.Expr("marker", (name,))
+        return df, (A.Expr("not", (m,)) if e.op == "not_exists" else m)
+
+    new_args = []
+    for a in e.args:
+        if isinstance(a, A.Expr):
+            df, a = _rewrite_exists(ctx, df, a, names)
+        elif isinstance(a, (tuple, list)):
+            aa = []
+            for y in a:
+                if isinstance(y, A.Expr):
+                    df, y = _rewrite_exists(ctx, df, y, names)
+                aa.append(y)
+            a = tuple(aa)
+        new_args.append(a)
+    return df, A.Expr(e.op, tuple(new_args))
+
+
 class _JoinBinder:
     """A :class:`_TmpBinder` for JOIN CONDITIONS: each bound coercion
     view is materialized as a hidden column on whichever join SIDE it
@@ -1289,14 +1393,12 @@ def _optional_cond(
     (hash join, no cartesian).  A condition error counts as false
     (left row kept, right side unbound).
 
-    Known deviation: an EXISTS/NOT EXISTS inside an OPTIONAL's filter
-    is applied to the RIGHT side pre-join (see the caller's routing) —
-    equivalent to merged-domain evaluation whenever its pattern only
-    mentions right-side/shared variables (the join keeps shared values
-    equal), but an EXISTS whose pattern references an OUTER-ONLY
-    variable would need per-merged-row substitution (§18.6) that a
-    join condition cannot express; such filters are rare and currently
-    see the variable as unbound."""
+    EXISTS-free conditions only: a filter containing EXISTS that must
+    see outer bindings routes to :func:`_optional_merged` instead (a
+    join condition cannot express the correlated subquery); an EXISTS
+    mentioning only right-side/shared certain-bound variables is
+    applied to the right side pre-join (equivalent — the join keeps
+    shared values equal)."""
     shared = [c for c in left.columns if c in right.columns]
     compat = set(shared) & set(nullable)
     lcols, rcols = list(left.columns), list(right.columns)
@@ -1344,6 +1446,37 @@ def _optional_cond(
     return out.select(*keep)
 
 
+def _optional_merged(
+    ctx: _Ctx,
+    left: DataFrame,
+    right: DataFrame,
+    fexprs: List[A.Expr],
+    nullable,
+) -> DataFrame:
+    """LeftJoin by the spec's own definition (sparql11-query §18.5:
+    ``LeftJoin(L,R,F) = Filter(F, Join(L,R)) ∪ Diff(L,R,F)``) — used
+    when the condition contains an EXISTS that must see OUTER bindings
+    (§18.6 substitution semantics): a join condition cannot express the
+    correlated subquery, so the merged solutions are materialized,
+    filtered with the full filter machinery (EXISTS via marker-column
+    joins, :func:`_rewrite_exists`), and left rows with no surviving
+    match are unioned back null-extended.  Left rows are tagged with
+    ``monotonically_increasing_id`` (partition-local counter — no
+    shuffle, deterministic for a deterministic input plan) so bag
+    multiplicities survive the anti-join.  One extra join vs the
+    condition form; only routed here when the EXISTS actually
+    references outer-risk variables."""
+    lid = "#lid"
+    lefti = left.withColumn(lid, F.monotonically_increasing_id())
+    merged = B.join_bindings(lefti, right, nullable=nullable)
+    passed = _apply_filters(ctx, merged, fexprs)
+    rextra = [c for c in right.columns if c not in left.columns]
+    bare = lefti.join(passed.select(lid).distinct(), lid, "left_anti").select(
+        "*", *[F.lit(None).cast("string").alias(c) for c in rextra]
+    )
+    return passed.select(*lefti.columns, *rextra).unionByName(bare).drop(lid)
+
+
 def _expr_vars(e) -> set:
     """Free variables of an expression.  EXISTS/NOT EXISTS subpatterns
     are excluded — they are pattern-scoped and never substituted."""
@@ -1371,14 +1504,21 @@ def _expr_vars(e) -> set:
 def _apply_filters(ctx: _Ctx, df: DataFrame, filters) -> DataFrame:
     for fe in filters:
         if fe.op in ("exists", "not_exists"):
+            # bare (NOT) EXISTS: semi/anti join, no marker column
             sub, _sm = _eval_group(ctx, fe.args[0])
             df = B.exists_filter(df, sub, negated=(fe.op == "not_exists"))
-        else:
-            b = _TmpBinder(df)
-            cond = _bool(fe, b.df, ctx.scoped(), b)
-            df = b.df.filter(F.coalesce(cond, F.lit(False)))  # error → drop
-            if b.names:
-                df = df.drop(*b.names)
+            continue
+        marks: List[str] = []
+        if _contains_exists(fe):
+            # EXISTS nested in a boolean expression — precompute
+            # marker columns, then compile the expression normally
+            df, fe = _rewrite_exists(ctx, df, fe, marks)
+        b = _TmpBinder(df)
+        cond = _bool(fe, b.df, ctx.scoped(), b)
+        df = b.df.filter(F.coalesce(cond, F.lit(False)))  # error → drop
+        drop = marks + b.names
+        if drop:
+            df = df.drop(*drop)
     return df
 
 
@@ -1429,20 +1569,39 @@ def _eval_group(ctx: _Ctx, g: A.Group, defer_filters: bool = False):
             # LeftJoin CONDITION (18.2.2.5) — it sees the merged
             # domain, i.e. outer variables too.  Filters that mention
             # no outer variable are equivalent applied to the right
-            # side pre-join (cheaper: keeps the plain equi-join path);
-            # EXISTS filters stay on the right side (pattern-scoped).
-            local, defer = [], []
+            # side pre-join (cheaper: keeps the plain equi-join path).
+            # An EXISTS filter stays on the right side unless its
+            # expression or its subpattern references an outer-risk
+            # variable (outer-only, or maybe-unbound shared) — then
+            # only the merged domain sees the right bindings (§18.6),
+            # which a join condition cannot express: route to the
+            # expand-filter-union form (_optional_merged).
+            nullable = maybe | rmaybe
+            rcols = set(right.columns)
+            risky = (basecols - rcols) | (basecols & rcols & nullable)
+            local, defer, need_merged = [], [], []
             for fe in rfilters:
-                if _contains_exists(fe) or not (_expr_vars(fe) & basecols):
-                    local.append(fe)
-                else:
+                if _contains_exists(fe):
+                    if (_expr_vars(fe) & basecols) or (
+                        _exists_pattern_vars(fe) & risky
+                    ):
+                        need_merged.append(fe)
+                    else:
+                        local.append(fe)
+                elif _expr_vars(fe) & basecols:
                     defer.append(fe)
+                else:
+                    local.append(fe)
             if local:
                 right = _apply_filters(ctx, right, local)
-            if defer:
-                df = _optional_cond(ctx, base, right, defer, maybe | rmaybe)
+            if need_merged:
+                df = _optional_merged(
+                    ctx, base, right, need_merged + defer, nullable
+                )
+            elif defer:
+                df = _optional_cond(ctx, base, right, defer, nullable)
             else:
-                df = B.optional(base, right, nullable=maybe | rmaybe)
+                df = B.optional(base, right, nullable=nullable)
             maybe |= (set(right.columns) - set(base.columns)) | rmaybe
         elif isinstance(el, A.Minus):
             right, rm = _eval_group(ctx, el.group)

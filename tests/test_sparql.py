@@ -937,6 +937,120 @@ class TestOptionalFilterScope:
         assert got.count() == 3
 
 
+class TestExistsScoping:
+    """EXISTS/NOT EXISTS under §18.6 substitution semantics: inside an
+    OPTIONAL's filter the subpattern must see OUTER bindings (routed
+    through ``_optional_merged``), and EXISTS nested inside a boolean
+    expression compiles via marker-column joins
+    (``_rewrite_exists``)."""
+
+    @pytest.fixture(scope="class")
+    def graph(self, spark):
+        rows = [
+            ("<x:s1>", "<x:p>", "<x:o1>", None),
+            ("<x:s2>", "<x:p>", "<x:o2>", None),
+            ("<x:s1>", "<x:q>", '"m1"', None),
+            ("<x:s2>", "<x:q>", '"m2"', None),
+            ("<x:o1>", "<x:r>", '"yes"', None),  # only o1 has :r
+            ("<x:z>", "<x:zz>", '"zzz"', None),
+        ]
+        df = spark.createDataFrame(rows, "s string, p string, o string, g string")
+        df.cache().count()
+        yield df
+        df.unpersist()
+
+    def test_exists_sees_outer_only_var(self, graph):
+        # ?o is bound OUTSIDE the optional group and nowhere on the
+        # right side: per-merged-row EXISTS keeps m1 (o1 has :r) and
+        # leaves s2's m unbound (o2 does not)
+        got = query(
+            graph,
+            "SELECT ?s ?m { ?s <x:p> ?o"
+            "  OPTIONAL { ?s <x:q> ?m FILTER EXISTS { ?o <x:r> ?x } } }",
+        )
+        assert rows_of(got) == [("<x:s1>", '"m1"'), ("<x:s2>", None)]
+
+    def test_not_exists_sees_outer_only_var(self, graph):
+        got = query(
+            graph,
+            "SELECT ?s ?m { ?s <x:p> ?o"
+            "  OPTIONAL { ?s <x:q> ?m FILTER NOT EXISTS { ?o <x:r> ?x } } }",
+        )
+        assert rows_of(got) == [("<x:s1>", None), ("<x:s2>", '"m2"')]
+
+    def test_mixed_outer_var_and_exists(self, graph):
+        got = query(
+            graph,
+            "SELECT ?s ?m { ?s <x:p> ?o OPTIONAL { ?s <x:q> ?m"
+            "  FILTER(?o = <x:o1> && EXISTS { ?s <x:q> ?y }) } }",
+        )
+        assert rows_of(got) == [("<x:s1>", '"m1"'), ("<x:s2>", None)]
+
+    def test_nested_exists_in_or(self, graph):
+        got = query(
+            graph,
+            "SELECT ?s { ?s <x:p> ?o"
+            "  FILTER(EXISTS { ?o <x:r> ?x } || ?s = <x:s2>) }",
+        )
+        assert rows_of(got) == [("<x:s1>",), ("<x:s2>",)]
+
+    def test_bang_exists(self, graph):
+        got = query(
+            graph,
+            "SELECT ?s { ?s <x:p> ?o FILTER(!EXISTS { ?o <x:r> ?x }) }",
+        )
+        assert rows_of(got) == [("<x:s2>",)]
+
+    def test_nested_exists_no_shared_vars(self, graph):
+        # subpattern shares no variable with the outer solution — the
+        # ≤1-row broadcast path; matching and non-matching subpatterns
+        got = query(
+            graph,
+            "SELECT ?s { ?s <x:p> ?o"
+            "  FILTER(EXISTS { <x:z> <x:zz> ?w } && ?s = <x:s2>) }",
+        )
+        assert rows_of(got) == [("<x:s2>",)]
+        got = query(
+            graph,
+            "SELECT ?s { ?s <x:p> ?o"
+            "  FILTER(EXISTS { <x:z> <x:none> ?w } || ?s = <x:s2>) }",
+        )
+        assert rows_of(got) == [("<x:s2>",)]
+
+    def test_bag_multiplicity_through_merged_leftjoin(self, spark):
+        rows = [
+            ("<x:s1>", "<x:p>", "<x:o1>", None),
+            ("<x:s1>", "<x:p>", "<x:o1>", None),  # duplicate solution
+            ("<x:s2>", "<x:p>", "<x:o2>", None),
+            ("<x:s1>", "<x:q>", '"m1"', None),
+            ("<x:s1>", "<x:q>", '"m1b"', None),
+            ("<x:o1>", "<x:r>", '"yes"', None),
+        ]
+        df = spark.createDataFrame(rows, "s string, p string, o string, g string")
+        got = query(
+            df,
+            "SELECT ?s ?m { ?s <x:p> ?o"
+            "  OPTIONAL { ?s <x:q> ?m FILTER EXISTS { ?o <x:r> ?x } } }",
+        )
+        assert rows_of(got) == [
+            ("<x:s1>", '"m1"'),
+            ("<x:s1>", '"m1"'),
+            ("<x:s1>", '"m1b"'),
+            ("<x:s1>", '"m1b"'),
+            ("<x:s2>", None),
+        ]
+
+    def test_exists_right_side_fast_path_still_used(self, graph):
+        # only right/shared certain-bound vars → stays on the right
+        # side pre-join (no merged expansion); answer identical
+        got = query(
+            graph,
+            "SELECT ?s ?m { ?s <x:p> ?o"
+            "  OPTIONAL { ?s <x:q> ?m FILTER EXISTS { ?s <x:p> ?x } } }",
+        )
+        assert rows_of(got) == [("<x:s1>", '"m1"'), ("<x:s2>", '"m2"')]
+
+
 class TestIfErrorPropagation:
     def test_if_error_condition_is_error(self, data):
         # IF(error, …) is an ERROR (17.4.1.2) — NOT the else branch
