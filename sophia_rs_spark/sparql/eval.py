@@ -290,10 +290,11 @@ def _term_col(e: A.Expr, df: DataFrame, binder: Optional[_TmpBinder] = None) -> 
         return _boolterm(c) if e.args[0] in _BOOL_FNS else c
     if e.op in ("neg", "arith"):
         return FN.typed_num_term(*_typed_expr(e, df, binder))
-    if e.op in ("cmp", "and", "or", "not", "in"):
-        # boolean expression used as a value (BIND((?a = ?b) AS ?x)):
-        # emit a canonical xsd:boolean TERM so EBV / comparisons /
-        # results all see a typed literal (errors stay NULL)
+    if e.op in ("cmp", "and", "or", "not", "in", "marker"):
+        # boolean expression used as a value (BIND((?a = ?b) AS ?x),
+        # BIND(EXISTS{…} AS ?x) via its marker column): emit a
+        # canonical xsd:boolean TERM so EBV / comparisons / results
+        # all see a typed literal (errors stay NULL)
         return _boolterm(_bool(e, df, df, binder))
     raise A.SparqlError(f"cannot compile {e.op} as value")
 
@@ -1623,13 +1624,19 @@ def _eval_group(ctx: _Ctx, g: A.Group, defer_filters: bool = False):
         elif isinstance(el, A.Bind):
             if df is None:
                 df = _unit(spark)
+            marks: List[str] = []
+            bexpr = el.expr
+            if _contains_exists(bexpr):
+                # BIND(EXISTS{…} AS ?x) and friends: marker columns
+                df, bexpr = _rewrite_exists(ctx, df, bexpr, marks)
             b = _TmpBinder(df)
-            val = _term_col(el.expr, b.df, b)
-            if el.expr.op not in ("var", "term"):
+            val = _term_col(bexpr, b.df, b)
+            if bexpr.op not in ("var", "term"):
                 val = _opaque(val)
             df = B.extend(b.df, el.var.name, val)
-            if b.names:
-                df = df.drop(*b.names)
+            drop = marks + b.names
+            if drop:
+                df = df.drop(*drop)
             maybe.add(el.var.name)  # expression errors bind NULL
         elif isinstance(el, A.Values):
             vdf = spark.createDataFrame(
@@ -2079,11 +2086,15 @@ def _select_df(ctx: _Ctx, q: A.Query):
             df = df.withColumn(alias, emit(F.col(alias)))
 
     if q.having is not None:
+        hexpr, hmarks = q.having, []
+        if _contains_exists(hexpr):
+            df, hexpr = _rewrite_exists(ctx, df, hexpr, hmarks)
         b = _TmpBinder(df)
-        hcond = _bool(q.having, b.df, ctx.scoped(), b)
+        hcond = _bool(hexpr, b.df, ctx.scoped(), b)
         df = b.df.filter(F.coalesce(hcond, F.lit(False)))
-        if b.names:
-            df = df.drop(*b.names)
+        drop = hmarks + b.names
+        if drop:
+            df = df.drop(*drop)
 
     if q.post_values is not None:
         # trailing VALUES joins AFTER aggregation/HAVING (§18.2.4.3) and
@@ -2103,19 +2114,29 @@ def _select_df(ctx: _Ctx, q: A.Query):
         df = B.join_bindings(df, vdf, nullable=undef)
 
     for e, alias in q.select_exprs:
+        smarks: List[str] = []
+        if _contains_exists(e):
+            df, e = _rewrite_exists(ctx, df, e, smarks)
         b = _TmpBinder(df)
         sval = _term_col(e, b.df, b)
         if e.op not in ("var", "term"):
             sval = _opaque(sval)
         df = b.df.withColumn(alias, sval)
-        if b.names:
-            df = df.drop(*b.names)
+        drop = smarks + b.names
+        if drop:
+            df = df.drop(*drop)
         maybe.add(alias)
 
     if q.order_by:
+        omarks: List[str] = []
+        order_items = []
+        for e, asc in q.order_by:
+            if _contains_exists(e):
+                df, e = _rewrite_exists(ctx, df, e, omarks)
+            order_items.append((e, asc))
         keys = []
         b = _TmpBinder(df)
-        for e, asc in q.order_by:
+        for e, asc in order_items:
             # SPARQL value order for vars AND computed expressions alike
             # (exec.rs:826-893); order_key_any also orders plain computed
             # values (BIND arithmetic) correctly
@@ -2126,8 +2147,9 @@ def _select_df(ctx: _Ctx, q: A.Query):
             for k in FN.order_key_any(c):
                 keys.append(k if asc else k.desc())
         df = b.df.orderBy(*keys)
-        if b.names:
-            df = df.drop(*b.names)
+        drop = omarks + b.names
+        if drop:
+            df = df.drop(*drop)
 
     if q.variables:
         keep = [v for v in q.variables if v in df.columns]

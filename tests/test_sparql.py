@@ -1050,6 +1050,40 @@ class TestExistsScoping:
         )
         assert rows_of(got) == [("<x:s1>", '"m1"'), ("<x:s2>", '"m2"')]
 
+    def test_exists_as_bind_value(self, graph):
+        got = query(
+            graph,
+            "SELECT ?s ?b { ?s <x:p> ?o"
+            "  BIND(EXISTS { ?o <x:r> ?x } AS ?b) }",
+        )
+        assert rows_of(got) == [("<x:s1>", TRUE), ("<x:s2>", FALSE)]
+
+    def test_not_exists_as_select_expression(self, graph):
+        got = query(
+            graph,
+            "SELECT ?s (!EXISTS { ?o <x:r> ?x } AS ?b)"
+            "  { ?s <x:p> ?o }",
+        )
+        assert rows_of(got) == [("<x:s1>", FALSE), ("<x:s2>", TRUE)]
+
+    def test_exists_in_order_by(self, graph):
+        # false < true in SPARQL value order: DESC(EXISTS…) puts the
+        # matching subject first
+        got = query(
+            graph,
+            "SELECT ?s { ?s <x:p> ?o }"
+            "  ORDER BY DESC(EXISTS { ?o <x:r> ?x }) ?s",
+        )
+        assert [r[0] for r in got.collect()] == ["<x:s1>", "<x:s2>"]
+
+    def test_exists_in_having(self, graph):
+        got = query(
+            graph,
+            "SELECT ?o (COUNT(?s) AS ?n) { ?s <x:p> ?o }"
+            "  GROUP BY ?o HAVING(EXISTS { ?o <x:r> ?x })",
+        )
+        assert [r[0] for r in got.collect()] == ["<x:o1>"]
+
 
 class TestIfErrorPropagation:
     def test_if_error_condition_is_error(self, data):
