@@ -44,17 +44,26 @@ def _load(spark, ttl, quads=False):
     return spark.createDataFrame(data, "s string, p string, o string, g string")
 
 
+def _nskey(t):
+    return tuple((x is None, x or "") for x in t)
+
+
 def _bag(df, cols):
     return sorted(
-        tuple(r[c] if c in df.columns else None for c in cols)
-        for r in df.collect()
+        (
+            tuple(r[c] if c in df.columns else None for c in cols)
+            for r in df.collect()
+        ),
+        key=_nskey,
     )
 
 
 def _rows(expected):
     """expected: list of dicts var→term-string (None = unbound)."""
     cols = sorted({k for d in expected for k in d})
-    return cols, sorted(tuple(d.get(c) for c in cols) for d in expected)
+    return cols, sorted(
+        (tuple(d.get(c) for c in cols) for d in expected), key=_nskey
+    )
 
 
 def check(spark, ttl, q, expected, *, quads=False, ordered=False):
@@ -246,6 +255,97 @@ class TestNegation:
                 {"s": "<http://example.org/alice>"},
                 {"s": "<http://example.org/bob>"},
                 {"s": "<http://example.org/carol>"},
+            ],
+        )
+
+
+# ---------------------------------------------------------------------------
+# exists/ — substitution semantics (§18.6): EXISTS evaluated against the
+# current row's bindings (exists01..exists05 shapes)
+# ---------------------------------------------------------------------------
+
+
+EXISTS_DATA = ":a1 :p :b1 . :a2 :p :b2 . :a3 :p :b3 .\n:b1 :q :c .\n"
+
+
+class TestExistsSubstitution:
+    def test_exists01_variable_from_outer_row(self, spark):
+        # exists01 shape: ?o is bound by the outer pattern — only the
+        # row whose object has a :q edge survives
+        check(
+            spark,
+            EXISTS_DATA,
+            "SELECT ?s { ?s :p ?o FILTER EXISTS { ?o :q :c } }",
+            [{"s": "<http://example.org/a1>"}],
+        )
+
+    def test_exists02_ground_triple(self, spark):
+        # exists02 shape: a ground subpattern holds for every row
+        check(
+            spark,
+            EXISTS_DATA,
+            "SELECT ?s { ?s :p ?o FILTER EXISTS { :b1 :q :c } }",
+            [
+                {"s": "<http://example.org/a1>"},
+                {"s": "<http://example.org/a2>"},
+                {"s": "<http://example.org/a3>"},
+            ],
+        )
+
+    def test_exists03_graph_scoped(self, spark):
+        # exists03 shape: EXISTS inside GRAPH evaluates against the
+        # ACTIVE graph — :b :q :c lives in the default graph only, so
+        # the filter inside GRAPH :g1 fails
+        trig = (
+            ":b :q :c .\n"
+            ":g1 { :a :p :b . }\n"
+        )
+        check(
+            spark,
+            trig,
+            "SELECT ?s { GRAPH :g1 { ?s :p ?o FILTER EXISTS { ?o :q :c } } }",
+            [],
+            quads=True,
+        )
+        check(
+            spark,
+            trig,
+            "SELECT ?s { GRAPH :g1 { ?s :p ?o } FILTER EXISTS { ?o :q :c } }",
+            [{"s": "<http://example.org/a>"}],
+            quads=True,
+        )
+
+    def test_exists04_nested_positive(self, spark):
+        check(
+            spark,
+            EXISTS_DATA,
+            "SELECT ?s { ?s :p ?o"
+            "  FILTER EXISTS { ?s :p ?o2 FILTER EXISTS { ?o2 :q :c } } }",
+            [{"s": "<http://example.org/a1>"}],
+        )
+
+    def test_exists05_nested_negative_in_positive(self, spark):
+        check(
+            spark,
+            EXISTS_DATA,
+            "SELECT ?s { ?s :p ?o"
+            "  FILTER EXISTS { ?s :p ?o2 FILTER NOT EXISTS { ?o2 :q :c } } }",
+            [{"s": "<http://example.org/a2>"}, {"s": "<http://example.org/a3>"}],
+        )
+
+    def test_exists_in_optional_filter_outer_var(self, spark):
+        # the dawg optional + §18.6 interaction: the EXISTS references
+        # ?o bound only OUTSIDE the optional group
+        data = EXISTS_DATA + ":a1 :r :m1 . :a2 :r :m2 .\n"
+        check(
+            spark,
+            data,
+            "SELECT ?s ?m { ?s :p ?o"
+            "  OPTIONAL { ?s :r ?m FILTER EXISTS { ?o :q :c } } }",
+            [
+                {"s": "<http://example.org/a1>", "m": "<http://example.org/m1>"},
+                {"s": "<http://example.org/a2>", "m": None},
+                {"s": "<http://example.org/a3>", "m": None},
             ],
         )
 
