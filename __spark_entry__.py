@@ -728,6 +728,32 @@ def _q_sparql_optional_filter(spark, sf):
     )
 
 
+def _q_sparql_exists(spark, sf):
+    """EXISTS under substitution semantics (sparql11-query §18.6 /
+    `sparql/src/expression.rs:60`): the subpattern references ?n —
+    bound only OUTSIDE the optional group — inside a boolean OR, so
+    the filter must be evaluated against the MERGED solution (the
+    expand-filter-union LeftJoin) with the EXISTS compiled as a
+    marker-column join.  Customers (and suppliers, which have no
+    segment) keep ?seg where their nation's key exceeds 12 or the
+    segment is BUILDING; every other row survives with ?seg unbound."""
+    from sophia_rs_spark.sparql import query as sparql_query
+
+    t = spark_triples(spark, sf)
+    return sparql_query(
+        t,
+        f"""
+        PREFIX voc: <{VOC}>
+        SELECT ?c ?seg WHERE {{
+          ?c voc:inNation ?n
+          OPTIONAL {{ ?c voc:segment ?seg
+                      FILTER(EXISTS {{ ?n voc:key ?k . FILTER(?k > 12) }}
+                             || ?seg = "BUILDING") }}
+        }}
+        """,
+    )
+
+
 def _q_sparql_bool_bind(spark, sf):
     """Boolean value plane through the text front-end: a comparison
     BIND, a boolean built-in BIND, IF over a boolean-term condition
@@ -784,12 +810,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dm_bgp3": _q_dm_bgp3,
         "dm_optional": _q_dm_optional,
         "dm_minus": _q_dm_minus,
-        "dm_union": _q_dm_union,
         "dm_group_by_nation": _q_dm_group_by_nation,
         "dm_orderby_slice": _q_dm_orderby_slice,
         "dm_exists": _q_dm_exists,
         "dm_construct": _q_dm_construct,
-        "dm_values": _q_dm_values,
         "dm_path_alt": _q_dm_path_alt,
         # property paths + entailment (flagships)
         "path_plus": _q_path_plus,
@@ -833,10 +857,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_agg_distinct": _q_sparql_agg_distinct,
         "sparql_minmax": _q_sparql_minmax,
         "sparql_graph": _q_sparql_graph,
+        # LeftJoin-condition filter scoping + EXISTS substitution
+        # semantics (§18.2.2.5 / §18.6)
+        "sparql_optional_filter": _q_sparql_optional_filter,
+        "sparql_exists": _q_sparql_exists,
         # SPARQL results serialization (CSV per SPARQL 1.1 results-csv)
         "sparql_results_csv": _q_sparql_results_csv,
         # --- past position 50: near-duplicate re-coverage gates ---------
         # (driver-invisible; checked by the local gate replica)
+        "dm_union": _q_dm_union,
+        "dm_values": _q_dm_values,
         "dm_predicates": _q_dm_predicates,
         "dm_triples_matching": _q_dm_triples_matching,
         "dm_subjects_of_type": _q_dm_subjects_of_type,
@@ -844,7 +874,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fn_hash2": _q_fn_hash2,
         "fn_datetime_tz": _q_fn_datetime_tz,
         "emb_ivf_knn2": _q_emb_ivf_knn2,
-        "sparql_optional_filter": _q_sparql_optional_filter,
     }
 
 
@@ -1529,6 +1558,25 @@ LEFT JOIN comp co ON co.member = t.o
     # LeftJoin-condition filter scoping (§18.2.2.5): the ON clause
     # references the OUTER row's key literal — exactly the merged-domain
     # evaluation the SPARQL text query performs
+    # EXISTS substitution (§18.6): the EXISTS over the OUTER nation
+    # var reduces to "the customer's nation has key > 12" (every
+    # c_nationkey resolves to an existing nation row); suppliers carry
+    # voc:inNation but no segment, so their ?seg is always unbound
+    qs["sparql_exists"] = f"""
+SELECT c, seg FROM (
+  SELECT '<{EX}customer/' || CAST(c_custkey AS VARCHAR) || '>' AS c,
+         CASE WHEN c_nationkey IN (SELECT n_nationkey FROM nation
+                                   WHERE n_nationkey > 12)
+                   OR c_mktsegment = 'BUILDING'
+              THEN '"' || c_mktsegment || '"' END AS seg
+  FROM customer
+  UNION ALL
+  SELECT '<{EX}supplier/' || CAST(s_suppkey AS VARCHAR) || '>' AS c,
+         NULL AS seg
+  FROM supplier
+)
+""".strip()
+
     qs["sparql_optional_filter"] = with_triples(
         f"""
 SELECT tk.s AS n, rn.rname AS rname
