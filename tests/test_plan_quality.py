@@ -205,3 +205,35 @@ def test_comparison_codegen_no_fallback(spark):
             assert query(df, q).count() == expected, q
     finally:
         spark.conf.set("spark.sql.codegen.fallback", prev)
+
+
+def test_exists_plans_stay_joins(spark):
+    """EXISTS compiles to distributed joins, never a cartesian product
+    or a correlated per-row subquery: the bare form is a semi/anti
+    join, the nested form a marker-column hash join, and the
+    OPTIONAL+outer-var form (merged LeftJoin) an equi-join on the
+    shared variable — all under codegen with fallback disabled."""
+    from sophia_rs_spark.sparql import query
+
+    df = spark.createDataFrame(
+        [("<x:a>", "<x:p>", "<x:o1>"), ("<x:b>", "<x:p>", "<x:o2>"),
+         ("<x:a>", "<x:q>", '"m"'), ("<x:o1>", "<x:r>", '"y"')],
+        "s string, p string, o string",
+    )
+    cases = [
+        # (query, expected rows, plan must NOT contain)
+        ("SELECT ?s { ?s <x:p> ?o FILTER EXISTS { ?o <x:r> ?x } }", 1),
+        ("SELECT ?s { ?s <x:p> ?o FILTER(EXISTS { ?o <x:r> ?x } || ?s = <x:b>) }", 2),
+        ("""SELECT ?s ?m { ?s <x:p> ?o
+            OPTIONAL { ?s <x:q> ?m FILTER EXISTS { ?o <x:r> ?x } } }""", 2),
+    ]
+    prev = spark.conf.get("spark.sql.codegen.fallback", "true")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try:
+        for q, expected in cases:
+            got = query(df, q)
+            plan = plan_of(got)
+            assert "CartesianProduct" not in plan, (q, plan)
+            assert got.count() == expected, q
+    finally:
+        spark.conf.set("spark.sql.codegen.fallback", prev)
