@@ -9,5 +9,13 @@ operators in :mod:`sophia_rs_spark.operators.bgp` et al.
 
 from .parser import SparqlError, parse_query
 from .eval import evaluate, query
+from .client import SparqlClient, set_service_transport
 
-__all__ = ["parse_query", "evaluate", "query", "SparqlError"]
+__all__ = [
+    "parse_query",
+    "evaluate",
+    "query",
+    "SparqlError",
+    "SparqlClient",
+    "set_service_transport",
+]

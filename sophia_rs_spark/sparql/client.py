@@ -97,12 +97,15 @@ class SparqlClient:
     # -- query --------------------------------------------------------------
 
     def query(
-        self, spark: SparkSession, query: str
+        self, spark: SparkSession, query: str, *, graph_ok: bool = True
     ) -> Union[bool, DataFrame]:
         """Execute ``query`` against the endpoint.  Returns an ASK
         boolean, a SELECT bindings DataFrame (canonical term-encoding
         columns, one per variable), or a triples DataFrame
-        (s, p, o) for graph-shaped responses."""
+        (s, p, o) for graph-shaped responses.  With ``graph_ok=False``
+        a graph-shaped response errors instead (a SELECT caller must
+        not misread a mislabeled graph body as bindings — SERVICE
+        evaluation sets this)."""
         url, headers, body = self.build_request(query)
         try:
             ctype, payload = self._transport(url, headers, body)
@@ -117,6 +120,10 @@ class SparqlClient:
             doc = parse_results_xml(payload)
         elif ctype in ("text/turtle", "application/n-triples",
                        "application/rdf+xml"):
+            if not graph_ok:
+                raise SparqlClientError(
+                    f"unexpected graph response: {ctype}"
+                )
             fmt = {
                 "text/turtle": "ttl",
                 "application/n-triples": "nt",
@@ -328,3 +335,26 @@ def parse_results_xml(
             bound[name] = _term_from_xml(inner[0])
         rows.append(tuple(bound.get(v) for v in variables))
     return variables, rows
+
+
+# ---------------------------------------------------------------------------
+# SERVICE transport registry
+# ---------------------------------------------------------------------------
+
+_SERVICE_TRANSPORT: Optional[Transport] = None
+
+
+def set_service_transport(transport: Optional[Transport]) -> None:
+    """Install the transport used by SPARQL ``SERVICE`` evaluation
+    (``None`` restores the default urllib transport).  Tests and
+    air-gapped deployments inject fakes; see
+    ``sparql/eval.py::_eval_service``."""
+    global _SERVICE_TRANSPORT
+    _SERVICE_TRANSPORT = transport
+
+
+def service_client(endpoint: str) -> SparqlClient:
+    """A client for a ``SERVICE`` endpoint given in canonical term
+    encoding (``<http://…>``) or as a bare URL."""
+    url = endpoint[1:-1] if endpoint.startswith("<") else endpoint
+    return SparqlClient(url, transport=_SERVICE_TRANSPORT)

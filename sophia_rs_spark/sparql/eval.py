@@ -1661,6 +1661,8 @@ def _eval_group(ctx: _Ctx, g: A.Group, defer_filters: bool = False):
             else:
                 sub, sm = _eval_group(_Ctx(ctx.all, el.name), el.group)
                 join(sub, sm)
+        elif isinstance(el, A.ServiceClause):
+            join(*_eval_service(ctx, el))
         else:
             raise A.SparqlError(f"unknown group element {el!r}")
 
@@ -1673,6 +1675,57 @@ def _eval_group(ctx: _Ctx, g: A.Group, defer_filters: bool = False):
 
 def _unit(spark) -> DataFrame:
     return spark.createDataFrame([()], "struct<>")
+
+
+def _eval_service(ctx: _Ctx, el: "A.ServiceClause"):
+    """SERVICE [SILENT] <endpoint> { … } (sparql11-federated-query
+    §2.2, beyond the reference — its executor leaves Service
+    NotImplemented, `sparql/src/exec.rs:175-179`; the protocol CLIENT
+    it does ship, `sparql_client/src/lib.rs`, is what this builds on).
+
+    The group body's raw source is wrapped in ``SELECT *`` plus the
+    query's own prologue and POSTed through
+    :class:`~sophia_rs_spark.sparql.client.SparqlClient`; the remote
+    bindings come back as a DataFrame of canonical terms and join the
+    local solutions with full compatibility semantics (every remote
+    column is maybe-unbound — the remote query may contain OPTIONAL).
+    Per §2.2, SILENT turns any failure (transport, content-type, a
+    non-bindings response) into the unit solution.  The transport is
+    injectable via :func:`~sophia_rs_spark.sparql.client.
+    set_service_transport` (tests; air-gapped deployments)."""
+    from .client import SparqlClientError, service_client
+
+    spark = ctx.all.sparkSession
+    try:
+        if isinstance(el.endpoint, A.Var):
+            # would require per-row endpoint dispatch; no engine we
+            # mirror supports it unbound — error (SILENT: unit)
+            raise SparqlClientError(
+                "SERVICE with an unbound variable endpoint"
+            )
+        prologue = ""
+        if el.base:
+            prologue += f"BASE <{el.base}>\n"
+        prologue += "".join(
+            f"PREFIX {p}: <{iri}>\n" for p, iri in el.prefixes.items()
+        )
+        q = f"{prologue}SELECT * WHERE {{ {el.text} }}"
+        # results-only Accept: a graph-shaped response (turtle, …) to
+        # the SELECT is a protocol violation and must error, not parse
+        cli = service_client(el.endpoint).with_accept(
+            "application/sparql-results+json,"
+            "application/sparql-results+xml;q=0.8"
+        )
+        res = cli.query(spark, q, graph_ok=False)
+        if not isinstance(res, DataFrame):
+            raise SparqlClientError(
+                f"SERVICE returned a non-bindings result: {res!r}"
+            )
+    except Exception as ex:
+        if el.silent:
+            return _unit(spark), set()
+        raise A.SparqlError(f"SERVICE {el.endpoint} failed: {ex}") from ex
+    return res, set(res.columns)
 
 
 def evaluate(triples: DataFrame, q: A.Query):

@@ -95,6 +95,22 @@ class GraphClause:
 
 
 @dataclass
+class ServiceClause:
+    """SERVICE [SILENT] <endpoint> { … } (sparql11-federated-query).
+    ``text`` is the RAW source of the group body — it is sent to the
+    remote endpoint verbatim (wrapped in SELECT * plus the query's
+    prologue), so the engine never needs an AST→text serializer;
+    ``group`` is the parsed form (variable analysis, validation)."""
+
+    endpoint: Union[Var, str]
+    group: "Group"
+    text: str
+    prefixes: dict
+    base: Optional[str]
+    silent: bool = False
+
+
+@dataclass
 class SubGroup:
     group: "Group"
 
@@ -167,7 +183,7 @@ _PN_LOCAL = (
 _KEYWORDS = (
     "PREFIX|BASE|SELECT|ASK|CONSTRUCT|DESCRIBE|WHERE|FILTER|OPTIONAL|MINUS|UNION|"
     "BIND|VALUES|GRAPH|DISTINCT|REDUCED|ORDER|GROUP|HAVING|BY|ASC|DESC|"
-    "FROM|NAMED|"
+    "FROM|NAMED|SERVICE|SILENT|"
     "LIMIT|OFFSET|AS|IN|NOT|EXISTS|UNDEF|"
     "COUNT|SUM|AVG|MIN|MAX|GROUP_CONCAT|SAMPLE|SEPARATOR|"
     "REGEX|STR|LANG|DATATYPE|BOUND|IRI|URI|STRLEN|UCASE|LCASE|CONTAINS|"
@@ -222,6 +238,7 @@ def _tokenize(text: str):
 
 class _P:
     def __init__(self, text: str, base: Optional[str] = None):
+        self.text = text
         self.toks = _tokenize(text)
         self.pos = 0
         self.base = base
@@ -690,6 +707,36 @@ class _P:
                     self.next()
                     name = self.parse_term()
                     g.elements.append(GraphClause(name, self.parse_group()))
+                    self.op(".")
+                    continue
+                if word == "SERVICE":
+                    self.next()
+                    silent = False
+                    t2 = self.peek()
+                    if (
+                        t2 is not None
+                        and t2[0] == "kw"
+                        and t2[1].upper() == "SILENT"
+                    ):
+                        self.next()
+                        silent = True
+                    name = self.parse_term()
+                    t2 = self.peek()
+                    if t2 is None or t2[:2] != ("op", "{"):
+                        raise SparqlError("expected group after SERVICE")
+                    start = t2[2]
+                    grp = self.parse_group()
+                    end = self.toks[self.pos - 1][2]  # the closing '}'
+                    g.elements.append(
+                        ServiceClause(
+                            name,
+                            grp,
+                            self.text[start + 1 : end],
+                            dict(self.prefixes),
+                            self.base,
+                            silent,
+                        )
+                    )
                     self.op(".")
                     continue
             if t[0] == "op" and t[1] == "{":

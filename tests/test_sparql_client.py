@@ -247,3 +247,156 @@ class TestSerializerRoundtrip:
         cli = SparqlClient(
             "http://ep", fake("application/sparql-results+json", doc))
         assert cli.query(spark, "ASK {}") is True
+
+
+class TestServiceClause:
+    """SERVICE [SILENT] <endpoint> { … } (sparql11-federated-query
+    §2.2, built on the protocol client — the reference ships the
+    client but leaves its executor's Service arm NotImplemented,
+    `sparql/src/exec.rs:175-179`)."""
+
+    @pytest.fixture()
+    def endpoints(self, spark):
+        """Install a transport that serves queries by evaluating them
+        against a local 'remote' graph through our own engine — the
+        client parsers are proven inverses of our writers, so the
+        loop exercises the full wire format."""
+        from sophia_rs_spark.sparql import set_service_transport
+
+        remote = spark.createDataFrame(
+            [
+                ("<x:o1>", "<x:label>", '"Remote One"'),
+                ("<x:o2>", "<x:label>", '"Remote Two"@en'),
+                ("<x:o1>", "<x:extra>", '"e1"'),
+            ],
+            "s string, p string, o string",
+        )
+        log = []
+
+        def transport(url, headers, body):
+            log.append((url, body.decode()))
+            res = sparql_query(remote, body.decode())
+            return (
+                "application/sparql-results+json",
+                to_json_str(bindings_to_json(res)).encode(),
+            )
+
+        set_service_transport(transport)
+        yield log
+        set_service_transport(None)
+
+    @pytest.fixture()
+    def local(self, spark):
+        return spark.createDataFrame(
+            [
+                ("<x:s1>", "<x:p>", "<x:o1>"),
+                ("<x:s2>", "<x:p>", "<x:o2>"),
+                ("<x:s3>", "<x:p>", "<x:o3>"),
+            ],
+            "s string, p string, o string",
+        )
+
+    def test_service_joins_remote_bindings(self, local, endpoints):
+        got = sparql_query(
+            local,
+            """SELECT ?s ?lbl WHERE {
+                 ?s <x:p> ?o
+                 SERVICE <http://remote.example/sparql> { ?o <x:label> ?lbl }
+               }""",
+        )
+        assert sorted(tuple(r) for r in got.collect()) == [
+            ("<x:s1>", '"Remote One"'),
+            ("<x:s2>", '"Remote Two"@en'),
+        ]
+        url, sent = endpoints[0]
+        assert url == "http://remote.example/sparql"
+        assert "SELECT *" in sent and "<x:label>" in sent
+
+    def test_prologue_prefixes_forwarded(self, local, endpoints):
+        got = sparql_query(
+            local,
+            "PREFIX r: <x:>\nSELECT ?s ?lbl WHERE {"
+            "  ?s r:p ?o SERVICE <http://ep/s> { ?o r:label ?lbl } }",
+        )
+        assert got.count() == 2
+        assert "PREFIX r: <x:>" in endpoints[0][1]
+
+    def test_remote_optional_keeps_compat_join(self, local, endpoints):
+        # remote OPTIONAL yields unbound ?e for o2 — the local join
+        # must treat it as compatible (not drop the row)
+        got = sparql_query(
+            local,
+            """SELECT ?s ?lbl ?e WHERE {
+                 ?s <x:p> ?o
+                 SERVICE <http://ep/s> {
+                   ?o <x:label> ?lbl OPTIONAL { ?o <x:extra> ?e } }
+               }""",
+        )
+        assert sorted(
+            tuple(r) for r in got.collect()
+        ) == [
+            ("<x:s1>", '"Remote One"', '"e1"'),
+            ("<x:s2>", '"Remote Two"@en', None),
+        ]
+
+    def test_failure_is_an_error(self, spark, local):
+        from sophia_rs_spark.sparql import SparqlError, set_service_transport
+
+        def broken(url, headers, body):
+            raise OSError("no route to host")
+
+        set_service_transport(broken)
+        try:
+            with pytest.raises(SparqlError, match="SERVICE"):
+                sparql_query(
+                    local,
+                    "SELECT ?s { ?s <x:p> ?o"
+                    "  SERVICE <http://ep/s> { ?o <x:label> ?l } }",
+                ).collect()
+        finally:
+            set_service_transport(None)
+
+    def test_silent_failure_is_unit(self, spark, local):
+        from sophia_rs_spark.sparql import set_service_transport
+
+        def broken(url, headers, body):
+            raise OSError("no route to host")
+
+        set_service_transport(broken)
+        try:
+            got = sparql_query(
+                local,
+                "SELECT ?s { ?s <x:p> ?o"
+                "  SERVICE SILENT <http://ep/s> { ?o <x:label> ?l } }",
+            )
+            assert got.count() == 3  # every local row survives, ?l unbound
+        finally:
+            set_service_transport(None)
+
+    def test_variable_endpoint_errors_unless_silent(self, local, endpoints):
+        from sophia_rs_spark.sparql import SparqlError
+
+        with pytest.raises(SparqlError, match="endpoint"):
+            sparql_query(
+                local,
+                "SELECT ?s { ?s <x:p> ?o SERVICE ?ep { ?o <x:label> ?l } }",
+            ).collect()
+        got = sparql_query(
+            local,
+            "SELECT ?s { ?s <x:p> ?o SERVICE SILENT ?ep { ?o <x:label> ?l } }",
+        )
+        assert got.count() == 3
+
+    def test_graph_response_is_an_error(self, spark, local):
+        from sophia_rs_spark.sparql import SparqlError, set_service_transport
+
+        set_service_transport(fake("text/turtle", "<x:a> <x:b> <x:c> ."))
+        try:
+            with pytest.raises(SparqlError, match="graph response"):
+                sparql_query(
+                    local,
+                    "SELECT ?s { ?s <x:p> ?o"
+                    "  SERVICE <http://ep/s> { ?o <x:label> ?l } }",
+                ).collect()
+        finally:
+            set_service_transport(None)
