@@ -10,6 +10,7 @@ operators in :mod:`sophia_rs_spark.operators.bgp` et al.
 from .parser import SparqlError, parse_query
 from .eval import evaluate, query
 from .client import SparqlClient, set_service_transport
+from .update import parse_update, update
 
 __all__ = [
     "parse_query",
@@ -18,4 +19,6 @@ __all__ = [
     "SparqlError",
     "SparqlClient",
     "set_service_transport",
+    "parse_update",
+    "update",
 ]

@@ -184,6 +184,8 @@ _KEYWORDS = (
     "PREFIX|BASE|SELECT|ASK|CONSTRUCT|DESCRIBE|WHERE|FILTER|OPTIONAL|MINUS|UNION|"
     "BIND|VALUES|GRAPH|DISTINCT|REDUCED|ORDER|GROUP|HAVING|BY|ASC|DESC|"
     "FROM|NAMED|SERVICE|SILENT|"
+    "INSERT|DELETE|DATA|LOAD|INTO|CLEAR|DROP|CREATE|ADD|MOVE|COPY|TO|"
+    "WITH|USING|DEFAULT|ALL|"
     "LIMIT|OFFSET|AS|IN|NOT|EXISTS|UNDEF|"
     "COUNT|SUM|AVG|MIN|MAX|GROUP_CONCAT|SAMPLE|SEPARATOR|"
     "REGEX|STR|LANG|DATATYPE|BOUND|IRI|URI|STRLEN|UCASE|LCASE|CONTAINS|"
