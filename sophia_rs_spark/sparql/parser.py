@@ -604,7 +604,16 @@ class _P:
         if k == "var":
             self.next()
             return Expr("var", (raw[1:],))
-        if k == "kw" and raw.upper() not in ("NOT", "EXISTS"):
+        if k == "kw" and raw.upper() == "NOT":
+            # NotExistsFunc is a BuiltInCall, i.e. a primary expression
+            # (sparql11 grammar [121]/[126]) — e.g. ORDER BY NOT EXISTS {…}
+            self.next()
+            self.expect_kw("EXISTS")
+            return Expr("not_exists", (self.parse_group(),))
+        if k == "kw" and raw.upper() == "EXISTS":
+            self.next()
+            return Expr("exists", (self.parse_group(),))
+        if k == "kw":
             fn = raw.upper()
             self.next()
             self.expect_op("(")

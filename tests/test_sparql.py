@@ -1076,6 +1076,23 @@ class TestExistsScoping:
         )
         assert [r[0] for r in got.collect()] == ["<x:s1>", "<x:s2>"]
 
+    def test_bare_exists_order_condition(self, graph):
+        # OrderCondition := Constraint includes ExistsFunc/NotExistsFunc
+        # (grammar [24]/[121]/[126]) — no brackets required; ascending
+        # value order puts false first
+        got = query(
+            graph,
+            "SELECT ?s { ?s <x:p> ?o }"
+            "  ORDER BY EXISTS { ?o <x:r> ?x } ?s",
+        )
+        assert [r[0] for r in got.collect()] == ["<x:s2>", "<x:s1>"]
+        got = query(
+            graph,
+            "SELECT ?s { ?s <x:p> ?o }"
+            "  ORDER BY NOT EXISTS { ?o <x:r> ?x } ?s",
+        )
+        assert [r[0] for r in got.collect()] == ["<x:s1>", "<x:s2>"]
+
     def test_exists_in_having(self, graph):
         got = query(
             graph,
