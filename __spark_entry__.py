@@ -534,6 +534,29 @@ def _q_emb_ivf_knn2(spark, sf):
     return ivf_knn(_read(spark, sf, "embeddings"), k=5, n_centroids=8, n_probe=2)
 
 
+def _q_sparql_update(spark, sf):
+    """SPARQL 1.1 Update front-end (beyond the reference — sophia_rs
+    has no update evaluator): DELETE/INSERT WHERE rewrites every
+    nation's name predicate, then a ';'-sequenced INSERT DATA adds a
+    provenance triple; functional graph-store semantics, anti-join
+    deletes/inserts (sparql11-update §3.1.3)."""
+    from sophia_rs_spark.sparql import update as sparql_update
+
+    quads = spark_triples(spark, sf).withColumn(
+        "g", F.lit(None).cast("string")
+    )
+    out = sparql_update(
+        quads,
+        f"""
+        DELETE {{ ?n <{VOC}name> ?v }}
+        INSERT {{ ?n <{VOC}label> ?v }}
+        WHERE  {{ ?n a <{VOC}Nation> ; <{VOC}name> ?v }} ;
+        INSERT DATA {{ <{EX}meta> <{VOC}updatedBy> "sparql-update" }}
+        """,
+    )
+    return out.select("s", "p", "o")
+
+
 def _q_sparql_agg_distinct(spark, sf):
     """DISTINCT-in-aggregate through the text front-end
     (sparql11-query §18.5.1): distinct segments per nation."""
@@ -874,6 +897,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fn_hash2": _q_fn_hash2,
         "fn_datetime_tz": _q_fn_datetime_tz,
         "emb_ivf_knn2": _q_emb_ivf_knn2,
+        "sparql_update": _q_sparql_update,
     }
 
 
@@ -1535,6 +1559,37 @@ ranked AS (
 SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank
 FROM ranked WHERE rank <= 5
 """.strip()
+
+    qs["sparql_update"] = with_triples(
+        f"""
+, nat AS (
+  SELECT t1.s AS n, t2.o AS v
+  FROM triples t1
+  JOIN triples t2 ON t2.s = t1.s AND t2.p = '<{VOC}name>'
+  WHERE t1.p = '{RDF_TYPE}' AND t1.o = '<{VOC}Nation>'
+),
+dels AS (SELECT n AS s, '<{VOC}name>' AS p, v AS o FROM nat),
+after1 AS (
+  SELECT t.s, t.p, t.o FROM triples t
+  WHERE NOT EXISTS (SELECT 1 FROM dels d
+                    WHERE d.s = t.s AND d.p = t.p AND d.o = t.o)
+),
+ins AS (SELECT DISTINCT n AS s, '<{VOC}label>' AS p, v AS o FROM nat),
+after2 AS (
+  SELECT s, p, o FROM after1
+  UNION ALL
+  SELECT i.s, i.p, i.o FROM ins i
+  WHERE NOT EXISTS (SELECT 1 FROM after1 a
+                    WHERE a.s = i.s AND a.p = i.p AND a.o = i.o)
+),
+ins2(s, p, o) AS (VALUES ('<{EX}meta>', '<{VOC}updatedBy>', '"sparql-update"'))
+SELECT s, p, o FROM after2
+UNION ALL
+SELECT i.s, i.p, i.o FROM ins2 i
+WHERE NOT EXISTS (SELECT 1 FROM after2 a
+                  WHERE a.s = i.s AND a.p = i.p AND a.o = i.o)
+""".strip()
+    )
 
     qs["link_components"] = _CC_SQL
     qs["link_canonicalized"] = f"""
