@@ -300,10 +300,16 @@ def _quads_df(spark: SparkSession, quads: List[QuadT]) -> DataFrame:
     return spark.createDataFrame(rows, "s string, p string, o string, g string")
 
 
-def _minus(a: DataFrame, b: DataFrame) -> DataFrame:
+def _minus(a: DataFrame, b: DataFrame, *, small: bool = False) -> DataFrame:
     """Set difference on all four columns, null-safe in g (the default
-    graph is ``g IS NULL``)."""
+    graph is ``g IS NULL``).  ``small=True`` marks b as a ground-quad
+    batch (bounded by the update text length): the hint matters because
+    a local batch has no size statistics, so without it the planner
+    assumes it is huge and sort-merge-joins — shuffling the whole
+    store."""
     la, rb = a.alias("l"), b.alias("r")
+    if small:
+        rb = F.broadcast(rb)
     cond = reduce(
         lambda x, y: x & y,
         [F.col(f"l.{c}").eqNullSafe(F.col(f"r.{c}")) for c in QCOLS],
@@ -313,11 +319,34 @@ def _minus(a: DataFrame, b: DataFrame) -> DataFrame:
     )
 
 
-def _union_set(base: DataFrame, add: DataFrame) -> DataFrame:
-    """base ∪ add under set semantics without re-deduplicating base:
-    only the genuinely new rows (anti-join, small side broadcastable)
-    are appended."""
-    return base.unionByName(_minus(add, base).dropDuplicates())
+def _union_set(
+    base: DataFrame, add: DataFrame, *, small: bool = False
+) -> DataFrame:
+    """base ∪ add under set semantics without re-deduplicating or
+    shuffling base.
+
+    The membership probe is shaped so the (100 TB) store is always the
+    STREAM side: ``base LEFT SEMI add`` scans base once against the
+    (typically tiny, broadcastable) insert batch and emits at most
+    |add| rows; the final anti-join then runs between two small frames.
+    The naive ``add LEFT ANTI base`` would put the store on the build
+    side — never broadcastable — forcing a full shuffle of the store on
+    every INSERT.  ``small=True`` (ground INSERT DATA batches, bounded
+    by the update text) adds the broadcast hint the planner cannot
+    infer for a statistics-free local batch; instantiated template
+    batches are left to AQE's runtime decision."""
+    add = add.dropDuplicates()
+    la, rb = base.alias("l"), add.alias("r")
+    if small:
+        rb = F.broadcast(rb)
+    cond = reduce(
+        lambda x, y: x & y,
+        [F.col(f"l.{c}").eqNullSafe(F.col(f"r.{c}")) for c in QCOLS],
+    )
+    present = la.join(rb, cond, "left_semi").select(
+        *[F.col(f"l.{c}").alias(c) for c in QCOLS]
+    )
+    return base.unionByName(_minus(add, present, small=True))
 
 
 def _graph_cond(target):
@@ -441,10 +470,11 @@ def _apply(dataset: DataFrame, op, loader: Loader, salt: str) -> DataFrame:
     spark = dataset.sparkSession
     if isinstance(op, InsertData):
         return _union_set(
-            dataset, _quads_df(spark, _fresh_labels(op.quads, salt))
+            dataset, _quads_df(spark, _fresh_labels(op.quads, salt)),
+            small=True,
         )
     if isinstance(op, DeleteData):
-        return _minus(dataset, _quads_df(spark, op.quads))
+        return _minus(dataset, _quads_df(spark, op.quads), small=True)
     if isinstance(op, DeleteWhere):
         bindings = _select_all(dataset, op.group, [], [])
         return _minus(
