@@ -458,6 +458,47 @@ class TestPropertyPaths:
             [{"v": "<http://example.org/b>"}],
         )
 
+    def test_pp_zero_length_nodes_include_literals(self, spark):
+        # pp35-shaped: a zero-length path with both ends free yields an
+        # identity pair for EVERY subject and object in the graph —
+        # literals included (reference: exec.rs path_zero chains
+        # subjects_matching + objects_matching with no kind filter)
+        check(
+            spark,
+            ':a :p1 :b .\n:b :note "lit" .\n',
+            "SELECT ?x ?y WHERE { ?x :p1* ?y }",
+            [
+                {"x": "<http://example.org/a>", "y": "<http://example.org/a>"},
+                {"x": "<http://example.org/a>", "y": "<http://example.org/b>"},
+                {"x": "<http://example.org/b>", "y": "<http://example.org/b>"},
+                {"x": '"lit"', "y": '"lit"'},
+            ],
+        )
+
+    def test_pp_zero_length_literal_endpoint(self, spark):
+        # a literal START binds itself under * (zero steps from a term
+        # with no outgoing edges)
+        check(
+            spark,
+            ':a :p1 :b .\n:b :note "lit" .\n',
+            'SELECT ?y WHERE { "lit" :p1* ?y }',
+            [{"y": '"lit"'}],
+        )
+
+    def test_pp_nps_with_inverse_member(self, spark):
+        # !(:p1|^:p1): forward edges with predicate other than p1, plus
+        # REVERSED edges with predicate other than p1 (spec §9.1 NPS
+        # with inverse members)
+        check(
+            spark,
+            ':a :p1 :b .\n:b :note "lit" .\n',
+            "SELECT ?x ?y WHERE { ?x !(:p1|^:p1) ?y }",
+            [
+                {"x": "<http://example.org/b>", "y": '"lit"'},
+                {"x": '"lit"', "y": "<http://example.org/b>"},
+            ],
+        )
+
 
 # ---------------------------------------------------------------------------
 # optional-filter/ (dawg) + optional/
