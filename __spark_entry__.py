@@ -877,7 +877,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_select": _q_sparql_select,
         "sparql_bool_bind": _q_sparql_bool_bind,
         "sparql_agg": _q_sparql_agg,
-        "sparql_agg_distinct": _q_sparql_agg_distinct,
+        # SPARQL 1.1 UPDATE (DELETE/INSERT WHERE + INSERT DATA)
+        "sparql_update": _q_sparql_update,
         "sparql_minmax": _q_sparql_minmax,
         "sparql_graph": _q_sparql_graph,
         # LeftJoin-condition filter scoping + EXISTS substitution
@@ -897,7 +898,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fn_hash2": _q_fn_hash2,
         "fn_datetime_tz": _q_fn_datetime_tz,
         "emb_ivf_knn2": _q_emb_ivf_knn2,
-        "sparql_update": _q_sparql_update,
+        "sparql_agg_distinct": _q_sparql_agg_distinct,
     }
 
 

@@ -237,6 +237,17 @@ _NUMERIC_DTS = [
 ]
 
 
+def lex_num(term: Column) -> Column:
+    """RAW lexical (single regexp, escapes NOT decoded) for NUMERIC
+    parsing: a valid numeric lexical never contains an escape, and an
+    escape-bearing one fails the downstream try_cast / regex / INF
+    match exactly like its decoded form would.  The full ~20-step
+    escape decode (:func:`lex`) would otherwise be re-emitted into
+    every numeric plane and blow janino's 64 KB method budget on
+    arithmetic-heavy stages."""
+    return F.regexp_extract(term, r'^"((?:[^"\\]|\\.)*)"', 1)
+
+
 def is_numeric(term: Column) -> Column:
     """isNUMERIC (function.rs:383): numeric datatype AND valid lexical."""
     return datatype(term).isin(_NUMERIC_DTS) & numeric_value(term).isNotNull()
@@ -247,7 +258,7 @@ def numeric_value(term: Column) -> Column:
     layer (`sparql/src/value/_number.rs`) flattened to double for
     comparisons; exact decimal paths use ``decimal_value``."""
     return F.when(
-        datatype(term).isin(_NUMERIC_DTS), lex(term).try_cast("double")
+        datatype(term).isin(_NUMERIC_DTS), lex_num(term).try_cast("double")
     ).otherwise(F.lit(None).cast("double"))
 
 
@@ -255,7 +266,7 @@ def decimal_value(term: Column) -> Column:
     """DECIMAL(38,10) view for exact integer/decimal arithmetic
     (documented deviation: >38 digits overflow to NULL, SURVEY.md §1.4)."""
     return F.when(
-        datatype(term).isin(_NUMERIC_DTS), lex(term).try_cast("decimal(38,10)")
+        datatype(term).isin(_NUMERIC_DTS), lex_num(term).try_cast("decimal(38,10)")
     ).otherwise(F.lit(None).cast("decimal(38,10)"))
 
 
@@ -287,7 +298,7 @@ def num_rank(term: Column) -> Column:
     2 float, 3 double; NULL for non-numeric datatypes or ill-typed
     lexicals (→ expression error, `as_number` returning None)."""
     dt = datatype(term)
-    l = lex(term)
+    l = lex_num(term)
     fp_ok = l.try_cast("double").isNotNull() | l.isin("INF", "-INF", "NaN")
     return (
         F.when(dt.isin(_INT_RANK_DTS) & l.rlike(_INT_LEX_RE), F.lit(0))
@@ -301,7 +312,7 @@ def num_rank(term: Column) -> Column:
 def num_dbl(term: Column) -> Column:
     """Double view of a numeric literal term, honoring the XSD INF/-INF/
     NaN specials (which try_cast alone would miss)."""
-    l = lex(term)
+    l = lex_num(term)
     return (
         F.when(l == "INF", F.lit(float("inf")))
         .when(l == "-INF", F.lit(float("-inf")))

@@ -299,14 +299,20 @@ def _term_col(e: A.Expr, df: DataFrame, binder: Optional[_TmpBinder] = None) -> 
     raise A.SparqlError(f"cannot compile {e.op} as value")
 
 
-def _typed_view(c: Column):
+def _typed_view(c: Column, binder: Optional[_TmpBinder] = None):
     """(rank, decimal view, double view, big view) of a term-or-plain
     operand — the typed numeric tower (value/_number.rs).  Plain
     computed values (legacy paths) rank as integer when
     integral-looking, else double.  ``big`` carries the canonical
     integer lexical ONLY when the value is an integer beyond the
     decimal(38,10) plane (the SparqlNumber::BigInt promotion,
-    _number.rs:70-77)."""
+    _number.rs:70-77).
+
+    With a ``binder``, the intermediate trees (lexical decode, rank)
+    are materialized as hidden columns BEFORE composing the dependent
+    planes — without this, ``big`` embeds the full rank+dec+lex trees
+    and a single operand's typed view alone approaches janino's 64 KB
+    method budget."""
     cs = c.cast("string")
     is_term = cs.rlike('^["<_]')
     rank = F.when(is_term, FN.num_rank(cs)).otherwise(
@@ -314,9 +320,17 @@ def _typed_view(c: Column):
         .when(cs.try_cast("double").isNotNull(), F.lit(3))
         .otherwise(F.lit(None).cast("int"))
     )
-    lexv = F.when(is_term, FN.lex(cs)).otherwise(cs)
+    # RAW lexical (escapes not decoded): the planes below parse it only
+    # as a number, where raw ≡ decoded (see FN.lex_num)
+    lexv = F.when(is_term, FN.lex_num(cs)).otherwise(cs)
+    if binder is not None:
+        rank = binder.bind(rank)
+        lexv = binder.bind(lexv)
     dec = lexv.try_cast("decimal(38,10)")
     dbl = F.when(is_term, FN.num_dbl(cs)).otherwise(cs.try_cast("double"))
+    if binder is not None:
+        dec = binder.bind(dec)
+        dbl = binder.bind(dbl)
     # big engages for integers beyond decimal(38) AND for decimals the
     # (38,10) plane cannot hold exactly (overflow, or >10 fraction
     # digits — try_cast silently rounds those)
@@ -328,6 +342,77 @@ def _typed_view(c: Column):
         FN.canon_dec_lex(lexv),
     )
     return rank, dec, dbl, big
+
+
+def _const_typed_view(term: str):
+    """Python-side constant fold of :func:`_typed_view` for a LITERAL
+    operand (``e.op == 'term'``): the planes become ``F.lit`` columns
+    instead of a ~60 KB runtime decode tower.  This matters doubly
+    because binder temps are nondeterministic (`_opaque`), so Catalyst
+    would refuse to constant-fold them itself — ``?x + 1`` would pay
+    the full typed-view tree for the ``1``."""
+    import decimal as _d
+
+    rank = dec = dbl = big = None
+    m = re.match(r'^"((?:[^"\\]|\\.)*)"(?:\^\^<([^>]*)>)?$', term or "")
+    if m is not None and "\\" not in m.group(1):
+        lx, dt = m.group(1), m.group(2) or f"{_XSD_NS}string"
+        fp_ok = lx in ("INF", "-INF", "NaN") or bool(
+            re.match(r"^[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?$", lx)
+        )
+        if dt in FN._INT_RANK_DTS and re.match(FN._INT_LEX_RE, lx):
+            rank = 0
+        elif dt == f"{_XSD_NS}decimal" and re.match(FN._DEC_LEX_RE, lx):
+            rank = 1
+        elif dt == f"{_XSD_NS}float" and fp_ok:
+            rank = 2
+        elif dt == f"{_XSD_NS}double" and fp_ok:
+            rank = 3
+        if rank is not None:
+            if lx == "INF":
+                dbl = float("inf")
+            elif lx == "-INF":
+                dbl = float("-inf")
+            elif lx == "NaN":
+                dbl = float("nan")
+            else:
+                dbl = float(lx)
+            if rank <= 1:
+                # local high-precision context: the default prec=28
+                # raises InvalidOperation quantizing >28-digit literals
+                try:
+                    with _d.localcontext() as _ctx:
+                        _ctx.prec = max(60, len(lx) + 20)
+                        q = _d.Decimal(lx).quantize(
+                            _d.Decimal("1e-10"), rounding=_d.ROUND_HALF_UP
+                        )
+                    dec = str(q) if len(q.as_tuple().digits) <= 38 else None
+                except _d.InvalidOperation:
+                    dec = None
+                frac = re.search(r"\.(\d+)", lx)
+                flen = len(frac.group(1)) if frac else 0
+                if (rank == 0 and dec is None) or (
+                    rank == 1 and (dec is None or flen > 10)
+                ):
+                    # canonical big lexical (canon_int_lex/canon_dec_lex)
+                    s = lx.lstrip("+")
+                    neg = s.startswith("-")
+                    s = s.lstrip("-")
+                    if rank == 0:
+                        s = s.lstrip("0") or "0"
+                        big = ("-" if neg and s != "0" else "") + s
+                    else:
+                        ip, _, fr = s.partition(".")
+                        ip = ip.lstrip("0") or "0"
+                        fr = fr.rstrip("0") or "0"
+                        s = f"{ip}.{fr}"
+                        big = ("-" if neg and s != "0.0" else "") + s
+    return (
+        F.lit(rank).cast("int"),
+        F.lit(dec).cast("decimal(38,10)"),
+        F.lit(dbl).cast("double"),
+        F.lit(big).cast("string"),
+    )
 
 
 _TYPED_NUM_FNS = ("ABS", "CEIL", "FLOOR", "ROUND")
@@ -386,8 +471,12 @@ def _typed_expr(e: A.Expr, df: DataFrame, binder: Optional[_TmpBinder] = None):
                 frac, FN.bigop(fn, F.when(frac, big), None, r)
             ).otherwise(big)
         return out(r, op_dec(dec), op_dbl(dbl), op_big)
+    if e.op == "term":
+        # literal operand: constant-fold the planes in Python (no
+        # binding — F.lit is free and folds through Catalyst)
+        return _const_typed_view(e.args[0])
     if e.op != "arith":
-        return out(*_typed_view(_term_col(e, df, binder)))
+        return out(*_typed_view(_term_col(e, df, binder), binder))
     sym, l, r = e.args
     lr, ldec, ldbl, lbig = _typed_expr(l, df, binder)
     rr, rdec, rdbl, rbig = _typed_expr(r, df, binder)
@@ -421,6 +510,14 @@ def _typed_expr(e: A.Expr, df: DataFrame, binder: Optional[_TmpBinder] = None):
     # columns on the common path.  Mixed big∘decimal works: each
     # operand contributes its exact lexical (big string, or the
     # in-range plane rendered by its own rank).
+    if binder is not None:
+        # bind the planes BEFORE composing need_big / the bigop UDF
+        # inputs / the final validity expression — each of those
+        # references rank+dec several times, and the raw trees would
+        # multiply back past janino's 64 KB method budget
+        rank = binder.bind(rank)
+        dec = binder.bind(dec)
+        dbl = binder.bind(dbl)
     need_big = (rank <= 1) & (
         lbig.isNotNull() | rbig.isNotNull() | dec.isNull()
     )
@@ -436,6 +533,10 @@ def _typed_expr(e: A.Expr, df: DataFrame, binder: Optional[_TmpBinder] = None):
             FN.decimal_lexical(rdec)
         ),
     )
+    if binder is not None:
+        need_big = binder.bind(need_big)
+        _opl = binder.bind(_opl)
+        _opr = binder.bind(_opr)
     big = FN.bigop(
         sym, F.when(need_big, _opl), F.when(need_big, _opr), rank
     )
@@ -2136,7 +2237,14 @@ def _select_df(ctx: _Ctx, q: A.Query):
         else:
             df = df.agg(*aggs)
         for alias, emit in post_emit:
-            df = df.withColumn(alias, emit(F.col(alias)))
+            # _opaque-pin the rendered term: a hoisted aggregate (e.g.
+            # SELECT (SUM(?v)+1 AS ?y), HAVING(SUM(?v) > 1)) references
+            # this column many times from its typed-numeric
+            # decomposition, and CollapseProject would re-inline the
+            # full SUM/AVG emission tree into every reference (janino
+            # 64 KB overflow + compile-time heap OOM).  Nothing pushes
+            # below a groupBy, so pinning costs no pushdown.
+            df = df.withColumn(alias, _opaque(emit(F.col(alias))))
 
     if q.having is not None:
         hexpr, hmarks = q.having, []

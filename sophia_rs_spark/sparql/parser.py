@@ -1004,6 +1004,14 @@ class _P:
         # aggregation/HAVING, before projection)
         if self.kw("VALUES"):
             q.post_values = self._parse_values()
+        # §18.2.4.1 aggregate hoisting: an aggregate call EMBEDDED in a
+        # SELECT expression, HAVING condition, or ORDER BY key (e.g.
+        # HAVING(COUNT(?v) > 1), SELECT (SUM(?x)+1 AS ?y), ORDER BY
+        # DESC(SUM(?v))) is replaced by a fresh internal variable and
+        # computed by the Group step like any declared aggregate.  '#'
+        # names cannot be written as ?vars, so they never collide; the
+        # evaluator hides '#'-columns from the final projection.
+        self._hoist_embedded_aggregates(q, aggregates)
         # grouped-query projection rule (§18.2.4.4 / w3c syntax tests
         # agg08, group06): once grouping/aggregation is in play, a plain
         # projected variable must be a group key
@@ -1045,6 +1053,47 @@ class _P:
 
     _AGG_FNS = {"COUNT", "SUM", "AVG", "MIN", "MAX", "GROUP_CONCAT", "SAMPLE"}
 
+    def _contains_agg(self, x) -> bool:
+        if isinstance(x, Expr):
+            if x.op == "call" and x.args and x.args[0] in self._AGG_FNS:
+                return True
+            return any(self._contains_agg(a) for a in x.args)
+        if isinstance(x, (tuple, list)):
+            return any(self._contains_agg(a) for a in x)
+        return False
+
+    def _hoist_embedded_aggregates(self, q: Query, aggregates: List[Aggregate]):
+        counter = [len(aggregates)]
+
+        def hoist(e):
+            if isinstance(e, (tuple, list)):
+                out = [hoist(x) for x in e]
+                return tuple(out) if isinstance(e, tuple) else out
+            if not isinstance(e, Expr):
+                return e  # Group (EXISTS body), str, None — untouched
+            agg = self._as_aggregate(e, "", " ")
+            if agg is not None:
+                for a in aggregates:  # reuse an identical aggregate
+                    if (a.fn, a.arg, a.distinct, a.sep) == (
+                        agg.fn,
+                        agg.arg,
+                        agg.distinct,
+                        agg.sep,
+                    ):
+                        return Expr("var", (a.alias,))
+                agg.alias = f"#a{counter[0]}"
+                counter[0] += 1
+                aggregates.append(agg)
+                return Expr("var", (agg.alias,))
+            if e.op in ("var", "term"):
+                return e
+            return Expr(e.op, hoist(e.args))
+
+        q.select_exprs = [(hoist(e), al) for e, al in q.select_exprs]
+        if q.having is not None:
+            q.having = hoist(q.having)
+        q.order_by = [(hoist(e), asc) for e, asc in q.order_by]
+
     def _as_aggregate(self, e: Expr, alias: str, sep: str) -> Optional[Aggregate]:
         if e.op == "call" and e.args[0] in self._AGG_FNS:
             fn, args = e.args[0], e.args[1]
@@ -1052,6 +1101,8 @@ class _P:
                 sep = e.args[2]  # GROUP_CONCAT(...; SEPARATOR="x")
             distinct = bool(e.args[3]) if len(e.args) > 3 else False
             arg = args[0] if args else None
+            if self._contains_agg(arg):
+                raise SparqlError("aggregate calls cannot be nested")
             return Aggregate(fn.lower(), arg, distinct, sep, alias)
         return None
 

@@ -207,6 +207,47 @@ def test_comparison_codegen_no_fallback(spark):
         spark.conf.set("spark.sql.codegen.fallback", prev)
 
 
+def test_hoisted_aggregate_codegen_no_fallback(spark):
+    """§18.2.4.1 hoisted aggregates (SUM(?v)+1 in SELECT/HAVING/ORDER
+    BY) must compile under whole-stage codegen: the typed-numeric
+    planes over the aggregate output column bind their intermediates
+    (_typed_view binder) and literal operands constant-fold in Python
+    (_const_typed_view) — without either, a single SUM(?v)+1 overflows
+    janino's 64 KB method budget AND OOMs the JVM compiling the ~1 MB
+    generated class."""
+    from sophia_rs_spark.sparql import query
+
+    xi = '"%d"^^<http://www.w3.org/2001/XMLSchema#integer>'
+    df = spark.createDataFrame(
+        [("<x:a>", "<x:p>", xi % 1), ("<x:a>", "<x:p>", xi % 2),
+         ("<x:b>", "<x:p>", xi % 5)],
+        "s string, p string, o string",
+    )
+    battery = [
+        ("SELECT ?s (SUM(?v)+1 AS ?y) WHERE { ?s ?p ?v } GROUP BY ?s", 2),
+        ("SELECT ?s WHERE { ?s ?p ?v } GROUP BY ?s ORDER BY DESC(SUM(?v))", 2),
+        ("SELECT ?s WHERE { ?s ?p ?v } GROUP BY ?s HAVING(SUM(?v) > 2)", 2),
+        ("SELECT (AVG(?v) AS ?a) (SUM(?v)*2 AS ?d) WHERE { ?s ?p ?v }", 1),
+        ("SELECT ((?v+1)*(?v-1) AS ?y) WHERE { ?s ?p ?v } ORDER BY ?y", 3),
+        ("SELECT (?v+1.5 AS ?y) WHERE { ?s ?p ?v } ORDER BY ?y", 3),
+    ]
+    prev = spark.conf.get("spark.sql.codegen.fallback", "true")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try:
+        for q, expected in battery:
+            assert query(df, q).count() == expected, q
+        got = query(
+            df, "SELECT ?s (SUM(?v)+1 AS ?y) WHERE { ?s ?p ?v } "
+                "GROUP BY ?s ORDER BY ?s"
+        ).collect()
+        assert [r["y"] for r in got] == [
+            '"4"^^<http://www.w3.org/2001/XMLSchema#integer>',
+            '"6"^^<http://www.w3.org/2001/XMLSchema#integer>',
+        ]
+    finally:
+        spark.conf.set("spark.sql.codegen.fallback", prev)
+
+
 def test_exists_plans_stay_joins(spark):
     """EXISTS compiles to distributed joins, never a cartesian product
     or a correlated per-row subquery: the bare form is a semi/anti

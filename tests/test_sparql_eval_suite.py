@@ -208,6 +208,72 @@ class TestAggregates:
             [{"c": f'"1"{INT}'}],
         )
 
+    # -- §18.2.4.1 embedded aggregates (spec §11.1 HAVING example, the
+    # agg08-family projection-expression shape, ORDER BY aggregates) --
+
+    def test_agg_having_embedded_sum(self, spark):
+        # sparql11-query §11.1: HAVING (SUM(?lprice) > 10) with the
+        # aggregate written inline, not declared in the projection
+        check(
+            spark,
+            ':s1 :p "1"^^xsd:integer , "2"^^xsd:integer .'
+            ':s2 :p "3"^^xsd:integer , "9"^^xsd:integer .',
+            "SELECT ?s WHERE { ?s :p ?o } GROUP BY ?s HAVING (SUM(?o) > 10)",
+            [{"s": "<http://example.org/s2>"}],
+        )
+
+    def test_agg_select_expr_over_aggregate(self, spark):
+        check(
+            spark,
+            AGG_DATA,
+            "SELECT ?s (SUM(?o) + 1 AS ?t) WHERE { ?s :p ?o } GROUP BY ?s",
+            [
+                {"s": "<http://example.org/s1>", "t": f'"4"{INT}'},
+                {"s": "<http://example.org/s2>", "t": f'"4"{INT}'},
+            ],
+        )
+
+    def test_agg_order_by_aggregate(self, spark):
+        check(
+            spark,
+            ':s1 :p "1"^^xsd:integer . :s2 :p "1"^^xsd:integer , '
+            '"2"^^xsd:integer .',
+            "SELECT ?s WHERE { ?s :p ?o } GROUP BY ?s "
+            "ORDER BY DESC(COUNT(?o)) ?s",
+            [
+                {"s": "<http://example.org/s2>"},
+                {"s": "<http://example.org/s1>"},
+            ],
+            ordered=True,
+        )
+
+    def test_agg_embedded_reuses_declared(self, spark):
+        # the inline SUM in HAVING must reuse the declared one — same
+        # group column, one aggregate computed
+        check(
+            spark,
+            AGG_DATA,
+            "SELECT ?s (SUM(?o) AS ?sum) WHERE { ?s :p ?o } GROUP BY ?s "
+            "HAVING (SUM(?o) = 3)",
+            [
+                {"s": "<http://example.org/s1>", "sum": f'"3"{INT}'},
+                {"s": "<http://example.org/s2>", "sum": f'"3"{INT}'},
+            ],
+        )
+
+    def test_agg_nested_aggregate_rejected(self, spark):
+        from sophia_rs_spark.sparql.parser import SparqlError
+
+        df = _load(spark, AGG_DATA)
+        with pytest.raises(SparqlError):
+            query(df, PFX + "SELECT (SUM(SUM(?o)) AS ?x) WHERE { ?s :p ?o }")
+        with pytest.raises(SparqlError):
+            query(
+                df,
+                PFX + "SELECT ?s WHERE { ?s :p ?o } GROUP BY ?s "
+                "HAVING (MAX(COUNT(?o)) > 1)",
+            )
+
 
 # ---------------------------------------------------------------------------
 # negation/ — EXISTS / NOT EXISTS / MINUS
