@@ -557,6 +557,31 @@ def _q_sparql_update(spark, sf):
     return out.select("s", "p", "o")
 
 
+def _q_sparql_tterm(spark, sf):
+    """SPARQL 1.2 triple-term PATTERNS (`sparql/src/test.rs:674-696`,
+    spargebra sparql-12): annotate every region-name triple as a
+    triple term, then destructure it back through the text front-end
+    with a ``<<( ?s <name> ?o )>>`` pattern — construction and
+    destructuring must be exact inverses."""
+    from sophia_rs_spark.functions import sparql_fns as FN
+    from sophia_rs_spark.sparql import query
+
+    t = spark_triples(spark, sf)
+    ann = t.filter(
+        (F.col("p") == F.lit(P_NAME)) & (F.col("o").startswith('"'))
+    ).select(
+        FN.triple_term(F.col("s"), F.col("p"), F.col("o")).alias("s"),
+        F.lit("<x:src>").alias("p"),
+        F.lit('"dm"').alias("o"),
+    )
+    quads = t.unionByName(ann)
+    out = query(
+        quads,
+        f'SELECT ?x ?nm {{ <<( ?x {P_NAME} ?nm )>> <x:src> "dm" }}',
+    )
+    return out.select(F.col("x").alias("subj"), F.col("nm").alias("name"))
+
+
 def _q_sparql_agg_distinct(spark, sf):
     """DISTINCT-in-aggregate through the text front-end
     (sparql11-query §18.5.1): distinct segments per nation."""
@@ -899,6 +924,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fn_datetime_tz": _q_fn_datetime_tz,
         "emb_ivf_knn2": _q_emb_ivf_knn2,
         "sparql_agg_distinct": _q_sparql_agg_distinct,
+        # SPARQL 1.2 triple-term patterns (test.rs:674-696)
+        "sparql_tterm": _q_sparql_tterm,
     }
 
 
@@ -1098,6 +1125,12 @@ SELECT event_id,
     ELSE NULL END AS tzdur
 FROM events
 """.strip()
+    qs["sparql_tterm"] = with_triples(
+        f"""
+SELECT s AS subj, o AS name FROM triples
+WHERE p = '{P_NAME}' AND o LIKE '"%'
+""".strip()
+    )
     qs["fn_tterm"] = with_triples(
         f"""
 SELECT t1.s AS r, t1.s AS subj, '{P_NAME}' AS pred, t2.o AS obj

@@ -144,6 +144,41 @@ def _pattern_df(ctx: _Ctx, tp: A.TriplePattern) -> DataFrame:
     return B.match_pattern(t, pat)
 
 
+def _tterm_df(df: DataFrame, el: "A.TTermPattern") -> DataFrame:
+    """Destructuring frame for a triple-term PATTERN ``<<( s p o )>>``
+    (sparql-12, `sparql/src/test.rs:674-696`): over the DISTINCT values
+    already bound to the slot variable, keep only triple terms whose
+    constant components match, and bind the variable components via the
+    SUBJECT/PREDICATE/OBJECT accessors.  Joining this frame back on the
+    slot variable (standard compatibility join) unifies repeated and
+    outer-bound variables for free, and the distinct() keeps the
+    Arrow-batched accessor UDFs off the full row stream."""
+    from ..functions import triple_terms as TT
+
+    v = el.var.name
+    base = (
+        df.select(v)
+        .where(F.col(v).isNotNull())
+        .distinct()
+        .where(FN.is_triple(F.col(v)))
+    )
+    proj = {v: F.col(v)}
+    for comp, acc in (
+        (_qterm(el.s), TT.tt_subject),
+        (_qterm(el.p), TT.tt_predicate),
+        (_qterm(el.o), TT.tt_object),
+    ):
+        e = acc(F.col(v))
+        if isinstance(comp, A.Var):
+            if comp.name in proj:  # repeated var inside the term → unify
+                base = base.where(e == proj[comp.name])
+            else:
+                proj[comp.name] = e
+        else:
+            base = base.where(e == F.lit(comp))
+    return base.select(*[c.alias(n) for n, c in proj.items()])
+
+
 def _compile_path(triples: DataFrame, p) -> DataFrame:
     if isinstance(p, str):
         return P.pred(triples, p)
@@ -1656,9 +1691,30 @@ def _eval_group(ctx: _Ctx, g: A.Group, defer_filters: bool = False):
         )
         return df
 
+    tt_pend: List = []  # TTermPatterns whose slot var is not bound yet
+
+    def _drain_tterms():
+        # nested triple terms bind inside-out: an inner record's slot
+        # var is bound by the OUTER record's destructure, so retry the
+        # deferred list after every successful join until a fixpoint
+        progress = True
+        while progress:
+            progress = False
+            for rec in list(tt_pend):
+                if df is not None and rec.var.name in df.columns:
+                    tt_pend.remove(rec)
+                    join(_tterm_df(df, rec))
+                    progress = True
+
     for el in g.elements:
         if isinstance(el, A.TriplePattern):
             join(_pattern_df(ctx, el))
+        elif isinstance(el, A.TTermPattern):
+            if df is not None and el.var.name in df.columns:
+                join(_tterm_df(df, el))
+                _drain_tterms()
+            else:
+                tt_pend.append(el)
         elif isinstance(el, A.Filter):
             filters.append(el.expr)
         elif isinstance(el, A.Optional_):
@@ -1767,6 +1823,12 @@ def _eval_group(ctx: _Ctx, g: A.Group, defer_filters: bool = False):
         else:
             raise A.SparqlError(f"unknown group element {el!r}")
 
+    _drain_tterms()
+    if tt_pend:
+        raise A.SparqlError(
+            "triple-term pattern's slot is never matched: "
+            + ", ".join(r.var.name for r in tt_pend)
+        )
     if df is None:
         df = _unit(spark)
     if defer_filters:

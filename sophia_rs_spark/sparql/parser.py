@@ -48,6 +48,32 @@ class PathExpr:
     args: tuple
 
 
+@dataclass(frozen=True)
+class TTerm:
+    """SPARQL 1.2 triple term ``<<( s p o )>>`` with at least one
+    variable/bnode component (ground ones collapse to their canonical
+    term string at parse time).  In a PATTERN it lowers to a fresh
+    ``#ttN`` slot variable plus a :class:`TTermPattern` destructuring
+    record; in an EXPRESSION it lowers to a ``TRIPLE(s, p, o)`` call
+    (spargebra sparql-12 ExprTripleTerm, `sparql/src/test.rs:674-696`)."""
+
+    s: Union[Var, str, "TTerm"]
+    p: Union[Var, str, "TTerm"]
+    o: Union[Var, str, "TTerm"]
+
+
+@dataclass
+class TTermPattern:
+    """Destructuring constraint: the binding of ``var`` must be a
+    triple term whose components match s/p/o (binding their variables).
+    Emitted by lowering a :class:`TTerm` in subject/object position."""
+
+    var: Var
+    s: Union[Var, str]
+    p: Union[Var, str]
+    o: Union[Var, str]
+
+
 @dataclass
 class TriplePattern:
     s: Union[Var, str]
@@ -202,6 +228,8 @@ TOKEN_RE = re.compile(
       (?P<ws>\s+)
     | (?P<comment>\#[^\n]*)
     | (?P<iri><(?:[^\x00-\x20<>"{{}}|^`\\]|\\u[0-9A-Fa-f]{{4}}|\\U[0-9A-Fa-f]{{8}})*>)
+    | (?P<ttopen><<\()
+    | (?P<ttclose>\)>>)
     | (?P<var>[?$][{_PN_CHARS_U}0-9][{_PN_CHARS_U}0-9]*)
     | (?P<longstring>\"\"\"(?:[^"\\]|\\.|"(?!\"\")|""(?!"))*\"\"\"|'''(?:[^'\\]|\\.|'(?!'')|''(?!'))*''')
     | (?P<string>"(?:[^"\\\n\r]|\\.)*"|'(?:[^'\\\n\r]|\\.)*')
@@ -247,6 +275,7 @@ class _P:
         self.prefixes: dict[str, str] = {}
         self.bnode_ctr = 0
         self._anon = 0
+        self._ttn = 0
         self._pending: List[TriplePattern] = []
 
     def peek(self, k: int = 0):
@@ -339,6 +368,26 @@ class _P:
             return f'"{raw.lower()}"^^<{XSD}boolean>'
         if k == "kw" and raw.upper() == "A":
             return RDF_TYPE_T
+        if k == "ttopen":
+            # SPARQL 1.2 triple term <<( s p o )>> — ground components
+            # collapse to the canonical encoding (terms/model.py:227);
+            # otherwise a TTerm node for context-specific lowering
+            s = self.parse_term(allow_var=allow_var)
+            p = self.parse_term(allow_var=allow_var)
+            o = self.parse_term(allow_var=allow_var)
+            t2 = self.next()
+            if t2 is None or t2[0] != "ttclose":
+                raise SparqlError(f"expected ')>>' closing a triple term")
+            # bnode labels in query patterns are existential VARIABLES
+            # (§4.1.4) — they keep the term non-ground
+            if all(
+                isinstance(x, str) and not x.startswith("_:")
+                for x in (s, p, o)
+            ):
+                return f"<<( {s} {p} {o} )>>"
+            if not allow_var:
+                raise SparqlError("variables not allowed in this triple term")
+            return TTerm(s, p, o)
         if k == "op" and raw == "[":
             # [] and [ props ] = anonymous bnode pattern — a fresh
             # existential variable; a non-empty property list expands to
@@ -354,7 +403,7 @@ class _P:
             while True:
                 pp = self.parse_path()
                 while True:
-                    oo = self.parse_term()
+                    oo = self._lower_pattern_term(self.parse_term())
                     self._pending.append(TriplePattern(bvar, pp, oo))
                     if not self.op(","):
                         break
@@ -373,7 +422,7 @@ class _P:
                 return f"<{RDF}nil>"
             items = []
             while not self.op(")"):
-                items.append(self.parse_term())
+                items.append(self._lower_pattern_term(self.parse_term()))
             head = None
             prev = None
             for it in items:
@@ -643,6 +692,19 @@ class _P:
         term = self.parse_term()
         if isinstance(term, Var):
             return Expr("var", (term.name,))
+        if isinstance(term, TTerm):
+            # ExprTripleTerm (sparql-12): constructs the term from the
+            # current bindings — exactly the TRIPLE() builtin
+            def conv(x):
+                if isinstance(x, TTerm):
+                    return Expr(
+                        "call", ("TRIPLE", (conv(x.s), conv(x.p), conv(x.o)))
+                    )
+                if isinstance(x, Var):
+                    return Expr("var", (x.name,))
+                return Expr("term", (x,))
+
+            return Expr("call", ("TRIPLE", (conv(term.s), conv(term.p), conv(term.o))))
         if (
             isinstance(term, str)
             and term.startswith("<http://www.w3.org/2001/XMLSchema#")
@@ -815,9 +877,26 @@ class _P:
         term = self.parse_term(allow_var=False)
         return term
 
+    def _lower_pattern_term(self, t):
+        """Lower a TTerm in subject/object PATTERN position: a fresh
+        '#ttN' slot variable + a TTermPattern destructuring record in
+        self._pending (drained after the triples block, so the slot
+        var is already matched when the record evaluates).  Nested
+        triple terms lower inside-out; the evaluator retries records
+        whose slot var is bound by a later record's destructure."""
+        if not isinstance(t, TTerm):
+            return t
+        s = self._lower_pattern_term(t.s)
+        p = self._lower_pattern_term(t.p)
+        o = self._lower_pattern_term(t.o)
+        self._ttn += 1
+        v = Var(f"#tt{self._ttn}")
+        self._pending.append(TTermPattern(v, s, p, o))
+        return v
+
     def _parse_triples_into(self, g: Group):
         pend0 = len(self._pending)
-        s = self.parse_term()
+        s = self._lower_pattern_term(self.parse_term())
         t = self.peek()
         # `[ props ] .` standalone: a subject-position property list
         # with no following predicate list is a complete triples block
@@ -828,7 +907,7 @@ class _P:
             while True:
                 p = self.parse_path()
                 while True:
-                    o = self.parse_term()
+                    o = self._lower_pattern_term(self.parse_term())
                     g.elements.append(TriplePattern(s, p, o))
                     if not self.op(","):
                         break
@@ -903,6 +982,13 @@ class _P:
             t0 = self.peek()
             if t0 is not None and t0[0] == "op" and t0[1] == "{":
                 tmpl_group = self.parse_group()
+                if any(
+                    isinstance(e, TTermPattern) for e in tmpl_group.elements
+                ):
+                    raise SparqlError(
+                        "triple terms with variables are not supported in "
+                        "CONSTRUCT templates"
+                    )
                 template = [
                     e for e in tmpl_group.elements if isinstance(e, TriplePattern)
                 ]

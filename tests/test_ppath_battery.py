@@ -81,6 +81,50 @@ def test_ppath(ds, q, exp, name):
     assert vals == sorted(exp), name
 
 
+TT_PATTERN_CASES = [
+    # sparql/src/test.rs:673-697 — triple-term PATTERNS as path
+    # endpoints (the |:z alternative prevents BGP-ification upstream;
+    # kept for parity)
+    ("SELECT ?s ?o { <<( ?s ?p1 [] )>> (^:t/:p/:t)|:z <<( [] ?p2 ?o )>> }",
+     [], "triple patterns failing"),
+    ("SELECT ?s ?o { <<( ?s ?p1 [] )>> (^:t/:r/:t)|:z <<( [] ?p2 ?o )>> }",
+     [("<x:a1>", "<x:c2>")], "triple patterns succeeding"),
+    ("SELECT ?s ?o { <<( ?s ?p1 ?v )>> (^:t/:r/:t)|:z <<( ?v ?p2 ?o )>> }",
+     [], "triple patterns failing because of similar variables v"),
+    ("SELECT ?s ?o { <<( ?s ?p1 _:b )>> (^:t/:r/:t)|:z <<( _:b ?p2 ?o )>> }",
+     [], "triple patterns failing because of similar bnode b"),
+    ("SELECT ?s ?o { <<( ?s ?o [] )>> (^:t/:r/:t)|:z <<( [] ?o [] )>> }",
+     [("<x:a1>", "<x:b1>")], "triple patterns with common variable"),
+]
+
+
+@pytest.mark.parametrize(
+    "q,exp,name", TT_PATTERN_CASES, ids=[c[2] for c in TT_PATTERN_CASES]
+)
+def test_ppath_tterm_patterns(ds, q, exp, name):
+    got = query(ds, QPFX + q)
+    vals = sorted((r["s"], r["o"]) for r in got.collect())
+    assert vals == sorted(exp), name
+
+
+def test_tterm_pattern_ground_and_nested(ds):
+    # ground triple term in subject position matches by term identity
+    got = query(ds, QPFX + "SELECT ?x { <<( :a1 :b1 :c1 )>> ^:t ?x }")
+    assert [r["x"] for r in got.collect()] == ["<x:d1>"]
+    # destructure both data triple terms
+    got = query(ds, QPFX + "SELECT ?s ?c { ?d :t <<( ?s :b1 ?c )>> }")
+    assert sorted((r["s"], r["c"]) for r in got.collect()) == [
+        ("<x:a1>", "<x:c1>"), ("<x:a2>", "<x:c2>"),
+    ]
+    # expression form constructs the term (TRIPLE equivalence)
+    got = query(
+        ds,
+        QPFX + "SELECT ?d { ?d :t ?tt "
+        "FILTER(SAMETERM(?tt, <<( :a1 :b1 :c1 )>>)) }",
+    )
+    assert [r["d"] for r in got.collect()] == ["<x:d1>"]
+
+
 def test_ppath_star_includes_tt_nodes(ds):
     """:p* — set semantics; triple terms are nodes and appear in the
     zero-length pairs (test.rs ':p*' case)."""

@@ -261,6 +261,66 @@ class TestAggregates:
             ],
         )
 
+    def test_agg_subquery_joined_with_outer(self, spark):
+        # sq-style: a grouped subquery's aggregate joins the outer BGP
+        check(
+            spark,
+            ':a :p "1"^^xsd:integer ; :q "10"^^xsd:integer , '
+            '"20"^^xsd:integer . :b :p "2"^^xsd:integer ; '
+            ':q "30"^^xsd:integer . :c :p "3"^^xsd:integer .',
+            "SELECT ?s ?c WHERE { ?s :p ?po "
+            "{ SELECT ?s (COUNT(?x) AS ?c) WHERE { ?s :q ?x } GROUP BY ?s } }",
+            [
+                {"s": "<http://example.org/a>", "c": f'"2"{INT}'},
+                {"s": "<http://example.org/b>", "c": f'"1"{INT}'},
+            ],
+        )
+
+    def test_agg_group_by_expression_alias(self, spark):
+        # group04-style: GROUP BY (expr AS ?k) binds the key
+        check(
+            spark,
+            ':a :p "1"^^xsd:integer . :b :p "2"^^xsd:integer . '
+            ':c :p "3"^^xsd:integer .',
+            "SELECT ?k (COUNT(?s) AS ?n) WHERE { ?s :p ?o } "
+            "GROUP BY (?o > 1 AS ?k)",
+            [
+                {"k": f'"false"{BOOL}', "n": f'"1"{INT}'},
+                {"k": f'"true"{BOOL}', "n": f'"2"{INT}'},
+            ],
+        )
+
+    def test_agg_if_over_aggregate(self, spark):
+        check(
+            spark,
+            AGG_DATA,
+            'SELECT (IF(SUM(?o) > 3, "big", "small") AS ?t) '
+            "WHERE { ?s :p ?o }",
+            [{"t": '"big"'}],
+        )
+
+    def test_agg_trailing_values_with_sum(self, spark):
+        # trailing VALUES joins after grouping, before the SELECT
+        # expression (§18.2.4.3/.4) — ?base is bound in SUM(?o)+?base
+        check(
+            spark,
+            AGG_DATA,
+            "SELECT ?s (SUM(?o) + ?base AS ?t) WHERE { ?s :p ?o } "
+            "GROUP BY ?s VALUES ?base { 100 }",
+            [
+                {"s": "<http://example.org/s1>", "t": f'"103"{INT}'},
+                {"s": "<http://example.org/s2>", "t": f'"103"{INT}'},
+            ],
+        )
+
+    def test_agg_count_star_embedded_in_having(self, spark):
+        check(
+            spark,
+            ':a :q "1" , "2" . :b :q "3" .',
+            "SELECT ?s WHERE { ?s :q ?x } GROUP BY ?s HAVING (COUNT(*) > 1)",
+            [{"s": "<http://example.org/a>"}],
+        )
+
     def test_agg_nested_aggregate_rejected(self, spark):
         from sophia_rs_spark.sparql.parser import SparqlError
 
