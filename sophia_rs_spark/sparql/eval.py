@@ -1974,6 +1974,18 @@ def _evaluate(triples: DataFrame, q: A.Query):
         sol_cols = [F.col(c) for c in df.columns] or [F.lit(0)]
 
         def inst(t):
+            if isinstance(t, A.TTerm):
+                # variable triple term in a template: CONSTRUCT the
+                # term per solution (TRIPLE semantics — invalid
+                # component kinds → NULL → row skipped, like any
+                # unbound template slot)
+                def c(x):
+                    r = inst(x)
+                    if isinstance(r, B.Var):
+                        return F.col(r.name)
+                    return r if isinstance(r, Column) else F.lit(r)
+
+                return FN.triple_term(c(t.s), c(t.p), c(t.o))
             if isinstance(t, A.Var):
                 if t.name in df.columns:
                     return B.v(t.name)

@@ -958,7 +958,7 @@ class _P:
                 if t[0] == "var":
                     self.next()
                     targets.append(Var(t[1][1:]))
-                elif t[0] in ("iri", "pname"):
+                elif t[0] in ("iri", "pname", "ttopen"):
                     targets.append(self.parse_term(allow_var=False))
                 else:
                     break
@@ -982,15 +982,26 @@ class _P:
             t0 = self.peek()
             if t0 is not None and t0[0] == "op" and t0[1] == "{":
                 tmpl_group = self.parse_group()
-                if any(
-                    isinstance(e, TTermPattern) for e in tmpl_group.elements
-                ):
-                    raise SparqlError(
-                        "triple terms with variables are not supported in "
-                        "CONSTRUCT templates"
-                    )
+                # a TTermPattern in a TEMPLATE is not a destructuring
+                # match — it's term CONSTRUCTION per solution: fold the
+                # lowered records back into TTerm nodes in the slots
+                # (the evaluator instantiates them via FN.triple_term)
+                ttmap = {
+                    e.var.name: e
+                    for e in tmpl_group.elements
+                    if isinstance(e, TTermPattern)
+                }
+
+                def _fold(t):
+                    if isinstance(t, Var) and t.name in ttmap:
+                        r = ttmap[t.name]
+                        return TTerm(_fold(r.s), _fold(r.p), _fold(r.o))
+                    return t
+
                 template = [
-                    e for e in tmpl_group.elements if isinstance(e, TriplePattern)
+                    TriplePattern(_fold(e.s), e.p, _fold(e.o))
+                    for e in tmpl_group.elements
+                    if isinstance(e, TriplePattern)
                 ]
                 from_graphs, from_named = self._parse_dataset_clauses()
                 self.kw("WHERE")  # optional before the group

@@ -855,6 +855,48 @@ class TestConstructAskGraph:
         check(spark, ':s :p "o" .', "ASK { :s :p ?x }", True)
         check(spark, ':s :p "o" .', "ASK { :s :none ?x }", False)
 
+    def test_construct_variable_triple_term_template(self, spark):
+        # sparql-12: a triple term in a CONSTRUCT template CONSTRUCTS
+        # the term per solution; invalid component kinds (literal
+        # subject) skip the row like an unbound slot
+        df = _load(spark, ':a :p :b . :c :p "lit" .')
+        got = query(
+            df,
+            PFX + 'CONSTRUCT { <<( ?s :p ?o )>> :seen "y" } '
+            "WHERE { ?s :p ?o }",
+        )
+        assert sorted(tuple(r) for r in got.collect()) == [
+            (
+                "<<( <http://example.org/a> <http://example.org/p> "
+                "<http://example.org/b> )>>",
+                "<http://example.org/seen>",
+                '"y"',
+            ),
+            (
+                '<<( <http://example.org/c> <http://example.org/p> "lit" )>>',
+                "<http://example.org/seen>",
+                '"y"',
+            ),
+        ]
+        got = query(
+            df,
+            PFX + 'CONSTRUCT { <<( ?o :p ?s )>> :seen "y" } '
+            "WHERE { ?s :p ?o }",
+        )
+        # the "lit"-subject instantiation is invalid → skipped
+        assert got.count() == 1
+
+    def test_describe_ground_triple_term(self, spark):
+        rows = [
+            ("<x:a>", "<x:p>", "<x:b>", None),
+            ("<<( <x:a> <x:p> <x:b> )>>", "<x:t>", '"m"', None),
+        ]
+        df = spark.createDataFrame(rows, "s string, p string, o string, g string")
+        got = query(df, "DESCRIBE <<( <x:a> <x:p> <x:b> )>>")
+        assert sorted(tuple(r) for r in got.collect()) == [
+            ("<<( <x:a> <x:p> <x:b> )>>", "<x:t>", '"m"'),
+        ]
+
     def test_graph_var_binds(self, spark):
         check(
             spark,
