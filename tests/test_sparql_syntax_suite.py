@@ -109,6 +109,19 @@ POSITIVE = [
      "PREFIX : <http://example.org/ns#> ASK { :a ^:p ?x }"),
     ("syntax-pp-negated",
      "PREFIX : <http://example.org/ns#> ASK { :a !(:p1|^:p2) ?x }"),
+    # sparql-12 triple terms
+    ("syntax-tterm-ground",
+     "PREFIX : <http://example.org/ns#> ASK { <<( :a :p :b )>> :t ?m }"),
+    ("syntax-tterm-vars",
+     "PREFIX : <http://example.org/ns#> SELECT * { <<( ?s ?p [] )>> :t ?m }"),
+    ("syntax-tterm-nested",
+     "PREFIX : <http://example.org/ns#> "
+     "ASK { <<( <<( ?s :p ?o )>> :q :r )>> :t ?m }"),
+    ("syntax-tterm-expr",
+     "PREFIX : <http://example.org/ns#> "
+     "SELECT (ISTRIPLE(<<( :a :p :b )>>) AS ?x) { ?s ?p ?o }"),
+    ("syntax-tterm-object",
+     "PREFIX : <http://example.org/ns#> ASK { ?d :t <<( ?s :p ?o )>> }"),
 ]
 
 
@@ -137,6 +150,12 @@ NEGATIVE = [
      "SELECT ?s (COUNT(?o) AS ?c) WHERE { ?s ?p ?o }"),
     ("syn-bad-keyword-term", "SELECT * WHERE { ?s WHERE ?o }"),
     ("syn-bad-extra-close", "SELECT * WHERE { ?s ?p ?o } }"),
+    ("syn-bad-tterm-arity",
+     "SELECT * WHERE { <<( ?s ?p )>> <x:t> ?m }"),
+    ("syn-bad-tterm-unclosed",
+     "SELECT * WHERE { <<( ?s ?p ?o <x:t> ?m }"),
+    ("syn-bad-tterm-nested-agg",
+     "SELECT (SUM(SUM(?o)) AS ?x) WHERE { ?s ?p ?o }"),
 ]
 
 
