@@ -248,25 +248,58 @@ class _UP(A._P):
         quad block."""
         out: List[QuadT] = []
 
+        # triple terms in a TEMPLATE quad block are CONSTRUCTION, like
+        # in CONSTRUCT templates: fold the lowered TTermPattern records
+        # back into TTerm nodes in the slots
+        ttmap = {
+            e.var.name: e
+            for e in grp.elements
+            if isinstance(e, A.TTermPattern)
+        }
+
+        def fold(t):
+            if isinstance(t, A.Var) and t.name in ttmap:
+                r = ttmap[t.name]
+                return A.TTerm(fold(r.s), fold(r.p), fold(r.o))
+            return t
+
+        def _vars_in(term):
+            if isinstance(term, A.TTerm):
+                for x in (term.s, term.p, term.o):
+                    yield from _vars_in(x)
+            elif isinstance(term, A.Var):
+                yield term
+
         def add(tp, g):
             if isinstance(tp.p, A.PathExpr):
                 raise SparqlError("property paths are not allowed in quads")
-            for term in (tp.s, tp.p, tp.o):
-                if isinstance(term, A.Var) and not allow_vars:
-                    raise SparqlError(
-                        f"variable ?{term.name} not allowed in ground quads"
-                    )
-            out.append((tp.s, tp.p, tp.o, g))
+            s, p, o = fold(tp.s), tp.p, fold(tp.o)
+            for term in (s, p, o):
+                for var in _vars_in(term):
+                    if not allow_vars:
+                        raise SparqlError(
+                            f"variable ?{var.name} not allowed in ground quads"
+                        )
+            out.append((s, p, o, g))
 
         for el in grp.elements:
             if isinstance(el, A.TriplePattern):
                 add(el, None)
+            elif isinstance(el, A.TTermPattern):
+                pass  # folded into its slot via ttmap
             elif isinstance(el, A.GraphClause):
                 if isinstance(el.name, A.Var):
                     raise SparqlError(
                         "GRAPH in a quad block needs a constant IRI"
                     )
+                ttmap.update(
+                    (e.var.name, e)
+                    for e in el.group.elements
+                    if isinstance(e, A.TTermPattern)
+                )
                 for inner in el.group.elements:
+                    if isinstance(inner, A.TTermPattern):
+                        continue
                     if not isinstance(inner, A.TriplePattern):
                         raise SparqlError(
                             "only triples allowed inside GRAPH of a quad block"
@@ -280,10 +313,16 @@ class _UP(A._P):
 
     @staticmethod
     def _no_bnodes(quads: List[QuadT], where: str):
+        def chk(term):
+            if isinstance(term, A.TTerm):
+                for x in (term.s, term.p, term.o):
+                    chk(x)
+            elif isinstance(term, str) and term.startswith("_:"):
+                raise SparqlError(f"blank nodes not allowed in {where}")
+
         for s, p, o, _g in quads:
             for term in (s, p, o):
-                if isinstance(term, str) and term.startswith("_:"):
-                    raise SparqlError(f"blank nodes not allowed in {where}")
+                chk(term)
 
 
 def parse_update(text: str, base: Optional[str] = None) -> List[object]:
@@ -396,6 +435,12 @@ def _instantiate(
     sol_cols = [F.col(c) for c in bindings.columns] or [F.lit(0)]
 
     def inst(t):
+        if isinstance(t, A.TTerm):
+            # triple term in a template: construct per solution
+            # (TRIPLE semantics — invalid kinds → NULL → row skipped)
+            from ..functions import sparql_fns as FN
+
+            return FN.triple_term(inst(t.s), inst(t.p), inst(t.o))
         if isinstance(t, A.Var):
             if t.name in bindings.columns:
                 return F.col(t.name)

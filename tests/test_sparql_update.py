@@ -254,6 +254,37 @@ class TestLoad:
         assert ("<x:inj>", "<x:p>", '"via loader"', None) in rows(got)
 
 
+class TestTripleTerms:
+    def test_insert_template_constructs_tterm(self, spark, ds):
+        got = update(
+            ds, 'INSERT { <<( ?s <x:p> ?o )>> <x:src> "dm" } '
+                "WHERE { ?s <x:p> ?o }"
+        )
+        assert ('<<( <x:a> <x:p> "1" )>>', "<x:src>", '"dm"', None) in rows(got)
+        assert ('<<( <x:b> <x:p> "2" )>>', "<x:src>", '"dm"', None) in rows(got)
+        assert got.count() == 5
+
+    def test_insert_data_ground_tterm(self, spark, ds):
+        got = update(
+            ds, 'INSERT DATA { <<( <x:a> <x:p> <x:b> )>> <x:g> "y" }'
+        )
+        assert ("<<( <x:a> <x:p> <x:b> )>>", "<x:g>", '"y"', None) in rows(got)
+
+    def test_delete_where_tterm_pattern(self, spark, ds):
+        withtt = update(
+            ds, 'INSERT { <<( ?s <x:p> ?o )>> <x:src> "dm" } '
+                "WHERE { ?s <x:p> ?o }"
+        )
+        got = update(
+            withtt, 'DELETE WHERE { <<( ?s <x:p> ?o )>> <x:src> "dm" }'
+        )
+        assert sorted(rows(got)) == sorted(rows(ds))
+
+    def test_insert_data_var_tterm_rejected(self, spark, ds):
+        with pytest.raises(SparqlError, match="variable"):
+            update(ds, 'INSERT DATA { <<( ?s <x:p> ?o )>> <x:g> "y" }')
+
+
 class TestTriplesOnlyDataset:
     def test_triples_df_gets_default_graph(self, spark):
         ds3 = spark.createDataFrame(
