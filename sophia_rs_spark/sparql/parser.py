@@ -1016,7 +1016,14 @@ class _P:
                 from_graphs, from_named = self._parse_dataset_clauses()
                 self.expect_kw("WHERE")
                 grp = self.parse_group()
-                if not all(isinstance(e, TriplePattern) for e in grp.elements):
+                # TTermPattern records stay in the WHERE group as
+                # destructuring matches; the template reuses their slot
+                # variables directly (bound by the group, so the
+                # matched triple term is emitted verbatim)
+                if not all(
+                    isinstance(e, (TriplePattern, TTermPattern))
+                    for e in grp.elements
+                ):
                     raise SparqlError(
                         "CONSTRUCT WHERE short form allows only triple patterns"
                     )

@@ -886,6 +886,28 @@ class TestConstructAskGraph:
         # the "lit"-subject instantiation is invalid → skipped
         assert got.count() == 1
 
+    def test_construct_where_short_form_tterm(self, spark):
+        rows = [
+            ("<x:a>", "<x:p>", "<x:b>", None),
+            ("<<( <x:a> <x:p> <x:b> )>>", "<x:t>", '"m"', None),
+            ("<<( <x:c> <x:q> <x:d> )>>", "<x:t>", '"n"', None),
+        ]
+        df = spark.createDataFrame(rows, "s string, p string, o string, g string")
+        got = query(df, "CONSTRUCT WHERE { <<( ?s <x:p> ?o )>> <x:t> ?m }")
+        assert sorted(tuple(r) for r in got.collect()) == [
+            ("<<( <x:a> <x:p> <x:b> )>>", "<x:t>", '"m"'),
+        ]
+        # triple-term patterns scope per graph under GRAPH ?g
+        rows2 = [
+            ("<<( <x:a> <x:p> <x:b> )>>", "<x:t>", '"m"', "<x:g1>"),
+            ("<<( <x:c> <x:q> <x:d> )>>", "<x:t>", '"n"', "<x:g2>"),
+        ]
+        df2 = spark.createDataFrame(rows2, "s string, p string, o string, g string")
+        got2 = query(df2, "SELECT ?g ?s WHERE { GRAPH ?g { <<( ?s ?p ?o )>> <x:t> ?m } }")
+        assert sorted(tuple(r) for r in got2.collect()) == [
+            ("<x:g1>", "<x:a>"), ("<x:g2>", "<x:c>"),
+        ]
+
     def test_describe_ground_triple_term(self, spark):
         rows = [
             ("<x:a>", "<x:p>", "<x:b>", None),
