@@ -189,6 +189,49 @@ def bench_rdfs(spark, sf_dir: str):
     return e.queries()["rdfs_closure"](spark, sf_dir).count()
 
 
+def bench_sparql(spark, sf_dir: str):
+    """SPARQL text front-end steady-state: BGP join + OPTIONAL +
+    FILTER + embedded-aggregate GROUP BY over the lineitem-mapped
+    triples (~3M at sf0.1).  Exercises the comparison fast path
+    (compile-time family pruning, length-gated exact-int keys) and the
+    early group-filter drain (selective FILTER runs BEFORE the
+    OPTIONAL multiplies rows)."""
+    from pyspark.sql import functions as F
+
+    from sophia_rs_spark.sources.direct_mapping import (
+        ColumnMap, TableMap, VOC, table_triples,
+    )
+    from sophia_rs_spark.sparql import query
+
+    tm = TableMap(
+        "lineitem", "l_orderkey", "order", "Order",
+        [
+            ColumnMap("l_quantity", VOC + "quantity", "integer"),
+            ColumnMap("l_returnflag", VOC + "returnflag"),
+            ColumnMap("l_linestatus", VOC + "linestatus"),
+        ],
+    )
+    df = spark.read.parquet(f"{sf_dir}/lineitem.parquet").withColumn(
+        "l_quantity", F.col("l_quantity").cast("bigint")
+    )
+    t = table_triples(df, tm)
+    out = query(
+        t,
+        f"""
+        PREFIX voc: <{VOC}>
+        SELECT ?rf (COUNT(?q) AS ?n) (SUM(?q)+0 AS ?tq)
+        WHERE {{
+          ?o voc:quantity ?q ; voc:returnflag ?rf .
+          OPTIONAL {{ ?o voc:linestatus ?ls }}
+          FILTER(?q > 10 && BOUND(?ls))
+        }}
+        GROUP BY ?rf
+        ORDER BY DESC(SUM(?q)+0)
+        """,
+    )
+    return sum(1 for _ in out.collect())
+
+
 def run_all(spark, sf_dir: str, tile: int, repeat: int = 1):
     """Run the headline suite ``repeat`` times and report the per-query
     MIN across repeats: host steal contaminated two rounds of driver
@@ -210,6 +253,7 @@ def run_all(spark, sf_dir: str, tile: int, repeat: int = 1):
         ("components", lambda: bench_components(spark, sf_dir)),
         ("c14n", lambda: bench_c14n(spark, sf_dir)),
         ("rdfs", lambda: bench_rdfs(spark, sf_dir)),
+        ("sparql", lambda: bench_sparql(spark, sf_dir)),
     ]
     for _ in range(max(repeat, 1)):
         for name, fn in jobs:

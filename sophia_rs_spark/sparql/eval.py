@@ -611,6 +611,29 @@ def _recognized_dts() -> list:
     return _RECOGNIZED_DTS
 
 
+def _term_family(t: str) -> str:
+    """Compile-time value family of a GROUND canonical term — used to
+    PRUNE comparison branches (and their per-row plane decompositions)
+    that a constant operand can never reach: FILTER(?q > 10) needs no
+    dateTime/boolean/lang-tag/escape-decode machinery per row."""
+    if not isinstance(t, str) or not t.startswith('"'):
+        return "other"  # IRI / bnode / triple term
+    m = re.match(r'^"(?:[^"\\]|\\.)*"', t)
+    rest = t[m.end():] if m else ""
+    if rest.startswith("^^<"):
+        dt = rest[3:-1]
+        if dt in FN._NUMERIC_DTS:
+            return "num"
+        if dt == f"{_XSD_NS}dateTime":
+            return "dt"
+        if dt == f"{_XSD_NS}boolean":
+            return "bool"
+        if dt == f"{_XSD_NS}string":
+            return "str"
+        return "lit-other"  # unrecognized datatype
+    return "str"  # simple or language-tagged literal
+
+
 def _lit_unrecognized(term_str: Column) -> Column:
     """Literal with an unrecognized datatype OR an ill-formed lexical for
     a recognized one — the operands that poison = / != (test.rs matrix)."""
@@ -650,9 +673,9 @@ def _bool(
         ls, rs = lc.cast("string"), rc.cast("string")
 
         def termify(c):
-            return F.when(c.rlike('^["<_]'), c).otherwise(
-                F.concat(F.lit('"'), c, F.lit('"'))
-            )
+            return F.when(
+                F.substring(c, 1, 1).isin('"', "<", "_"), c
+            ).otherwise(F.concat(F.lit('"'), c, F.lit('"')))
 
         # Decompose each operand ONCE into (termified, datatype, lexical)
         # temp columns; every derived view below is a small tree over
@@ -672,8 +695,26 @@ def _bool(
         else:
             bind_l = ident if l.op == "term" else binder.bind
             bind_r = ident if r.op == "term" else binder.bind
+        # compile-time branch pruning: a CONSTANT operand pins its
+        # value family, so every other family's plane (and its per-row
+        # regex/cast cost) is dropped from the generated code entirely
+        lfam = _term_family(l.args[0]) if l.op == "term" else None
+        rfam = _term_family(r.args[0]) if r.op == "term" else None
+
+        def may(fam):
+            return lfam in (None, fam) and rfam in (None, fam)
+
         lt, rt = bind_l(termify(ls)), bind_r(termify(rs))
-        ldt_, rdt_ = bind_l(FN.datatype(lt)), bind_r(FN.datatype(rt))
+        if sym not in ("=", "!=") and not may("str"):
+            # ORDER comparison whose string-family branch is pruned: the
+            # explicit ^^<dt> suffix is all the surviving branches
+            # (numeric / dateTime / boolean isin-tests) consult — the
+            # full datatype()'s langString/xsd:string defaulting (two
+            # extra rlikes per row) only matters to the str branch
+            _dt = lambda t: F.regexp_extract(t, r"\^\^<([^>]*)>$", 1)
+        else:
+            _dt = FN.datatype
+        ldt_, rdt_ = bind_l(_dt(lt)), bind_r(_dt(rt))
         # RAW lexical (single regexp, escapes NOT decoded): equivalent
         # for every view below — numeric/dateTime/boolean/integer
         # lexicals never contain escapes (a backslash just fails the
@@ -690,29 +731,47 @@ def _bool(
             # literals via the SPARQL numeric layer; plain computed
             # values (raw without quotes) via try_cast
             return F.when(
-                raw.rlike('^["<_]'),
+                F.substring(raw, 1, 1).isin('"', "<", "_"),
                 F.when(dt.isin(FN._NUMERIC_DTS), lx.try_cast("double")),
             ).otherwise(raw.try_cast("double"))
 
-        ln = bind_l(num_view(ls, ldt_, llex))
-        rn = bind_r(num_view(rs, rdt_, rlex))
-        # eq dateTime view: any LITERAL whose lexical parses (plain
-        # computed strings stay out — their pre-termify lex was empty)
-        ldt = bind_l(F.when(ls.startswith('"'), llex).try_cast("timestamp"))
-        rdt = bind_r(F.when(rs.startswith('"'), rlex).try_cast("timestamp"))
+        if may("num"):
+            ln = bind_l(num_view(ls, ldt_, llex))
+            rn = bind_r(num_view(rs, rdt_, rlex))
+        else:
+            ln = rn = F.lit(None).cast("double")
         numeric = ln.isNotNull() & rn.isNotNull()
-        both_dt = ldt.isNotNull() & rdt.isNotNull()
         # exact integer refinement: two INTEGER-datatyped literals
         # compare on the bignum sort key (sign, signed digit count,
-        # digit-complemented magnitude) — the double plane's 53-bit
-        # mantissa cannot distinguish large integers
-        l_int = ldt_.isin(FN._INT_RANK_DTS) & llex.rlike(FN._INT_LEX_RE)
-        r_int = rdt_.isin(FN._INT_RANK_DTS) & rlex.rlike(FN._INT_LEX_RE)
-        both_int = ls.startswith('"') & rs.startswith('"') & l_int & r_int
-        l_ikey = F.struct(*FN.int_order_keys(ldt_, llex))
-        r_ikey = F.struct(*FN.int_order_keys(rdt_, rlex))
-        if binder is not None:
-            l_ikey, r_ikey = bind_l(l_ikey), bind_r(r_ikey)
+        # digit-complemented magnitude).  It is only NEEDED when a
+        # side's magnitude exceeds double's 53-bit mantissa: every
+        # ≤15-digit integer is exactly representable and double
+        # rounding is monotonic, so short-int comparisons through the
+        # double plane are already exact — the length gate keeps the
+        # digit-complement machinery off the per-row hot path.
+        if may("num"):
+            l_int = ldt_.isin(FN._INT_RANK_DTS) & llex.rlike(FN._INT_LEX_RE)
+            r_int = rdt_.isin(FN._INT_RANK_DTS) & rlex.rlike(FN._INT_LEX_RE)
+            int_long = (F.length(llex) > 15) | (F.length(rlex) > 15)
+            # int_long FIRST: And short-circuits in codegen, so the
+            # datatype/lexical regexes behind l_int/r_int never run for
+            # the (overwhelmingly common) short-lexical rows
+            both_int = (
+                int_long
+                & ls.startswith('"') & rs.startswith('"')
+                & l_int & r_int
+            )
+            l_ikey = F.when(
+                int_long, F.struct(*FN.int_order_keys(ldt_, llex))
+            )
+            r_ikey = F.when(
+                int_long, F.struct(*FN.int_order_keys(rdt_, rlex))
+            )
+            if binder is not None:
+                l_ikey, r_ikey = bind_l(l_ikey), bind_r(r_ikey)
+        else:
+            both_int = F.lit(False)
+            l_ikey = r_ikey = F.lit(None).cast("int")
         ops = {
             "=": lambda a, b: a == b,
             "!=": lambda a, b: a != b,
@@ -743,11 +802,32 @@ def _bool(
                     t, dt, lx
                 )
 
-            lu, ru = (
-                bind_l(unrecognized(lt, ldt_, llex)),
-                bind_r(unrecognized(rt, rdt_, rlex)),
-            )
-            lbv, rbv = bind_l(bool_view(ldt_, llex)), bind_r(bool_view(rdt_, rlex))
+            # eq dateTime view: any LITERAL whose lexical parses (plain
+            # computed strings stay out — their pre-termify lex was
+            # empty); built HERE so ORDER comparisons never pay the
+            # per-row timestamp casts
+            if may("dt"):
+                ldt = bind_l(
+                    F.when(ls.startswith('"'), llex).try_cast("timestamp")
+                )
+                rdt = bind_r(
+                    F.when(rs.startswith('"'), rlex).try_cast("timestamp")
+                )
+                both_dt = ldt.isNotNull() & rdt.isNotNull()
+            else:
+                ldt = rdt = F.lit(None).cast("timestamp")
+                both_dt = F.lit(False)
+            # lu/ru stay INLINE (each appears once): as bound temps the
+            # ill-typed regex battery would run for EVERY row; inline
+            # under the CASE it only runs for rows no earlier branch
+            # resolved
+            lu = unrecognized(lt, ldt_, llex)
+            ru = unrecognized(rt, rdt_, rlex)
+            if may("bool"):
+                lbv = bind_l(bool_view(ldt_, llex))
+                rbv = bind_r(bool_view(rdt_, rlex))
+            else:
+                lbv = rbv = F.lit(None).cast("int")
             eq = (
                 # unbound/error operand → type error (NULL), NOT equal:
                 # two unbound vars must not compare true (expression.rs
@@ -775,31 +855,45 @@ def _bool(
         # two operands are literal-IDENTICAL (Equal: <=/>= hold, </>
         # fail), the sparql_cmp literal-equality fallback.
         # All views reuse the bound (lt, ldt_, llex) decomposition.
-        num_l = F.when(ls.startswith('"'), F.when(ldt_.isin(FN._NUMERIC_DTS), llex.try_cast("double")))
-        num_r = F.when(rs.startswith('"'), F.when(rdt_.isin(FN._NUMERIC_DTS), rlex.try_cast("double")))
-        dtv_l = F.when(ldt_ == f"{_XSD_NS}dateTime", llex).try_cast("timestamp")
-        dtv_r = F.when(rdt_ == f"{_XSD_NS}dateTime", rlex).try_cast("timestamp")
+        if may("num"):
+            num_l = F.when(ls.startswith('"'), F.when(ldt_.isin(FN._NUMERIC_DTS), llex.try_cast("double")))
+            num_r = F.when(rs.startswith('"'), F.when(rdt_.isin(FN._NUMERIC_DTS), rlex.try_cast("double")))
+            num_l, num_r = bind_l(num_l), bind_r(num_r)
+        else:
+            num_l = num_r = F.lit(None).cast("double")
+        if may("dt"):
+            dtv_l = F.when(ldt_ == f"{_XSD_NS}dateTime", llex).try_cast("timestamp")
+            dtv_r = F.when(rdt_ == f"{_XSD_NS}dateTime", rlex).try_cast("timestamp")
+            dtv_l, dtv_r = bind_l(dtv_l), bind_r(dtv_r)
+        else:
+            dtv_l = dtv_r = F.lit(None).cast("timestamp")
         _STR_DTS2 = (
             f"{_XSD_NS}string",
             f"{_RDF_NS}langString",
             f"{_RDF_NS}dirLangString",
         )
-        bool_l, bool_r = bool_view(ldt_, llex), bool_view(rdt_, rlex)
-        tag_l = F.regexp_extract(lt, _FULL_TAG_RE, 1)
-        tag_r = F.regexp_extract(rt, _FULL_TAG_RE, 1)
-        num_l, num_r = bind_l(num_l), bind_r(num_r)
-        dtv_l, dtv_r = bind_l(dtv_l), bind_r(dtv_r)
-        bool_l, bool_r = bind_l(bool_l), bind_r(bool_r)
-        tag_l, tag_r = bind_l(tag_l), bind_r(tag_r)
-        # string-family ORDER compares on the DECODED lexical ("a\nb"
-        # must sort by 0x0A, not by the escape's 0x5C) — the one place
-        # that pays for the full escape-decode chain
-        slex_l, slex_r = bind_l(FN.lex(lt)), bind_r(FN.lex(rt))
-        str_ok = (
-            ldt_.isin(*_STR_DTS2)
-            & rdt_.isin(*_STR_DTS2)
-            & ((tag_l == "") == (tag_r == ""))
-        )
+        if may("bool"):
+            bool_l, bool_r = bool_view(ldt_, llex), bool_view(rdt_, rlex)
+            bool_l, bool_r = bind_l(bool_l), bind_r(bool_r)
+        else:
+            bool_l = bool_r = F.lit(None).cast("int")
+        if may("str"):
+            tag_l = F.regexp_extract(lt, _FULL_TAG_RE, 1)
+            tag_r = F.regexp_extract(rt, _FULL_TAG_RE, 1)
+            tag_l, tag_r = bind_l(tag_l), bind_r(tag_r)
+            # string-family ORDER compares on the DECODED lexical
+            # ("a\nb" must sort by 0x0A, not by the escape's 0x5C) —
+            # the one place that pays for the full escape-decode chain
+            slex_l, slex_r = bind_l(FN.lex(lt)), bind_r(FN.lex(rt))
+            str_ok = (
+                ldt_.isin(*_STR_DTS2)
+                & rdt_.isin(*_STR_DTS2)
+                & ((tag_l == "") == (tag_r == ""))
+            )
+        else:
+            tag_l = tag_r = F.lit("")
+            slex_l = slex_r = F.lit(None).cast("string")
+            str_ok = F.lit(False)
         return (
             F.when(both_int, ops[sym](l_ikey, r_ikey))
             .when(num_l.isNotNull() & num_r.isNotNull(), ops[sym](num_l, num_r))
@@ -1638,6 +1732,16 @@ def _expr_vars(e) -> set:
     return out
 
 
+def _conjuncts(e) -> list:
+    """Top-level && conjuncts of a filter expression.  Splitting is
+    drop-equivalent: a row passes FILTER(a && b) iff EBV(a) and EBV(b)
+    are both true (false/error on either side drops it under the
+    coalesce(cond, False) rule), which is exactly chained filters."""
+    if isinstance(e, A.Expr) and e.op == "and":
+        return _conjuncts(e.args[0]) + _conjuncts(e.args[1])
+    return [e]
+
+
 def _apply_filters(ctx: _Ctx, df: DataFrame, filters) -> DataFrame:
     for fe in filters:
         if fe.op in ("exists", "not_exists"):
@@ -1691,6 +1795,36 @@ def _eval_group(ctx: _Ctx, g: A.Group, defer_filters: bool = False):
         )
         return df
 
+    # group-level FILTERs are POSITION-INDEPENDENT (§18.2.2.2: they
+    # constrain the whole group) — pre-collect their && conjuncts and
+    # apply each at the EARLIEST point where all its variables are
+    # bound and non-nullable.  Joins only restrict/multiply rows and
+    # never change a bound value, so early application is
+    # drop-equivalent; crucially a selective conjunct runs BEFORE an
+    # OPTIONAL multiplies the rows instead of after.  Conjuncts over
+    # maybe-unbound / later-bound vars and EXISTS conjuncts stay in
+    # the group-end set.
+    pending_filters: List = []
+    if not defer_filters:
+        for el in g.elements:
+            if isinstance(el, A.Filter):
+                pending_filters.extend(_conjuncts(el.expr))
+
+    def _drain_filters():
+        nonlocal df
+        if df is None:
+            return
+        for c in list(pending_filters):
+            cv = _expr_vars(c)
+            if (
+                cv
+                and not _contains_exists(c)
+                and cv <= set(df.columns)
+                and not (cv & maybe)
+            ):
+                pending_filters.remove(c)
+                df = _apply_filters(ctx, df, [c])
+
     tt_pend: List = []  # TTermPatterns whose slot var is not bound yet
 
     def _drain_tterms():
@@ -1716,7 +1850,11 @@ def _eval_group(ctx: _Ctx, g: A.Group, defer_filters: bool = False):
             else:
                 tt_pend.append(el)
         elif isinstance(el, A.Filter):
-            filters.append(el.expr)
+            if defer_filters:
+                # OPTIONAL caller folds these into its LeftJoin
+                # condition (§18.2.2.5) — keep them whole and unapplied
+                filters.append(el.expr)
+            # else: already pre-collected into pending_filters
         elif isinstance(el, A.Optional_):
             right, rmaybe, rfilters = _eval_group(
                 ctx, el.group, defer_filters=True
@@ -1822,8 +1960,11 @@ def _eval_group(ctx: _Ctx, g: A.Group, defer_filters: bool = False):
             join(*_eval_service(ctx, el))
         else:
             raise A.SparqlError(f"unknown group element {el!r}")
+        _drain_filters()
 
     _drain_tterms()
+    _drain_filters()
+    filters.extend(pending_filters)
     if tt_pend:
         raise A.SparqlError(
             "triple-term pattern's slot is never matched: "
