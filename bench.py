@@ -214,7 +214,12 @@ def bench_sparql(spark, sf_dir: str):
     df = spark.read.parquet(f"{sf_dir}/lineitem.parquet").withColumn(
         "l_quantity", F.col("l_quantity").cast("bigint")
     )
-    t = table_triples(df, tm)
+    # cache the graph: a BGP is several aliased scans of the SAME
+    # triple relation (quantity + returnflag + OPTIONAL linestatus) —
+    # uncached each scan would re-read the parquet and re-encode the
+    # terms, benchmarking the loader instead of the query engine
+    t = table_triples(df, tm).cache()
+    t.count()
     out = query(
         t,
         f"""
@@ -229,7 +234,10 @@ def bench_sparql(spark, sf_dir: str):
         ORDER BY DESC(SUM(?q)+0)
         """,
     )
-    return sum(1 for _ in out.collect())
+    try:
+        return sum(1 for _ in out.collect())
+    finally:
+        t.unpersist()
 
 
 def run_all(spark, sf_dir: str, tile: int, repeat: int = 1):

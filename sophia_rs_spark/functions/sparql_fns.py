@@ -105,14 +105,27 @@ def lang(term: Column) -> Column:
 
 
 def datatype(term: Column) -> Column:
-    """DATATYPE() (function.rs:78) with the implicit-type rules."""
-    explicit = F.regexp_extract(term, r"\^\^<([^>]*)>$", 1)
-    has_dir = term.rlike(r'"@[A-Za-z0-9-]+--(?:ltr|rtl)$')
-    has_lang = term.rlike(r'"@[A-Za-z0-9-]+(?:--(?:ltr|rtl))?$')
+    """DATATYPE() (function.rs:78) with the implicit-type rules.
+
+    Regex-free: in the canonical encoding nothing follows a literal's
+    CLOSING quote except ``@tag[--dir]`` or ``^^<dt>`` (tags are
+    alphanumeric, datatype IRIs cannot contain a raw quote), so the
+    text after the LAST ``"`` fully determines the datatype — plain
+    substring ops instead of three regexes on the per-row hot path
+    (datatype() runs for every comparison operand)."""
+    suffix = F.substring_index(term, '"', -1)
+    explicit = F.when(
+        suffix.startswith("^^<")
+        & suffix.endswith(">")
+        & (F.length(suffix) > 4),
+        F.substring(suffix, F.lit(4), F.length(suffix) - 4),
+    )
+    has_tag = suffix.startswith("@")
+    has_dir = has_tag & (suffix.endswith("--ltr") | suffix.endswith("--rtl"))
     return F.when(~is_literal(term), F.lit(None).cast("string")).otherwise(
-        F.when(explicit != "", explicit)
+        F.when(explicit.isNotNull(), explicit)
         .when(has_dir, F.lit(f"{RDF}dirLangString"))
-        .when(has_lang, F.lit(f"{RDF}langString"))
+        .when(has_tag, F.lit(f"{RDF}langString"))
         .otherwise(F.lit(f"{XSD}string"))
     )
 
