@@ -306,12 +306,11 @@ _INT_LEX_RE = r"^[+-]?\d+$"
 _DEC_LEX_RE = r"^[+-]?(\d+(\.\d*)?|\.\d+)$"
 
 
-def num_rank(term: Column) -> Column:
-    """Promotion rank of a numeric literal TERM: 0 integer, 1 decimal,
-    2 float, 3 double; NULL for non-numeric datatypes or ill-typed
-    lexicals (→ expression error, `as_number` returning None)."""
-    dt = datatype(term)
-    l = lex_num(term)
+def num_rank_parts(dt: Column, l: Column) -> Column:
+    """:func:`num_rank` over pre-computed datatype/lexical columns —
+    callers on per-row hot paths (exact SUM decomposition) materialize
+    datatype(term)/lex_num(term) ONCE and pass them in, so the trees
+    are not re-inlined into every consumer."""
     fp_ok = l.try_cast("double").isNotNull() | l.isin("INF", "-INF", "NaN")
     return (
         F.when(dt.isin(_INT_RANK_DTS) & l.rlike(_INT_LEX_RE), F.lit(0))
@@ -322,16 +321,27 @@ def num_rank(term: Column) -> Column:
     )
 
 
-def num_dbl(term: Column) -> Column:
-    """Double view of a numeric literal term, honoring the XSD INF/-INF/
-    NaN specials (which try_cast alone would miss)."""
-    l = lex_num(term)
+def num_rank(term: Column) -> Column:
+    """Promotion rank of a numeric literal TERM: 0 integer, 1 decimal,
+    2 float, 3 double; NULL for non-numeric datatypes or ill-typed
+    lexicals (→ expression error, `as_number` returning None)."""
+    return num_rank_parts(datatype(term), lex_num(term))
+
+
+def num_dbl_parts(l: Column) -> Column:
+    """:func:`num_dbl` over a pre-computed lexical column."""
     return (
         F.when(l == "INF", F.lit(float("inf")))
         .when(l == "-INF", F.lit(float("-inf")))
         .when(l == "NaN", F.lit(float("nan")))
         .otherwise(l.try_cast("double"))
     )
+
+
+def num_dbl(term: Column) -> Column:
+    """Double view of a numeric literal term, honoring the XSD INF/-INF/
+    NaN specials (which try_cast alone would miss)."""
+    return num_dbl_parts(lex_num(term))
 
 
 def integer_lexical(dec: Column) -> Column:
@@ -541,10 +551,15 @@ def sum_limb_parts(lexv: Column, rank: Column):
     digit LIMBS of this decomposition distributes perfectly: each limb
     is an independent decimal(38,0) SUM with map-side partial
     aggregation, and 18-digit limbs leave 10^20 rows of headroom."""
+    # regex-free decomposition: this runs per ROW on the SUM hot path,
+    # and under the rank<=1 gate the lexical is a valid integer/decimal
+    # (optional sign, digits, at most one '.') — substring ops suffice
     neg = lexv.startswith("-")
-    mag = F.regexp_replace(lexv, r"^[+-]", "")
-    ip = F.regexp_extract(mag, r"^(\d*)", 1)
-    fr = F.regexp_extract(mag, r"\.(\d+)", 1)
+    signed = neg | lexv.startswith("+")
+    mag = F.when(signed, F.substring(lexv, 2, 2_000_000)).otherwise(lexv)
+    has_dot = mag.contains(".")
+    ip = F.when(has_dot, F.substring_index(mag, ".", 1)).otherwise(mag)
+    fr = F.when(has_dot, F.substring_index(mag, ".", -1)).otherwise(F.lit(""))
     digits = F.concat(ip, F.rpad(fr, 10, "0"))
     in_range = (
         (rank <= 1)
@@ -560,11 +575,19 @@ def sum_limb_parts(lexv: Column, rank: Column):
     )
 
 
+_ZERO_LIMB_STR = "0" * _LIMB_W
+
+
 def sum_limb(digits: Column, sign: Column, i: int) -> Column:
     """The i-th (least-significant-first) 18-digit limb of a
-    :func:`sum_limb_parts` decomposition, as a signed decimal(38,0)."""
+    :func:`sum_limb_parts` decomposition, as a signed decimal(38,0).
+    All-zero limbs (every limb but the last, for typical short values)
+    short-circuit on a string compare instead of a decimal parse."""
     start = _SUM_DIGITS - _LIMB_W * (i + 1) + 1
-    return F.substring(digits, start, _LIMB_W).cast("decimal(38,0)") * sign
+    sub = F.substring(digits, start, _LIMB_W)
+    return F.when(
+        sub == _ZERO_LIMB_STR, F.lit(0).cast("decimal(38,0)")
+    ).otherwise(sub.cast("decimal(38,0)") * sign)
 
 
 def sum_limbs_combine(limbs: Column) -> Column:

@@ -350,19 +350,36 @@ def _typed_view(c: Column, binder: Optional[_TmpBinder] = None):
     method budget."""
     cs = c.cast("string")
     is_term = cs.rlike('^["<_]')
-    rank = F.when(is_term, FN.num_rank(cs)).otherwise(
-        F.when(cs.rlike(r"^[+-]?\d+$"), F.lit(0))
-        .when(cs.try_cast("double").isNotNull(), F.lit(3))
-        .otherwise(F.lit(None).cast("int"))
-    )
     # RAW lexical (escapes not decoded): the planes below parse it only
     # as a number, where raw ≡ decoded (see FN.lex_num)
     lexv = F.when(is_term, FN.lex_num(cs)).otherwise(cs)
     if binder is not None:
-        rank = binder.bind(rank)
+        # bind datatype + lexical ONCE and build the planes from parts:
+        # num_rank alone references its datatype tree 4-6× and the
+        # suffix decomposition ~5× inside that — unbound, the
+        # duplication pushes arithmetic-over-aggregate stages past
+        # janino's 64 KB method budget
+        dt = binder.bind(FN.datatype(cs))
         lexv = binder.bind(lexv)
+        rank = F.when(is_term, FN.num_rank_parts(dt, lexv)).otherwise(
+            F.when(cs.rlike(r"^[+-]?\d+$"), F.lit(0))
+            .when(cs.try_cast("double").isNotNull(), F.lit(3))
+            .otherwise(F.lit(None).cast("int"))
+        )
+        rank = binder.bind(rank)
+        dbl = F.when(is_term, FN.num_dbl_parts(lexv)).otherwise(
+            cs.try_cast("double")
+        )
+    else:
+        rank = F.when(is_term, FN.num_rank(cs)).otherwise(
+            F.when(cs.rlike(r"^[+-]?\d+$"), F.lit(0))
+            .when(cs.try_cast("double").isNotNull(), F.lit(3))
+            .otherwise(F.lit(None).cast("int"))
+        )
+        dbl = F.when(is_term, FN.num_dbl(cs)).otherwise(
+            cs.try_cast("double")
+        )
     dec = lexv.try_cast("decimal(38,10)")
-    dbl = F.when(is_term, FN.num_dbl(cs)).otherwise(cs.try_cast("double"))
     if binder is not None:
         dec = binder.bind(dec)
         dbl = binder.bind(dbl)
@@ -2193,18 +2210,42 @@ def _select_df(ctx: _Ctx, q: A.Query):
             argval = _term_col(a.arg, b.df, b)
             df = b.df.withColumn(cn, argval)
             if a.fn in ("sum", "avg"):
-                rr, _dd, bb, _big = _typed_view(F.col(cn))
-                df = df.withColumn(cn + "r", rr).withColumn(cn + "f", bb)
+                # shared per-row decomposition, each piece materialized
+                # ONCE as an _opaque-pinned column: plain deterministic
+                # withColumns would be CollapseProject-inlined back into
+                # every consumer (rank re-expanded inside the limb gate,
+                # the poison check, max(r), ...) — measured 3-4× the
+                # per-row cost of the whole SUM at sf0.1.  RAW lexical:
+                # only rank<=1 rows feed the limbs, and a valid numeric
+                # lexical never contains an escape (FN.lex_num).
+                cs = F.col(cn).cast("string")
+                is_term = F.substring(cs, 1, 1).isin('"', "<", "_")
+                lexv = F.when(
+                    cs.startswith('"'), FN.lex_num(cs)
+                ).otherwise(cs)
+                df = df.withColumn(cn + "dt", _opaque(FN.datatype(cs)))
+                df = df.withColumn(cn + "lx", _opaque(lexv))
+                dt, lx = F.col(cn + "dt"), F.col(cn + "lx")
+                rank = F.when(is_term, FN.num_rank_parts(dt, lx)).otherwise(
+                    F.when(cs.rlike(r"^[+-]?\d+$"), F.lit(0))
+                    .when(cs.try_cast("double").isNotNull(), F.lit(3))
+                    .otherwise(F.lit(None).cast("int"))
+                )
+                dbl = F.when(is_term, FN.num_dbl_parts(lx)).otherwise(
+                    cs.try_cast("double")
+                )
+                df = df.withColumn(cn + "r", _opaque(rank)).withColumn(
+                    cn + "f", dbl
+                )
                 # exact-sum limb decomposition (scaled ×10^10): limb
                 # SUMs distribute with map-side partials at any width
-                cs = F.col(cn).cast("string")
-                lexv = F.when(cs.startswith('"'), FN.lex(cs)).otherwise(cs)
-                dg, sg, mon = FN.sum_limb_parts(lexv, F.col(cn + "r"))
+                dg, sg, mon = FN.sum_limb_parts(lx, F.col(cn + "r"))
                 df = (
-                    df.withColumn(cn + "dg", dg)
+                    df.withColumn(cn + "dg", _opaque(dg))
                     .withColumn(cn + "sg", sg)
                     .withColumn(cn + "m", mon)
                 )
+                df = df.drop(cn + "dt", cn + "lx")
             argcol[i] = cn
         aggs = []
         post_emit: List = []  # (alias, raw-struct → term renderer)
@@ -2270,7 +2311,7 @@ def _select_df(ctx: _Ctx, q: A.Query):
                     def _merge(acc, x):
                         xr, _xdec, xdbl, _xbig = _typed_view(x)
                         xlex = F.when(
-                            x.startswith('"'), FN.lex(x)
+                            x.startswith('"'), FN.lex_num(x)
                         ).otherwise(x)
                         dg, sg, mon = FN.sum_limb_parts(xlex, xr)
                         newlimbs = F.array(*[
