@@ -1749,6 +1749,41 @@ def _expr_vars(e) -> set:
     return out
 
 
+def _order_keys_shared(c: Column, binder: _TmpBinder) -> list:
+    """``FN.order_key_any`` with the operand decomposition materialized
+    ONCE as hidden columns: the plain form recomputes datatype()/lex()
+    inside ~6 of its 9 key components, and sort/min_by evaluates every
+    component per row (measured 16 µs/row on a 600k-row ORDER BY).
+    The exact-int refinement keys are additionally length-gated —
+    doubles order ≤15-digit integers exactly (monotonic rounding), and
+    the later datatype/lang/lexical components keep any remaining ties
+    deterministic for SAMPLE/min_by."""
+    cs = c.cast("string")
+    t = binder.bind(
+        F.when(F.substring(cs, 1, 1).isin('"', "<", "_"), cs).otherwise(
+            F.concat(F.lit('"'), cs, F.lit('"'))
+        )
+    )
+    dt = binder.bind(FN.datatype(t))
+    lx = binder.bind(FN.lex(t))
+    # numeric view: raw ≡ decoded for numeric lexicals (FN.lex_num doc)
+    nv = F.when(
+        cs.startswith('"'),
+        F.when(dt.isin(FN._NUMERIC_DTS), lx.try_cast("double")),
+    ).otherwise(cs.try_cast("double"))
+    long_int = F.length(lx) > 15
+    ikeys = [F.when(long_int, k) for k in FN.int_order_keys(dt, lx)]
+    return [
+        c.isNotNull(),
+        FN.kind(t),
+        binder.bind(nv),
+        *ikeys,
+        dt,
+        FN.lang(t),
+        F.when(FN.is_literal(t), lx).otherwise(t),
+    ]
+
+
 def _conjuncts(e) -> list:
     """Top-level && conjuncts of a filter expression.  Splitting is
     drop-equivalent: a row passes FILTER(a && b) iff EBV(a) and EBV(b)
@@ -2424,7 +2459,9 @@ def _select_df(ctx: _Ctx, q: A.Query):
                 # SPARQL VALUE order, not string order: min_by/max_by over
                 # the composite order key (aggregate_iter.rs:274-308
                 # `sparql_order_by`; test.rs:840-848 min/max batteries)
-                key = F.struct(*FN.order_key_any(c))
+                _kb = _TmpBinder(df)
+                key = F.struct(*_order_keys_shared(c, _kb))
+                df = _kb.df
                 val = F.min_by(c, key) if a.fn == "min" else F.max_by(c, key)
                 aggs.append(
                     F.when(_poisoned_by(c.isNull()), F.lit(None))
@@ -2479,7 +2516,9 @@ def _select_df(ctx: _Ctx, q: A.Query):
                 # first non-error value (aggregate_iter.rs:336-341).  We
                 # pick the order-key minimum so repeated runs agree
                 # regardless of partitioning (errors sort last here).
-                skey = F.struct(c.isNull(), *FN.order_key_any(c))
+                _kb = _TmpBinder(df)
+                skey = F.struct(c.isNull(), *_order_keys_shared(c, _kb))
+                df = _kb.df
                 aggs.append(F.min_by(c, skey).alias(a.alias))
             else:
                 raise A.SparqlError(f"unsupported aggregate {a.fn}")
@@ -2561,7 +2600,7 @@ def _select_df(ctx: _Ctx, q: A.Query):
                 c = F.col(e.args[0])
             else:
                 c = b.bind(_term_col(e, b.df, b))
-            for k in FN.order_key_any(c):
+            for k in _order_keys_shared(c, b):
                 keys.append(k if asc else k.desc())
         df = b.df.orderBy(*keys)
         drop = omarks + b.names
