@@ -746,7 +746,12 @@ def _bool(
 
         def num_view(raw, dt, lx):
             # literals via the SPARQL numeric layer; plain computed
-            # values (raw without quotes) via try_cast
+            # values (raw without quotes) via try_cast.  Used by the
+            # EQUALITY branch, where Spark's NaN semantics (NaN = NaN
+            # true, NaN = x false) happen to MATCH the reference's
+            # sparql_eq exactly (value.rs:124 `n1 == n2 || n1.is_nan()
+            # && n2.is_nan()`); the ORDER branches use a NaN-excluding
+            # variant instead (partial_cmp → None)
             return F.when(
                 F.substring(raw, 1, 1).isin('"', "<", "_"),
                 F.when(dt.isin(FN._NUMERIC_DTS), lx.try_cast("double")),
@@ -873,8 +878,22 @@ def _bool(
         # fail), the sparql_cmp literal-equality fallback.
         # All views reuse the bound (lt, ldt_, llex) decomposition.
         if may("num"):
-            num_l = F.when(ls.startswith('"'), F.when(ldt_.isin(FN._NUMERIC_DTS), llex.try_cast("double")))
-            num_r = F.when(rs.startswith('"'), F.when(rdt_.isin(FN._NUMERIC_DTS), rlex.try_cast("double")))
+            # NaN excluded: any NaN ORDER comparison is a type error
+            # (Rust partial_cmp → None), not Spark's NaN-sorts-highest
+            num_l = F.when(
+                ls.startswith('"'),
+                F.when(
+                    ldt_.isin(FN._NUMERIC_DTS) & (llex != "NaN"),
+                    llex.try_cast("double"),
+                ),
+            )
+            num_r = F.when(
+                rs.startswith('"'),
+                F.when(
+                    rdt_.isin(FN._NUMERIC_DTS) & (rlex != "NaN"),
+                    rlex.try_cast("double"),
+                ),
+            )
             num_l, num_r = bind_l(num_l), bind_r(num_r)
         else:
             num_l = num_r = F.lit(None).cast("double")

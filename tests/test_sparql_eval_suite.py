@@ -805,6 +805,54 @@ class TestExprEquals:
             [],
         )
 
+    NAN_DATA = (
+        ':n :p "NaN"^^xsd:double . :i :p "INF"^^xsd:double . '
+        ':m :p "-INF"^^xsd:double . :one :p "1e0"^^xsd:double .'
+    )
+
+    def test_nan_equality_matches_reference(self, spark):
+        # sparql_eq (value.rs:124): NaN = NaN is TRUE (`n1 == n2 ||
+        # n1.is_nan() && n2.is_nan()`), NaN = x is FALSE — Spark's own
+        # NaN equality semantics match and must not be "fixed"
+        check(
+            spark, self.NAN_DATA,
+            'SELECT ?s WHERE { ?s :p ?v FILTER(?v = "NaN"^^xsd:double) }',
+            [{"s": "<http://example.org/n>"}],
+        )
+        check(
+            spark, self.NAN_DATA,
+            'SELECT ?s WHERE { ?s :p ?v FILTER(?v != "NaN"^^xsd:double) }',
+            [{"s": "<http://example.org/i>"}, {"s": "<http://example.org/m>"},
+             {"s": "<http://example.org/one>"}],
+        )
+
+    def test_nan_order_comparison_is_error(self, spark):
+        # SparqlNumber partial_cmp → None for NaN (Rust f64): any NaN
+        # ORDER comparison is a type error, NOT Spark's
+        # NaN-sorts-above-everything; INF/-INF compare normally.
+        # Identical literals still satisfy <= via the sparql_cmp
+        # literal-equality fallback.
+        check(
+            spark, self.NAN_DATA,
+            'SELECT ?s WHERE { ?s :p ?v FILTER(?v > "1e0"^^xsd:double) }',
+            [{"s": "<http://example.org/i>"}],
+        )
+        check(
+            spark, self.NAN_DATA,
+            'SELECT ?s WHERE { ?s :p ?v FILTER("1e0"^^xsd:double < ?v) }',
+            [{"s": "<http://example.org/i>"}],
+        )
+        check(
+            spark, self.NAN_DATA,
+            'SELECT ?s WHERE { ?s :p ?v FILTER(?v < "1e0"^^xsd:double) }',
+            [{"s": "<http://example.org/m>"}],
+        )
+        check(
+            spark, self.NAN_DATA,
+            'SELECT ?s WHERE { ?s :p ?v FILTER(?v <= "NaN"^^xsd:double) }',
+            [{"s": "<http://example.org/n>"}],
+        )
+
 
 # ---------------------------------------------------------------------------
 # subquery/ + solution modifiers
