@@ -824,16 +824,23 @@ def _bool(
                     t, dt, lx
                 )
 
-            # eq dateTime view: any LITERAL whose lexical parses (plain
-            # computed strings stay out — their pre-termify lex was
-            # empty); built HERE so ORDER comparisons never pay the
-            # per-row timestamp casts
+            # eq dateTime view: xsd:dateTime-TYPED literals only — the
+            # reference maps exactly the xsd:dateTime datatype to its
+            # DateTime value (value.rs:62); an unguarded cast let a
+            # PLAIN STRING with a parseable lexical compare
+            # instant-equal to a typed dateTime (cross-family must be
+            # plain false).  Built HERE so ORDER comparisons never pay
+            # the per-row timestamp casts.
             if may("dt"):
                 ldt = bind_l(
-                    F.when(ls.startswith('"'), llex).try_cast("timestamp")
+                    F.when(ldt_ == f"{_XSD_NS}dateTime", llex).try_cast(
+                        "timestamp"
+                    )
                 )
                 rdt = bind_r(
-                    F.when(rs.startswith('"'), rlex).try_cast("timestamp")
+                    F.when(rdt_ == f"{_XSD_NS}dateTime", rlex).try_cast(
+                        "timestamp"
+                    )
                 )
                 both_dt = ldt.isNotNull() & rdt.isNotNull()
             else:

@@ -805,6 +805,27 @@ class TestExprEquals:
             [],
         )
 
+    def test_datetime_eq_is_datatype_strict(self, spark):
+        # value.rs:62 maps exactly xsd:dateTime to the DateTime value:
+        # a PLAIN STRING whose lexical parses as the same instant is
+        # cross-family — plain false, not instant-equal
+        data = (
+            ':s1 :p "2001-01-01T00:00:00Z" . '
+            ':d1 :p "2001-01-01T00:00:00Z"^^xsd:dateTime . '
+            ':d2 :p "2001-01-01T01:00:00+01:00"^^xsd:dateTime .'
+        )
+        check(
+            spark, data,
+            "SELECT ?s WHERE { ?s :p ?v "
+            'FILTER(?v = "2001-01-01T01:00:00+01:00"^^xsd:dateTime) }',
+            [{"s": "<http://example.org/d1>"}, {"s": "<http://example.org/d2>"}],
+        )
+        check(
+            spark, data,
+            'SELECT ?s WHERE { ?s :p ?v FILTER(?v = "2001-01-01T00:00:00Z") }',
+            [{"s": "<http://example.org/s1>"}],
+        )
+
     NAN_DATA = (
         ':n :p "NaN"^^xsd:double . :i :p "INF"^^xsd:double . '
         ':m :p "-INF"^^xsd:double . :one :p "1e0"^^xsd:double .'
