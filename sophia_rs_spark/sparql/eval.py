@@ -537,7 +537,29 @@ def _typed_expr(e: A.Expr, df: DataFrame, binder: Optional[_TmpBinder] = None):
     ).otherwise(F.greatest(lr, rr))
     if sym == "/":
         rank = F.when(rank <= 1, F.lit(1)).otherwise(rank)
-        dec = F.when(rdec != 0, F.try_divide(ldec, rdec))
+        # Exact-division contract (bigop: '/' is EXACT whenever the
+        # quotient terminates): the dec plane may only carry a quotient
+        # PROVEN exact.  Spark's own decimal division rounds (at scale 6
+        # for (38,10) operands), so (a) divide with down-cast operands —
+        # (28,10)/(18,10) yields scale 10 — and (b) verify by
+        # re-multiplying in the loss-free (18,10)x(18,10)->decimal(37,20)
+        # plane; any inexact/rounded quotient fails the check, NULLs the
+        # plane, and need_big routes the row to the exact big path
+        # (terminating -> exact lexical, else 100 significant digits).
+        _q10 = F.when(
+            rdec != 0,
+            F.try_divide(
+                ldec.try_cast("decimal(28,10)"),
+                rdec.try_cast("decimal(18,10)"),
+            ),
+        ).try_cast("decimal(38,10)")
+        if binder is not None:
+            _q10 = binder.bind(_q10)
+        dec = F.when(
+            (_q10.try_cast("decimal(18,10)") * rdec.try_cast("decimal(18,10)"))
+            == ldec,
+            _q10,
+        )
         dbl = (
             F.when(rdbl != 0.0, ldbl / rdbl)
             .when(ldbl > 0.0, F.lit(float("inf")))

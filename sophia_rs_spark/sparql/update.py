@@ -288,9 +288,13 @@ class _UP(A._P):
             elif isinstance(el, A.TTermPattern):
                 pass  # folded into its slot via ttmap
             elif isinstance(el, A.GraphClause):
-                if isinstance(el.name, A.Var):
+                # QuadsNotTriples ::= 'GRAPH' VarOrIri '{' … '}' — a
+                # variable graph name is legal wherever variables are
+                # (DELETE WHERE / modify templates), instantiated per
+                # solution; ground DATA blocks still need a constant
+                if isinstance(el.name, A.Var) and not allow_vars:
                     raise SparqlError(
-                        "GRAPH in a quad block needs a constant IRI"
+                        "GRAPH in a ground quad block needs a constant IRI"
                     )
                 ttmap.update(
                     (e.var.name, e)
@@ -400,6 +404,18 @@ def _graph_cond(target):
     return F.col("g").eqNullSafe(F.lit(target[1]))
 
 
+def _graph_exists(dataset: DataFrame, target) -> bool:
+    """Existence probe for the §3.2.x non-SILENT error semantics.  In
+    the quads-table model a named graph exists iff it holds at least
+    one quad; DEFAULT/NAMED/ALL targets always exist (the default graph
+    is always present, NAMED/ALL name no specific graph)."""
+    if not isinstance(target, tuple):
+        return True
+    return bool(
+        dataset.filter(_graph_cond(target)).limit(1).take(1)
+    )
+
+
 def _fresh_labels(quads: List[QuadT], salt: str) -> List[QuadT]:
     """INSERT DATA bnode labels → fresh labels derived from the
     operation text (idempotent re-execution; see module docstring)."""
@@ -461,13 +477,19 @@ def _instantiate(
             inst(o).alias("o"),
             (inst(gv) if gv is not None else F.lit(None)).cast("string").alias("g"),
         ]
-        parts.append(
-            bindings.select(*cols).filter(
-                F.col("s").isNotNull()
-                & F.col("p").isNotNull()
-                & F.col("o").isNotNull()
-            )
+        part = bindings.select(*cols).filter(
+            F.col("s").isNotNull()
+            & F.col("p").isNotNull()
+            & F.col("o").isNotNull()
         )
+        if isinstance(gv, A.Var):
+            # variable graph name: an unbound ?g (or one bound to a
+            # literal — not a valid graph name) contributes nothing;
+            # NULL here would silently mean "default graph"
+            part = part.filter(
+                F.col("g").isNotNull() & ~F.col("g").startswith('"')
+            )
+        parts.append(part)
     if not parts:
         return _quads_df(spark, [])
     return reduce(lambda x, y: x.unionByName(y), parts).dropDuplicates()
@@ -555,9 +577,32 @@ def _apply(dataset: DataFrame, op, loader: Loader, salt: str) -> DataFrame:
         return _union_set(dataset, quads)
     if isinstance(op, GraphMgmt):
         if op.verb == "create":
-            return dataset  # graphs exist iff non-empty; CREATE is a no-op
+            # existence model: a graph exists iff it holds quads, so
+            # CREATE of an absent graph is a no-op; §3.2.1 still makes
+            # non-SILENT CREATE of an EXISTING graph an error
+            if not op.silent and _graph_exists(dataset, op.target):
+                raise SparqlError(
+                    f"CREATE: graph {op.target[1]} already exists"
+                )
+            return dataset
+        # §3.2.2-3.2.3: non-SILENT CLEAR/DROP of a nonexistent named
+        # graph is an error (DEFAULT/NAMED/ALL targets always succeed)
+        if not op.silent and not _graph_exists(dataset, op.target):
+            raise SparqlError(
+                f"{op.verb.upper()}: graph {op.target[1]} does not exist"
+            )
         return dataset.filter(~_graph_cond(op.target))
     if isinstance(op, GraphCopy):
+        # §3.2.5-3.2.7: ADD/MOVE/COPY FAIL when the SOURCE named graph
+        # does not exist (the default graph always exists); SILENT
+        # suppresses the error and the failed operation changes nothing
+        # (it must NOT still replace the destination)
+        if not _graph_exists(dataset, op.src):
+            if op.silent:
+                return dataset
+            raise SparqlError(
+                f"{op.verb.upper()}: source graph {op.src[1]} does not exist"
+            )
         src_g = None if op.src == "default" else op.src[1]
         dst_g = None if op.dst == "default" else op.dst[1]
         if src_g == dst_g:

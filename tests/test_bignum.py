@@ -80,6 +80,16 @@ CASES = [
      '"1428571428571428571428571428571428571428.'
      "428571428571428571428571428571428571428571428571428571428571"
      + XD, "div nonterm 100"),
+    # --- r5 ADVICE: IN-PLANE division must honor the exact contract ----
+    # (pre-r5, operands that fit decimal(38,10) divided through Spark's
+    # try_divide, which rounds at scale 6: 1/2048 returned "0.000488")
+    ("SELECT (1/2048 AS ?a) { }", '"0.00048828125' + XD, "inplane div 11 frac"),
+    ("SELECT (1/1024 AS ?a) { }", '"0.0009765625' + XD, "inplane div 10 frac"),
+    ("SELECT (-1/2048 AS ?a) { }", '"-0.00048828125' + XD, "inplane div neg"),
+    # in-plane non-terminating → 100 significant digits (not 6!)
+    ("SELECT (1/3 AS ?a) { }", '"0.' + "3" * 100 + XD, "inplane div nonterm"),
+    ("SELECT (1.000000001/3 AS ?a) { }",
+     '"0.333333333' + "6" * 90 + "7" + XD, "inplane dec div nonterm"),
 ]
 
 

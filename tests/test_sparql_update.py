@@ -91,6 +91,40 @@ class TestPatternUpdates:
             ("<x:b>", "<x:p>", '"2"', None),
         ]
 
+    def test_delete_where_variable_graph(self, ds):
+        # r5 ADVICE: GRAPH ?g is legal in a DELETE WHERE quad pattern
+        # (QuadsNotTriples ::= 'GRAPH' VarOrIri …) — wipes the matching
+        # quads from EVERY named graph, leaving the default graph alone
+        got = update(ds, "DELETE WHERE { GRAPH ?g { ?s ?p ?o } }")
+        assert rows(got) == [
+            ("<x:a>", "<x:p>", '"1"', None),
+            ("<x:b>", "<x:p>", '"2"', None),
+        ]
+
+    def test_modify_template_variable_graph(self, ds):
+        # ?g bound in WHERE instantiates the INSERT template's GRAPH
+        got = update(
+            ds,
+            "INSERT { GRAPH ?g { ?s <x:copied> ?o } }"
+            "  WHERE { GRAPH ?g { ?s <x:q> ?o } }",
+        )
+        assert ("<x:a>", "<x:copied>", "<x:b>", "<x:g1>") in rows(got)
+        assert got.count() == 4
+
+    def test_template_unbound_variable_graph_contributes_nothing(self, ds):
+        # ?g never binds (OPTIONAL miss): the GRAPH ?g quad must NOT
+        # silently land in the default graph
+        got = update(
+            ds,
+            "INSERT { GRAPH ?g { ?s <x:new> ?o } }"
+            "  WHERE { ?s <x:p> ?o OPTIONAL { ?s <x:none> ?g } }",
+        )
+        assert rows(got) == rows(ds)
+
+    def test_variable_graph_rejected_in_ground_data(self, ds):
+        with pytest.raises(SparqlError, match="constant IRI"):
+            parse_update('INSERT DATA { GRAPH ?g { <x:a> <x:p> "1" } }')
+
     def test_modify_rename_predicate(self, ds):
         got = update(
             ds,
@@ -214,6 +248,51 @@ class TestGraphManagement:
 
     def test_self_copy_is_noop(self, ds):
         assert update(ds, "MOVE DEFAULT TO DEFAULT").count() == 3
+
+    # -- §3.2.x non-SILENT error semantics (r5 ADVICE) -----------------
+
+    @pytest.mark.parametrize(
+        "text",
+        [
+            "DROP GRAPH <x:nope>",
+            "CLEAR GRAPH <x:nope>",
+            "MOVE GRAPH <x:nope> TO DEFAULT",
+            "COPY GRAPH <x:nope> TO GRAPH <x:g1>",
+            "ADD GRAPH <x:nope> TO DEFAULT",
+        ],
+        ids=["drop", "clear", "move", "copy", "add"],
+    )
+    def test_nonexistent_graph_errors_without_silent(self, ds, text):
+        with pytest.raises(SparqlError, match="does not exist"):
+            update(ds, text)
+
+    @pytest.mark.parametrize(
+        "text,count",
+        [
+            ("DROP SILENT GRAPH <x:nope>", 3),
+            ("CLEAR SILENT GRAPH <x:nope>", 3),
+            ("MOVE SILENT GRAPH <x:nope> TO DEFAULT", 3),
+            ("COPY SILENT GRAPH <x:nope> TO GRAPH <x:g1>", 3),
+            ("ADD SILENT GRAPH <x:nope> TO DEFAULT", 3),
+        ],
+        ids=["drop", "clear", "move", "copy", "add"],
+    )
+    def test_silent_nonexistent_graph_is_tolerated(self, ds, text, count):
+        # SILENT suppresses the failure and the failed op changes
+        # NOTHING — MOVE/COPY must not still replace the destination
+        assert update(ds, text).count() == count
+
+    def test_create_existing_graph_errors_without_silent(self, ds):
+        with pytest.raises(SparqlError, match="already exists"):
+            update(ds, "CREATE GRAPH <x:g1>")
+        assert update(ds, "CREATE SILENT GRAPH <x:g1>").count() == 3
+
+    def test_default_graph_source_always_exists(self, spark):
+        empty = spark.createDataFrame(
+            [], "s string, p string, o string, g string"
+        )
+        assert update(empty, "CLEAR DEFAULT").count() == 0
+        assert update(empty, "MOVE DEFAULT TO GRAPH <x:g>").count() == 0
 
 
 class TestLoad:
