@@ -49,6 +49,10 @@ def make_spark(cpus: int):
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")  # fast pandas<->Spark conversion (fixture ingestion)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # HotSpot never JITs >8000-byte methods: fall back to
+        # per-operator (splittable) codegen before that cliff instead
+        # of running a 40-60 KB fused method as interpreted bytecode
+        .config("spark.sql.codegen.hugeMethodLimit", "8000")
         .config("spark.driver.memory", "24g")
         .config("spark.local.dir", "/dev/shm/spark-local")
         .config("spark.ui.enabled", "false")

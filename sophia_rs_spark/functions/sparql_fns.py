@@ -575,6 +575,27 @@ def sum_limb_parts(lexv: Column, rank: Column):
     )
 
 
+def sum_fast_part(lexv: Column, rank: Column) -> Column:
+    """Single-limb fast plane of the exact-SUM decomposition (r5: the
+    limb machinery was 60% of the headline bench).  For rank≤1 values
+    with ≤10 fraction digits and |v| < 10^8 — the overwhelmingly common
+    case, where the scaled value v×10^10 fits ONE 18-digit limb — this
+    is the value ×10^10 as a plain signed decimal(38,0); NULL routes
+    the row to the full 126-digit limb decomposition instead.  Summing
+    this column is value-identical to summing the low limb (the higher
+    limbs of such values are provably zero), but skips the per-row
+    126-digit string build entirely.  Every step is loss-free:
+    try_cast to (18,10) refuses wider values, the ≤10-fraction guard
+    stops the cast's silent rounding, and (18,10)×(11,0) →
+    decimal(30,10) holds the integral product exactly."""
+    fr = F.substring_index(lexv, ".", -1)
+    fr_ok = ~lexv.contains(".") | (F.length(fr) <= 10)
+    small = F.when((rank <= 1) & fr_ok, lexv.try_cast("decimal(18,10)"))
+    return (
+        small * F.lit(str(10**10)).cast("decimal(11,0)")
+    ).cast("decimal(38,0)")
+
+
 _ZERO_LIMB_STR = "0" * _LIMB_W
 
 
@@ -614,7 +635,8 @@ def sum_limbs_combine(limbs: Column) -> Column:
 
 
 def bigsum_emit(avg: bool, limbs: Column, monsters: Column,
-                n: Column, rank: Column) -> Column:
+                n: Column, rank: Column,
+                extra: Column = None) -> Column:
     """Arrow-batched exact finalizer for the (rare) SUM/AVG groups the
     JVM limb recombination cannot represent: Python arbitrary-precision
     fold of the limb sums plus any monster elements; AVG divides at 50
@@ -627,11 +649,11 @@ def bigsum_emit(avg: bool, limbs: Column, monsters: Column,
     from pyspark.sql.functions import pandas_udf
 
     def run(lc: pd.Series, mc: pd.Series, nc: pd.Series,
-            kc: pd.Series) -> pd.Series:
+            kc: pd.Series, xc: pd.Series) -> pd.Series:
         import decimal
 
         out = []
-        for ls, ms, n_, k in zip(lc, mc, nc, kc):
+        for ls, ms, n_, k, xv in zip(lc, mc, nc, kc, xc):
             if ls is None or n_ is None or k is None:
                 out.append(None)
                 continue
@@ -641,6 +663,10 @@ def bigsum_emit(avg: bool, limbs: Column, monsters: Column,
                     continue
                 m_tot = sum(int(x) * 10 ** (_LIMB_W * i)
                             for i, x in enumerate(ls))
+                # the single-limb fast plane's partial sum (already
+                # scaled ×10^10; NULL when the group had no fast rows)
+                if xv is not None:
+                    m_tot += int(xv)
                 s_tot = 10
                 for mlex in (ms if ms is not None else []):
                     mm, ss = _bignum_parse(mlex)
@@ -658,9 +684,11 @@ def bigsum_emit(avg: bool, limbs: Column, monsters: Column,
 
     run.__annotations__ = {
         "lc": pd.Series, "mc": pd.Series, "nc": pd.Series,
-        "kc": pd.Series, "return": pd.Series,
+        "kc": pd.Series, "xc": pd.Series, "return": pd.Series,
     }
-    return pandas_udf(run, "string")(limbs, monsters, n, rank)
+    if extra is None:
+        extra = F.lit(None).cast("decimal(38,0)")
+    return pandas_udf(run, "string")(limbs, monsters, n, rank, extra)
 
 
 def canon_dec_lex(lex_col: Column) -> Column:

@@ -207,17 +207,47 @@ def extend(df: DataFrame, var: str, expr: Column) -> DataFrame:
 
 
 def exists_filter(
-    left: DataFrame, right: DataFrame, negated: bool = False
+    left: DataFrame,
+    right: DataFrame,
+    negated: bool = False,
+    nullable: Sequence[str] = (),
 ) -> DataFrame:
     """FILTER (NOT) EXISTS (`sparql/src/expression.rs:60`) — correlated
-    subquery as a left-semi/anti join on shared variables."""
+    subquery as a left-semi/anti join on shared variables.
+
+    ``nullable`` shared vars may be UNBOUND on the left (bound only in
+    a prior OPTIONAL, UNDEF, …): §18.6 substitution only substitutes
+    BOUND variables, so an unbound outer var leaves the subpattern
+    variable free — those join with compatibility semantics
+    (``l IS NULL OR r IS NULL OR l = r``) instead of plain equality,
+    which would read EXISTS as false for every NULL row.  Guaranteed-
+    bound shared vars stay plain equi-keys (hash-joinable)."""
     shared = [c for c in left.columns if c in right.columns]
     how = "left_anti" if negated else "left_semi"
     if not shared:
         n = right.limit(1).count()
         keep = (n == 0) if negated else (n > 0)
         return left if keep else left.limit(0)
-    return left.join(right.select(*shared).distinct(), shared, how)
+    compat = [c for c in shared if c in set(nullable)]
+    rsel = right.select(*shared).distinct()
+    if not compat:
+        return left.join(rsel, shared, how)
+    la, ra = left.alias("l"), rsel.alias("r")
+    cond = reduce(
+        lambda a, b: a & b,
+        [
+            F.col(f"l.{c}").isNull()
+            | F.col(f"r.{c}").isNull()
+            | (F.col(f"l.{c}") == F.col(f"r.{c}"))
+            for c in compat
+        ],
+        reduce(
+            lambda a, b: a & b,
+            [F.col(f"l.{c}") == F.col(f"r.{c}") for c in shared if c not in set(compat)],
+            F.lit(True),
+        ),
+    )
+    return la.join(ra, cond, how)
 
 
 # --- solution modifiers -----------------------------------------------------

@@ -256,14 +256,23 @@ class _TmpBinder:
 
 
 def _opaque(col: Column) -> Column:
-    """Value-preserving nondeterministic no-op (``shuffle`` of a
-    1-element array) — blocks Catalyst from re-inlining the expression
-    through CollapseProject / filter-pushdown alias substitution (see
-    :class:`_TmpBinder`).  Applied to non-trivial BIND / SELECT-expr /
-    GROUP BY-expr values: a later FILTER(?x) would otherwise substitute
-    the full definition into every reference of ?x and explode at
-    codegen."""
-    return F.shuffle(F.array(col))[0]
+    """Value-preserving nondeterministic no-op — blocks Catalyst from
+    re-inlining the expression through CollapseProject / filter-pushdown
+    alias substitution (see :class:`_TmpBinder`).  Applied to
+    non-trivial BIND / SELECT-expr / GROUP BY-expr values: a later
+    FILTER(?x) would otherwise substitute the full definition into
+    every reference of ?x and explode at codegen.
+
+    Implementation: ``shuffle`` of a 1-element array with a FIXED seed.
+    shuffle is nondeterministic (which is all _opaque needs) regardless
+    of the seed, but an unseeded ``shuffle(array(col))[0]`` draws a
+    fresh random seed at every analysis, embedding it in the generated
+    Java — re-running the same query text then generated different
+    code and MISSED the whole-stage-codegen cache, re-paying
+    multi-second janino compilation per run (r5: this was most of the
+    headline SPARQL bench).  With the seed pinned the generated code is
+    byte-identical across rebuilds and the compiled class is reused."""
+    return F.call_function("shuffle", F.array(col), F.lit(42))[0]
 
 
 # built-ins whose value is xsd:boolean (function.rs returns
@@ -1580,7 +1589,9 @@ def _exists_pattern_vars(e) -> set:
     return out
 
 
-def _rewrite_exists(ctx: "_Ctx", df: DataFrame, e, names: List[str]):
+def _rewrite_exists(
+    ctx: "_Ctx", df: DataFrame, e, names: List[str], nullable=()
+):
     """Replace every exists/not_exists node nested inside a boolean
     expression with a precomputed MARKER column (`sparql/src/
     expression.rs:60` Exists, sparql11-query §18.6): the subpattern is
@@ -1597,7 +1608,20 @@ def _rewrite_exists(ctx: "_Ctx", df: DataFrame, e, names: List[str]):
         sub, _sm = _eval_group(ctx, e.args[0])
         name = f"#ex{next(_MARKER_SEQ)}"
         shared = [c for c in df.columns if c in sub.columns]
-        if shared:
+        compat = [c for c in shared if c in set(nullable)]
+        if compat:
+            # §18.6: only BOUND outer vars substitute — a NULL shared
+            # var is a wildcard, so the marker joins with compatibility
+            # semantics.  A plain LEFT join would then MULTIPLY rows
+            # (a NULL matches every distinct sub value), so the marker
+            # is attached as a semi/anti SPLIT instead, which keeps bag
+            # multiplicities exact.
+            pos = B.exists_filter(df, sub, negated=False, nullable=compat)
+            neg = B.exists_filter(df, sub, negated=True, nullable=compat)
+            df = pos.withColumn(name, F.lit(True)).unionByName(
+                neg.withColumn(name, F.lit(None).cast("boolean"))
+            )
+        elif shared:
             marker = sub.select(*shared).distinct().withColumn(name, F.lit(True))
             df = df.join(marker, shared, "left")
         else:
@@ -1612,12 +1636,12 @@ def _rewrite_exists(ctx: "_Ctx", df: DataFrame, e, names: List[str]):
     new_args = []
     for a in e.args:
         if isinstance(a, A.Expr):
-            df, a = _rewrite_exists(ctx, df, a, names)
+            df, a = _rewrite_exists(ctx, df, a, names, nullable)
         elif isinstance(a, (tuple, list)):
             aa = []
             for y in a:
                 if isinstance(y, A.Expr):
-                    df, y = _rewrite_exists(ctx, df, y, names)
+                    df, y = _rewrite_exists(ctx, df, y, names, nullable)
                 aa.append(y)
             a = tuple(aa)
         new_args.append(a)
@@ -1765,7 +1789,7 @@ def _optional_merged(
     lid = "#lid"
     lefti = left.withColumn(lid, F.monotonically_increasing_id())
     merged = B.join_bindings(lefti, right, nullable=nullable)
-    passed = _apply_filters(ctx, merged, fexprs)
+    passed = _apply_filters(ctx, merged, fexprs, nullable=nullable)
     rextra = [c for c in right.columns if c not in left.columns]
     bare = lefti.join(passed.select(lid).distinct(), lid, "left_anti").select(
         "*", *[F.lit(None).cast("string").alias(c) for c in rextra]
@@ -1842,18 +1866,20 @@ def _conjuncts(e) -> list:
     return [e]
 
 
-def _apply_filters(ctx: _Ctx, df: DataFrame, filters) -> DataFrame:
+def _apply_filters(ctx: _Ctx, df: DataFrame, filters, nullable=()) -> DataFrame:
     for fe in filters:
         if fe.op in ("exists", "not_exists"):
             # bare (NOT) EXISTS: semi/anti join, no marker column
             sub, _sm = _eval_group(ctx, fe.args[0])
-            df = B.exists_filter(df, sub, negated=(fe.op == "not_exists"))
+            df = B.exists_filter(
+                df, sub, negated=(fe.op == "not_exists"), nullable=nullable
+            )
             continue
         marks: List[str] = []
         if _contains_exists(fe):
             # EXISTS nested in a boolean expression — precompute
             # marker columns, then compile the expression normally
-            df, fe = _rewrite_exists(ctx, df, fe, marks)
+            df, fe = _rewrite_exists(ctx, df, fe, marks, nullable)
         b = _TmpBinder(df)
         cond = _bool(fe, b.df, ctx.scoped(), b)
         df = b.df.filter(F.coalesce(cond, F.lit(False)))  # error → drop
@@ -1989,7 +2015,7 @@ def _eval_group(ctx: _Ctx, g: A.Group, defer_filters: bool = False):
                 else:
                     local.append(fe)
             if local:
-                right = _apply_filters(ctx, right, local)
+                right = _apply_filters(ctx, right, local, nullable=rmaybe)
             if need_merged:
                 df = _optional_merged(
                     ctx, base, right, need_merged + defer, nullable
@@ -2023,7 +2049,7 @@ def _eval_group(ctx: _Ctx, g: A.Group, defer_filters: bool = False):
             bexpr = el.expr
             if _contains_exists(bexpr):
                 # BIND(EXISTS{…} AS ?x) and friends: marker columns
-                df, bexpr = _rewrite_exists(ctx, df, bexpr, marks)
+                df, bexpr = _rewrite_exists(ctx, df, bexpr, marks, maybe)
             b = _TmpBinder(df)
             val = _term_col(bexpr, b.df, b)
             if bexpr.op not in ("var", "term"):
@@ -2074,7 +2100,7 @@ def _eval_group(ctx: _Ctx, g: A.Group, defer_filters: bool = False):
         df = _unit(spark)
     if defer_filters:
         return df, maybe, filters
-    return _apply_filters(ctx, df, filters), maybe
+    return _apply_filters(ctx, df, filters, nullable=maybe), maybe
 
 
 def _unit(spark) -> DataFrame:
@@ -2132,6 +2158,25 @@ def _eval_service(ctx: _Ctx, el: "A.ServiceClause"):
     return res, set(res.columns)
 
 
+def _tune_codegen_limits(spark) -> None:
+    """Align Spark's whole-stage-codegen fallback with the JVM's JIT
+    limit.  HotSpot never JIT-compiles a method beyond 8000 bytecode
+    bytes (``-XX:DontCompileHugeMethods``), so a fused whole-stage
+    ``processNext`` past that size runs as INTERPRETED BYTECODE —
+    measured ~1.7x on the r5 headline bench (SPARQL eval's pinned
+    decomposition towers fuse into 40-60 KB methods).  Spark's own
+    fallback (``spark.sql.codegen.hugeMethodLimit``) defaults to the
+    janino hard limit (65535), far past the JIT cliff; lowering it to
+    8000 makes oversized stages fall back to per-operator projections,
+    whose generated code splits into small JIT-able methods.  Only the
+    untouched default is overridden — an explicit user setting wins."""
+    try:
+        if spark.conf.get("spark.sql.codegen.hugeMethodLimit", "65535") == "65535":
+            spark.conf.set("spark.sql.codegen.hugeMethodLimit", "8000")
+    except Exception:
+        pass  # conf may be inaccessible (connect-mode); fine
+
+
 def evaluate(triples: DataFrame, q: A.Query):
     """Evaluate a parsed query against a triples/quads DataFrame
     (columns s, p, o [, g]).  Returns a DataFrame (select/construct) or
@@ -2148,6 +2193,7 @@ def evaluate(triples: DataFrame, q: A.Query):
     Execution of already-built plans is unaffected and fully
     concurrent."""
     spark = triples.sparkSession
+    _tune_codegen_limits(spark)
     with _COMPILE_LOCK:
         prev = spark.conf.get("spark.sql.caseSensitive", "false")
         spark.conf.set("spark.sql.caseSensitive", "true")
@@ -2321,12 +2367,24 @@ def _select_df(ctx: _Ctx, q: A.Query):
                     cn + "f", dbl
                 )
                 # exact-sum limb decomposition (scaled ×10^10): limb
-                # SUMs distribute with map-side partials at any width
+                # SUMs distribute with map-side partials at any width.
+                # r5 single-limb fast plane: common-sized values (<10^8,
+                # ≤10 fraction digits) sum as ONE decimal(38,0) column;
+                # the 126-digit string build and the 7 limb substrings
+                # are when()-masked to the rare wide rows, so codegen
+                # skips them per fast row entirely
+                # _opaque-pinned: fv is consumed three times (the SUM
+                # input + the dg/mon masks) — deterministic it would be
+                # CollapseProject-re-inlined into each consumer
+                df = df.withColumn(
+                    cn + "fv", _opaque(FN.sum_fast_part(lx, F.col(cn + "r")))
+                )
+                fvnull = F.col(cn + "fv").isNull()
                 dg, sg, mon = FN.sum_limb_parts(lx, F.col(cn + "r"))
                 df = (
-                    df.withColumn(cn + "dg", _opaque(dg))
+                    df.withColumn(cn + "dg", _opaque(F.when(fvnull, dg)))
                     .withColumn(cn + "sg", sg)
-                    .withColumn(cn + "m", mon)
+                    .withColumn(cn + "m", F.when(fvnull, mon))
                 )
                 df = df.drop(cn + "dt", cn + "lx")
             argcol[i] = cn
@@ -2421,6 +2479,7 @@ def _select_df(ctx: _Ctx, q: A.Query):
                     limb_sums, monsters = folded["limbs"], folded["m"]
                     sdbl = folded["dbl"]
                     n = F.size(terms)
+                    fast_sum = F.lit(None).cast("decimal(38,0)")
                 else:
                     rank_out = F.max(rin)
                     dg = F.col(argcol[i] + "dg")
@@ -2430,6 +2489,9 @@ def _select_df(ctx: _Ctx, q: A.Query):
                         for j in range(FN.SUM_LIMBS)
                     ])
                     monsters = F.collect_list(F.col(argcol[i] + "m"))
+                    # single-limb fast plane: plain decimal SUM with
+                    # map-side partials (NULL when no fast rows)
+                    fast_sum = F.sum(F.col(argcol[i] + "fv"))
                     sdbl = F.sum(dblin)
                     n = F.count(c)
                 # two-phase: aggregate the RAW typed state (a small
@@ -2445,6 +2507,7 @@ def _select_df(ctx: _Ctx, q: A.Query):
                     sdbl.alias("dbl"),
                     n.cast("long").alias("n"),
                     poison.alias("bad"),
+                    fast_sum.cast("decimal(38,0)").alias("fs"),
                 )
                 aggs.append(raw.alias(a.alias))
 
@@ -2453,23 +2516,28 @@ def _select_df(ctx: _Ctx, q: A.Query):
                         col["r"], col["limbs"], col["m"],
                         col["dbl"], col["n"], col["bad"],
                     )
-                    # JVM fast path: recombine limb sums when the total
-                    # fits the decimal(38,10) plane and no element
-                    # overflowed it
+                    fs = F.coalesce(
+                        col["fs"], F.lit(0).cast("decimal(38,0)")
+                    )
+                    # JVM fast path: fast-plane partial + recombined
+                    # limb sums, when the total fits the decimal(38,10)
+                    # plane and no element overflowed it
                     scaled = F.when(
-                        F.size(monsters) == 0, FN.sum_limbs_combine(limbs)
+                        F.size(monsters) == 0,
+                        F.try_add(fs, FN.sum_limbs_combine(limbs)),
                     )
                     sdec = F.try_divide(
                         scaled, F.lit(10**10).cast("decimal(38,0)")
                     ).try_cast("decimal(38,10)")
-                    need_udf = (
-                        (rank_out <= 1) & sdec.isNull() & ~poison & (n > 0)
-                    )
-                    mask = lambda col_: F.when(need_udf, col_)
                     if fn == "sum":
+                        need_udf = (
+                            (rank_out <= 1) & sdec.isNull() & ~poison
+                            & (n > 0)
+                        )
+                        mask = lambda col_: F.when(need_udf, col_)
                         big = FN.bigsum_emit(
                             False, mask(limbs), mask(monsters),
-                            mask(n), mask(rank_out),
+                            mask(n), mask(rank_out), mask(col["fs"]),
                         )
                         # SUM{} = 0 (accumulator starts at integer 0,
                         # aggregate_iter.rs:150)
@@ -2481,16 +2549,31 @@ def _select_df(ctx: _Ctx, q: A.Query):
                     else:
                         # AVG finalizes sum / max(count, 1): int/dec →
                         # decimal division, float/double stay
-                        # (aggregate_iter.rs:390)
+                        # (aggregate_iter.rs:390).  Like scalar '/',
+                        # the dec plane only carries a quotient PROVEN
+                        # exact (loss-free re-multiplication check);
+                        # non-terminating averages go through the big
+                        # plane's exact-or-100-digit division
+                        _nd = n.try_cast("decimal(18,0)")
+                        _ad = F.try_divide(
+                            sdec.try_cast("decimal(28,10)"), _nd
+                        ).try_cast("decimal(38,10)")
+                        adec = F.when(
+                            (_ad.try_cast("decimal(18,10)") * _nd)
+                            == sdec,
+                            _ad,
+                        )
                         rank_avg = F.when(
                             rank_out <= 1, F.lit(1)
                         ).otherwise(rank_out)
-                        adec = F.try_divide(sdec, n).try_cast(
-                            "decimal(38,10)"
+                        need_udf = (
+                            (rank_out <= 1) & adec.isNull() & ~poison
+                            & (n > 0)
                         )
+                        mask = lambda col_: F.when(need_udf, col_)
                         abig = FN.bigsum_emit(
                             True, mask(limbs), mask(monsters),
-                            mask(n), mask(rank_out),
+                            mask(n), mask(rank_out), mask(col["fs"]),
                         )
                         result = F.when(
                             n == 0, F.lit(f'"0.0"^^<{_XSD_NS}decimal>')
@@ -2592,7 +2675,7 @@ def _select_df(ctx: _Ctx, q: A.Query):
     if q.having is not None:
         hexpr, hmarks = q.having, []
         if _contains_exists(hexpr):
-            df, hexpr = _rewrite_exists(ctx, df, hexpr, hmarks)
+            df, hexpr = _rewrite_exists(ctx, df, hexpr, hmarks, maybe)
         b = _TmpBinder(df)
         hcond = _bool(hexpr, b.df, ctx.scoped(), b)
         df = b.df.filter(F.coalesce(hcond, F.lit(False)))
@@ -2620,7 +2703,7 @@ def _select_df(ctx: _Ctx, q: A.Query):
     for e, alias in q.select_exprs:
         smarks: List[str] = []
         if _contains_exists(e):
-            df, e = _rewrite_exists(ctx, df, e, smarks)
+            df, e = _rewrite_exists(ctx, df, e, smarks, maybe)
         b = _TmpBinder(df)
         sval = _term_col(e, b.df, b)
         if e.op not in ("var", "term"):
@@ -2636,7 +2719,7 @@ def _select_df(ctx: _Ctx, q: A.Query):
         order_items = []
         for e, asc in q.order_by:
             if _contains_exists(e):
-                df, e = _rewrite_exists(ctx, df, e, omarks)
+                df, e = _rewrite_exists(ctx, df, e, omarks, maybe)
             order_items.append((e, asc))
         keys = []
         b = _TmpBinder(df)

@@ -8,10 +8,20 @@ Emits the W3C ``application/sparql-results+json`` /
 ``xml:lang`` (and ``its:dir`` for directional language strings, RDF 1.2)
 or ``datatype``.  CSV/TSV follow sparql11-results-csv-tsv.
 
-These are driver-side serializers over collected bindings — result sets
-a human asks for are small; bulk output goes through the parquet /
-N-Quads sinks.  The term decoder reuses the canonical-encoding
-tokenizer (escapes, nested triple terms).
+Two tiers (r5):
+
+* the ``bindings_to_*`` document writers return one in-memory document.
+  Below ``_DELEGATE_ROWS`` they render on the driver (the reference's
+  scope — client-side parsing of small result documents); above it the
+  per-cell rendering (escape decoding, term classification — the CPU
+  cost) runs DISTRIBUTED via the ``*_lines_df`` twins and the driver
+  only concatenates prerendered lines, so a million-row export no
+  longer burns driver CPU.
+* the ``csv_lines_df`` / ``json_lines_df`` / ``xml_lines_df`` /
+  ``tsv_lines_df`` sinks return a ``(line_no, line)`` DataFrame that
+  scales with the result set — the form a 100 TB pipeline writes to
+  files (JSON-Lines per binding, XML ``<result>`` fragments, TSV/CSV
+  rows).
 """
 
 from __future__ import annotations
@@ -97,20 +107,36 @@ def _closing_quote(enc: str) -> int:
     return len(enc) - 1
 
 
+_DELEGATE_ROWS = 10_000
+
+
 def bindings_to_json(
     df: DataFrame, variables: Optional[List[str]] = None
 ) -> Dict[str, Any]:
-    """SELECT results → ``application/sparql-results+json`` document."""
-    cols = variables or df.columns
-    bindings = []
-    for row in df.collect():
-        b = {}
-        for c in cols:
-            t = term_to_json(row[c])
-            if t is not None:
-                b[c] = t
-        bindings.append(b)
-    return {"head": {"vars": list(cols)}, "results": {"bindings": bindings}}
+    """SELECT results → ``application/sparql-results+json`` document.
+
+    Small results (≤ ``_DELEGATE_ROWS``) render on the driver; larger
+    ones delegate the per-cell rendering to the executors
+    (:func:`_json_line_col`) and the driver performs a single C-level
+    ``json.loads`` over the prerendered binding objects."""
+    cols = list(variables or df.columns)
+    probe = df.limit(_DELEGATE_ROWS + 1).collect()
+    if len(probe) <= _DELEGATE_ROWS:
+        bindings = []
+        for row in probe:
+            b = {}
+            for c in cols:
+                t = term_to_json(row[c])
+                if t is not None:
+                    b[c] = t
+            bindings.append(b)
+        return {"head": {"vars": cols}, "results": {"bindings": bindings}}
+    lines = [
+        r["line"]
+        for r in df.select(_json_line_col(cols).alias("line")).toLocalIterator()
+    ]
+    arr = json.loads("[" + ",".join(lines) + "]")
+    return {"head": {"vars": cols}, "results": {"bindings": arr}}
 
 
 def boolean_to_json(value: bool) -> Dict[str, Any]:
@@ -153,8 +179,12 @@ def _term_xml(t: Dict[str, Any]) -> str:
 
 
 def bindings_to_xml(df: DataFrame, variables: Optional[List[str]] = None) -> str:
-    """SELECT results → ``application/sparql-results+xml`` document."""
-    cols = variables or df.columns
+    """SELECT results → ``application/sparql-results+xml`` document.
+
+    Small results render on the driver; larger ones delegate the
+    per-cell rendering to the executors (:func:`_xml_line_col`) and the
+    driver only joins prerendered ``<result>`` fragments."""
+    cols = list(variables or df.columns)
     out = ['<?xml version="1.0"?>']
     out.append(
         '<sparql xmlns="http://www.w3.org/2005/sparql-results#" '
@@ -164,13 +194,20 @@ def bindings_to_xml(df: DataFrame, variables: Optional[List[str]] = None) -> str
         "<head>" + "".join(f'<variable name="{_x(c)}"/>' for c in cols) + "</head>"
     )
     out.append("<results>")
-    for row in df.collect():
-        cells = []
-        for c in cols:
-            t = term_to_json(row[c])
-            if t is not None:
-                cells.append(f'<binding name="{_x(c)}">{_term_xml(t)}</binding>')
-        out.append("<result>" + "".join(cells) + "</result>")
+    probe = df.limit(_DELEGATE_ROWS + 1).collect()
+    if len(probe) <= _DELEGATE_ROWS:
+        for row in probe:
+            cells = []
+            for c in cols:
+                t = term_to_json(row[c])
+                if t is not None:
+                    cells.append(
+                        f'<binding name="{_x(c)}">{_term_xml(t)}</binding>'
+                    )
+            out.append("<result>" + "".join(cells) + "</result>")
+    else:
+        for r in df.select(_xml_line_col(cols).alias("line")).toLocalIterator():
+            out.append(r["line"])
     out.append("</results></sparql>")
     return "".join(out)
 
@@ -258,8 +295,153 @@ def _tsv_cell(row_val: Optional[str]) -> str:
 
 
 def bindings_to_tsv(df: DataFrame, variables: Optional[List[str]] = None) -> str:
-    cols = variables or df.columns
+    cols = list(variables or df.columns)
     lines = ["\t".join("?" + c for c in cols)]
-    for row in df.collect():
-        lines.append("\t".join(_tsv_cell(row[c]) for c in cols))
+    probe = df.limit(_DELEGATE_ROWS + 1).collect()
+    if len(probe) <= _DELEGATE_ROWS:
+        for row in probe:
+            lines.append("\t".join(_tsv_cell(row[c]) for c in cols))
+    else:
+        lines.extend(
+            r["line"]
+            for r in df.select(_tsv_line_col(cols).alias("line")).toLocalIterator()
+        )
     return "\n".join(lines) + "\n"
+
+
+# ---------------------------------------------------------------------------
+# distributed line renderers / sinks (r5)
+# ---------------------------------------------------------------------------
+
+
+def _binding_frag_udf(render):
+    """Arrow-batched per-cell fragment renderer; NULL for unbound cells
+    (``concat_ws`` then skips them)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def fn(s: pd.Series) -> pd.Series:
+        return s.map(lambda enc: None if enc is None else render(enc))
+
+    fn.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return pandas_udf(fn, "string")
+
+
+def _json_line_col(cols: List[str]):
+    """One results-JSON binding object per row, as a Column — the
+    JSON-Lines body.  Reuses the tested :func:`term_to_json` renderer,
+    Arrow-batched on the executors."""
+    from pyspark.sql import functions as F
+
+    frags = []
+    for c in cols:
+        key = json.dumps(c, ensure_ascii=False)
+        frags.append(
+            _binding_frag_udf(
+                lambda enc, _k=key: _k
+                + ": "
+                + json.dumps(term_to_json(enc), ensure_ascii=False)
+            )(F.col(c))
+        )
+    return F.concat(F.lit("{"), F.concat_ws(", ", *frags), F.lit("}"))
+
+
+def _xml_line_col(cols: List[str]):
+    """One ``<result>…</result>`` element per row, as a Column."""
+    from pyspark.sql import functions as F
+
+    frags = []
+    for c in cols:
+        head = f'<binding name="{_x(c)}">'
+        frags.append(
+            _binding_frag_udf(
+                lambda enc, _h=head: _h
+                + _term_xml(term_to_json(enc))
+                + "</binding>"
+            )(F.col(c))
+        )
+    return F.concat(F.lit("<result>"), F.concat_ws("", *frags), F.lit("</result>"))
+
+
+def _tsv_line_col(cols: List[str]):
+    """One TSV body line per row — pure JVM (the TSV cell transform is
+    just tab/newline escaping of the canonical encoding)."""
+    from pyspark.sql import functions as F
+
+    cells = [
+        F.coalesce(
+            F.regexp_replace(
+                F.regexp_replace(F.col(c).cast("string"), "\t", r"\\t"),
+                "\n",
+                r"\\n",
+            ),
+            F.lit(""),
+        )
+        for c in cols
+    ]
+    return F.concat_ws("\t", *cells)
+
+
+def _lines_sink(
+    df: DataFrame, order: Optional[List[str]], line_col, headers: List[str]
+) -> DataFrame:
+    """Shared ``(line_no int, line string)`` sink builder: header lines
+    at 0..k-1, body lines numbered by ``row_number`` over the ``order``
+    keys (sorted by canonical encoding).  The single-partition window
+    is fine because *serialized result sets* are small relative to the
+    corpus — bulk data belongs to the parquet / N-Quads sinks."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    keys = order or df.columns
+    body = df.select(
+        *[F.col(k).alias(f"__k{i}") for i, k in enumerate(keys)],
+        line_col.alias("line"),
+    )
+    w = Window.orderBy(*[f"__k{i}" for i in range(len(keys))])
+    body = body.select(
+        (F.row_number().over(w) + F.lit(len(headers) - 1))
+        .cast("int")
+        .alias("line_no"),
+        "line",
+    )
+    header = df.sparkSession.createDataFrame(
+        list(enumerate(headers)), "line_no int, line string"
+    )
+    return header.unionByName(body)
+
+
+def json_lines_df(df: DataFrame, order: Optional[List[str]] = None) -> DataFrame:
+    """Distributed results-JSON-Lines sink: line 0 is the ``head``
+    document, each body line one binding object (the streaming form of
+    ``application/sparql-results+json`` a large export wants)."""
+    cols = df.columns
+    head = json.dumps({"head": {"vars": list(cols)}}, ensure_ascii=False)
+    return _lines_sink(df, order, _json_line_col(cols), [head])
+
+
+def xml_lines_df(df: DataFrame, order: Optional[List[str]] = None) -> DataFrame:
+    """Distributed results-XML sink: preamble + ``<head>`` +
+    ``<results>`` as header lines, one ``<result>`` element per body
+    line.  The consumer appends ``</results></sparql>`` after the last
+    line (a footer row would need a count of the body)."""
+    cols = df.columns
+    headers = [
+        '<?xml version="1.0"?>',
+        '<sparql xmlns="http://www.w3.org/2005/sparql-results#" '
+        'xmlns:its="http://www.w3.org/2005/11/its">',
+        "<head>"
+        + "".join(f'<variable name="{_x(c)}"/>' for c in cols)
+        + "</head>",
+        "<results>",
+    ]
+    return _lines_sink(df, order, _xml_line_col(cols), headers)
+
+
+def tsv_lines_df(df: DataFrame, order: Optional[List[str]] = None) -> DataFrame:
+    """Distributed results-TSV sink (sparql11-results-csv-tsv §4) —
+    pure JVM, no Python in the hot path."""
+    cols = df.columns
+    return _lines_sink(
+        df, order, _tsv_line_col(cols), ["\t".join("?" + c for c in cols)]
+    )

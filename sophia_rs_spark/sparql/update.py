@@ -626,6 +626,9 @@ def update(
     g)`` (``g IS NULL`` = default graph) and return the new dataset.
     Operations separated by ``;`` run in sequence, each seeing the
     previous one's result (sparql11-update §3)."""
+    from .eval import _tune_codegen_limits
+
+    _tune_codegen_limits(dataset.sparkSession)
     for c in QCOLS:
         if c not in dataset.columns:
             if c == "g":

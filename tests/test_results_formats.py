@@ -99,3 +99,59 @@ class TestDocuments:
         tsv = bindings_to_tsv(got)
         assert tsv.splitlines()[0] == "?o"
         assert '"42"^^<http://www.w3.org/2001/XMLSchema#integer>' in tsv
+
+
+class TestDistributedLines:
+    """r5: distributed ``*_lines_df`` sinks + the ``bindings_to_*``
+    delegation above ``_DELEGATE_ROWS`` — both paths must be
+    byte-equivalent to the driver-side writers."""
+
+    @pytest.fixture(scope="class")
+    def res(self, spark, data):
+        # includes an unbound column (OPTIONAL miss), an escaped
+        # lexical, and a lang--dir literal; orderBy on the RAW column
+        # aligns the document row order with the sinks' order=["s"]
+        # (which sorts canonical encodings, not SPARQL value order)
+        return query(
+            data,
+            PFX + "SELECT ?s ?n ?note WHERE { ?s :name ?n"
+            "  OPTIONAL { ?s :note ?note } }",
+        ).orderBy("s")
+
+    def test_json_lines_match_document(self, res):
+        from sophia_rs_spark.sparql.results import json_lines_df
+
+        doc = bindings_to_json(res)
+        lines = {
+            r["line_no"]: r["line"] for r in json_lines_df(res, ["s"]).collect()
+        }
+        assert json.loads(lines[0]) == {"head": {"vars": ["s", "n", "note"]}}
+        got = [json.loads(lines[i]) for i in range(1, len(lines))]
+        assert got == doc["results"]["bindings"]
+
+    def test_xml_lines_match_document(self, res):
+        from sophia_rs_spark.sparql.results import xml_lines_df
+
+        rows = sorted(xml_lines_df(res, ["s"]).collect(), key=lambda r: r["line_no"])
+        assembled = "".join(r["line"] for r in rows) + "</results></sparql>"
+        assert assembled == bindings_to_xml(res)
+
+    def test_tsv_lines_match_document(self, res):
+        from sophia_rs_spark.sparql.results import tsv_lines_df
+
+        rows = sorted(tsv_lines_df(res, ["s"]).collect(), key=lambda r: r["line_no"])
+        assembled = "\n".join(r["line"] for r in rows) + "\n"
+        assert assembled == bindings_to_tsv(res)
+
+    def test_delegation_is_equivalent(self, res, monkeypatch):
+        # force the large-result branch and compare against the
+        # driver-side render
+        import sophia_rs_spark.sparql.results as R
+
+        small_json = bindings_to_json(res)
+        small_xml = bindings_to_xml(res)
+        small_tsv = bindings_to_tsv(res)
+        monkeypatch.setattr(R, "_DELEGATE_ROWS", 1)
+        assert R.bindings_to_json(res) == small_json
+        assert R.bindings_to_xml(res) == small_xml
+        assert R.bindings_to_tsv(res) == small_tsv

@@ -1058,6 +1058,88 @@ class TestExistsScoping:
         )
         assert rows_of(got) == [("<x:s1>", TRUE), ("<x:s2>", FALSE)]
 
+    # -- r5 ADVICE: unbound shared var = wildcard (§18.6) ---------------
+
+    @pytest.fixture(scope="class")
+    def optgraph(self, spark):
+        # s1's ?x binds to <x:c> (which has :r); s2's ?x stays unbound
+        rows = [
+            ("<x:s1>", "<x:p>", '"1"', None),
+            ("<x:s2>", "<x:p>", '"2"', None),
+            ("<x:s1>", "<x:q>", "<x:c>", None),
+            ("<x:c>", "<x:r>", '"5"', None),
+        ]
+        df = spark.createDataFrame(
+            rows, "s string, p string, o string, g string"
+        )
+        df.cache().count()
+        yield df
+        df.unpersist()
+
+    def test_exists_unbound_shared_var_is_wildcard(self, optgraph):
+        # §18.6 substitution binds only BOUND vars: s2's unbound ?x
+        # leaves the subpattern variable FREE, so EXISTS is true iff
+        # { ?x :r ?y } has ANY solution — it does (<x:c> :r "5")
+        got = query(
+            optgraph,
+            "SELECT ?s { ?s <x:p> ?o OPTIONAL { ?s <x:q> ?x }"
+            "  FILTER EXISTS { ?x <x:r> ?y } }",
+        )
+        assert rows_of(got) == [("<x:s1>",), ("<x:s2>",)]
+
+    def test_not_exists_unbound_shared_var_is_wildcard(self, optgraph):
+        got = query(
+            optgraph,
+            "SELECT ?s { ?s <x:p> ?o OPTIONAL { ?s <x:q> ?x }"
+            "  FILTER NOT EXISTS { ?x <x:r> ?y } }",
+        )
+        assert rows_of(got) == []
+
+    def test_exists_unbound_shared_var_no_sub_solution(self, optgraph):
+        # the subpattern has NO solution at all — EXISTS false even for
+        # the wildcard row
+        got = query(
+            optgraph,
+            "SELECT ?s { ?s <x:p> ?o OPTIONAL { ?s <x:q> ?x }"
+            "  FILTER EXISTS { ?x <x:none> ?y } }",
+        )
+        assert rows_of(got) == []
+
+    def test_exists_bound_shared_var_still_filters(self, optgraph):
+        # a BOUND ?x that does NOT satisfy the subpattern must still
+        # fail: bind s2's ?x to a dead end
+        got = query(
+            optgraph,
+            "SELECT ?s { ?s <x:p> ?o OPTIONAL { ?s <x:q> ?x }"
+            "  FILTER EXISTS { ?x <x:r> '5' } }",
+        )
+        assert rows_of(got) == [("<x:s1>",), ("<x:s2>",)]
+        got = query(
+            optgraph,
+            "SELECT ?s { ?s <x:p> ?o OPTIONAL { ?s <x:q> ?x }"
+            "  FILTER EXISTS { ?x <x:r> '6' } }",
+        )
+        assert rows_of(got) == []
+
+    def test_marker_exists_unbound_shared_var(self, optgraph):
+        # EXISTS nested in a boolean expr (marker path) with a
+        # maybe-unbound shared var: the semi/anti split must keep bag
+        # multiplicities and honor the wildcard
+        got = query(
+            optgraph,
+            "SELECT ?s { ?s <x:p> ?o OPTIONAL { ?s <x:q> ?x }"
+            "  FILTER(EXISTS { ?x <x:r> ?y } && ?o != '0') }",
+        )
+        assert rows_of(got) == [("<x:s1>",), ("<x:s2>",)]
+
+    def test_bind_exists_unbound_shared_var(self, optgraph):
+        got = query(
+            optgraph,
+            "SELECT ?s ?b { ?s <x:p> ?o OPTIONAL { ?s <x:q> ?x }"
+            "  BIND(EXISTS { ?x <x:r> ?y } AS ?b) }",
+        )
+        assert rows_of(got) == [("<x:s1>", TRUE), ("<x:s2>", TRUE)]
+
     def test_not_exists_as_select_expression(self, graph):
         got = query(
             graph,
