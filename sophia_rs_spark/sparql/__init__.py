@@ -11,6 +11,12 @@ from .parser import SparqlError, parse_query
 from .eval import evaluate, query
 from .client import SparqlClient, set_service_transport
 from .update import parse_update, update
+from .graph_query import (
+    ask_from_triples,
+    construct_from_triples,
+    query_from_graph,
+    select_from_triples,
+)
 
 __all__ = [
     "parse_query",
@@ -21,4 +27,8 @@ __all__ = [
     "set_service_transport",
     "parse_update",
     "update",
+    "ask_from_triples",
+    "construct_from_triples",
+    "select_from_triples",
+    "query_from_graph",
 ]

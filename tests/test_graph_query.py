@@ -1,0 +1,164 @@
+"""Query-from-graph wrapper (the last SURVEY.md §2 row —
+`sparql/src/wrapper/_graph_to_query.rs:18-25`): build ASK/SELECT/
+CONSTRUCT algebra from a pattern graph and run it through the regular
+evaluator, mirroring the reference's term-position mapping (bnode →
+existential variable, literal-in-predicate → sameTerm filter, triple
+terms destructured)."""
+
+import pytest
+
+from sophia_rs_spark.sparql import (
+    ask_from_triples,
+    construct_from_triples,
+    evaluate,
+    query_from_graph,
+    select_from_triples,
+)
+from sophia_rs_spark.sparql.parser import SparqlError, Var
+
+XI = '"^^<http://www.w3.org/2001/XMLSchema#integer>'
+
+
+@pytest.fixture(scope="module")
+def graph(spark):
+    rows = [
+        ("<x:alice>", "<x:knows>", "<x:bob>", None),
+        ("<x:bob>", "<x:knows>", "<x:carol>", None),
+        ("<x:alice>", "<x:age>", f'"30{XI}', None),
+        ("<x:bob>", "<x:age>", f'"25{XI}', None),
+        # a quoted-triple assertion for the triple-term cases
+        ("<<( <x:alice> <x:knows> <x:bob> )>>", "<x:certainty>", '"0.9"', None),
+    ]
+    df = spark.createDataFrame(rows, "s string, p string, o string, g string")
+    df.cache().count()
+    yield df
+    df.unpersist()
+
+
+def rows_of(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+class TestSelect:
+    def test_basic_pattern(self, graph):
+        q = select_from_triples([("?s", "<x:knows>", "?o")])
+        got = evaluate(graph, q)
+        assert sorted(got.columns) == ["o", "s"]
+        assert rows_of(got) == [
+            ("<x:alice>", "<x:bob>"),
+            ("<x:bob>", "<x:carol>"),
+        ]
+
+    def test_join_via_shared_var(self, graph):
+        q = select_from_triples(
+            [("?s", "<x:knows>", "?o"), ("?o", "<x:age>", "?a")]
+        )
+        got = evaluate(graph, q)
+        # projection order = order of first appearance: s, o, a
+        assert got.columns == ["s", "o", "a"]
+        assert rows_of(got) == [("<x:alice>", "<x:bob>", f'"25{XI}')]
+
+    def test_var_instances_accepted(self, graph):
+        q = select_from_triples([(Var("s"), "<x:age>", Var("a"))])
+        assert evaluate(graph, q).count() == 2
+
+    def test_bnode_is_existential_not_projected(self, graph):
+        # _:x joins the two patterns but stays out of the projection —
+        # query bnodes never match by label identity
+        q = select_from_triples(
+            [("_:x", "<x:knows>", "?o"), ("_:x", "<x:age>", "?a")]
+        )
+        got = evaluate(graph, q)
+        assert got.columns == ["o", "a"]
+        assert rows_of(got) == [
+            ("<x:bob>", f'"30{XI}'),
+            ("<x:carol>", f'"25{XI}'),
+        ]
+
+    def test_literal_in_predicate_position(self, graph):
+        # no pattern form for a literal predicate → minted var +
+        # sameTerm filter; "0.9" only predicates... nothing, so empty;
+        # a variable predicate + sameTerm against an existing predicate
+        # shape is exercised via ask below.  Here: no match.
+        q = select_from_triples([("?s", '"nope"', "?o")])
+        assert evaluate(graph, q).count() == 0
+
+
+class TestAsk:
+    def test_ask_true_false(self, graph):
+        assert evaluate(graph, ask_from_triples([("<x:alice>", "<x:knows>", "?x")])) is True
+        assert evaluate(graph, ask_from_triples([("<x:carol>", "<x:knows>", "?x")])) is False
+
+    def test_ask_ground(self, graph):
+        assert evaluate(
+            graph, ask_from_triples([("<x:alice>", "<x:knows>", "<x:bob>")])
+        ) is True
+
+    def test_ask_bnode_wildcards(self, graph):
+        # the reasoner's entailment probe shape (_graph_impl.rs:105):
+        # every term may be a bnode → fully existential
+        assert evaluate(
+            graph, ask_from_triples([("_:a", "<x:knows>", "_:b")])
+        ) is True
+
+
+class TestConstruct:
+    def test_template_is_pattern(self, graph):
+        q = construct_from_triples([("?s", "<x:knows>", "?o")])
+        got = evaluate(graph, q)
+        assert sorted(got.columns) == ["o", "p", "s"]
+        assert got.count() == 2
+
+    def test_construct_renames_through_join(self, graph):
+        # CONSTRUCT emits the matched BGP back (identity rewrite)
+        q = construct_from_triples(
+            [("?s", "<x:knows>", "?o"), ("?o", "<x:age>", "?a")]
+        )
+        got = evaluate(graph, q)
+        assert got.count() == 2  # two template triples × one solution
+
+
+class TestTripleTerms:
+    def test_ground_triple_term_matches_identity(self, graph):
+        q = select_from_triples(
+            [(("<x:alice>", "<x:knows>", "<x:bob>"), "<x:certainty>", "?c")]
+        )
+        assert rows_of(evaluate(graph, q)) == [('"0.9"',)]
+
+    def test_variable_triple_term_destructures(self, graph):
+        q = select_from_triples(
+            [(("?who", "<x:knows>", "?whom"), "<x:certainty>", "?c")]
+        )
+        got = evaluate(graph, q)
+        assert got.columns == ["who", "whom", "c"]
+        assert rows_of(got) == [("<x:alice>", "<x:bob>", '"0.9"')]
+
+    def test_triple_term_in_predicate_position(self, graph):
+        # no predicate pattern form → minted var + SUBJECT/PREDICATE/
+        # OBJECT destructure; no predicate in the data IS a triple
+        # term, so the match is empty (and must not error)
+        q = select_from_triples(
+            [("?s", ("?a", "<x:knows>", "?b"), "?o")]
+        )
+        assert evaluate(graph, q).count() == 0
+
+
+class TestConvenience:
+    def test_query_from_graph_forms(self, graph):
+        assert query_from_graph(
+            graph, [("?s", "<x:age>", "?a")], form="select"
+        ).count() == 2
+        assert query_from_graph(
+            graph, [("?s", "<x:age>", "?a")], form="ask"
+        ) is True
+        assert query_from_graph(
+            graph, [("?s", "<x:age>", "?a")], form="construct"
+        ).count() == 2
+        with pytest.raises(SparqlError, match="unknown query form"):
+            query_from_graph(graph, [], form="describe")
+
+    def test_bad_terms_rejected(self):
+        with pytest.raises(SparqlError, match="not a term"):
+            select_from_triples([(1, "<x:p>", "?o")])
+        with pytest.raises(SparqlError, match="3 components"):
+            select_from_triples([(("?a", "?b"), "<x:p>", "?o")])
