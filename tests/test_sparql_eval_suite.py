@@ -996,3 +996,306 @@ class TestConstructAskGraph:
             [{"g": "<http://example.org/g1>", "o": "<http://example.org/one>"}],
             quads=True,
         )
+
+
+# ---------------------------------------------------------------------------
+# r5 expansion (VERDICT #4): the highest-risk remaining families from the
+# official sparql11 evaluation manifests — OPTIONAL/MINUS scoping,
+# property-path evaluation, aggregate edge cases
+# ---------------------------------------------------------------------------
+
+E = "http://example.org/"
+
+
+class TestOptionalScoping:
+    """optional/ + optional-filter/ (dawg-optional-*): LeftJoin scoping."""
+
+    def test_two_sequential_optionals_chain(self, spark):
+        # dawg-optional-complex shape: the second OPTIONAL references a
+        # variable bound only by the FIRST optional.  x2's ?n is
+        # UNBOUND there — and per SPARQL compatibility an unbound var
+        # is a WILDCARD, so x2 still merges with {n=n1, d="deep"} (the
+        # famously counterintuitive dawg-optional behavior)
+        check(
+            spark,
+            ":x1 :p :m1 . :x2 :p :m2 .\n:x1 :q :n1 .\n:n1 :r \"deep\" .",
+            "SELECT ?s ?n ?d WHERE { ?s :p ?v"
+            "  OPTIONAL { ?s :q ?n } OPTIONAL { ?n :r ?d } }",
+            [
+                {"s": f"<{E}x1>", "n": f"<{E}n1>", "d": '"deep"'},
+                {"s": f"<{E}x2>", "n": f"<{E}n1>", "d": '"deep"'},
+            ],
+        )
+
+    def test_nested_optional_binds_inside_out(self, spark):
+        # OPTIONAL nested inside OPTIONAL: the inner LeftJoin evaluates
+        # within the outer's right group
+        check(
+            spark,
+            ":x1 :p :m1 .\n:x1 :q :n1 .\n:n1 :r \"v\" .\n:x2 :p :m2 .\n:x2 :q :n2 .",
+            "SELECT ?s ?n ?d WHERE { ?s :p ?v"
+            "  OPTIONAL { ?s :q ?n OPTIONAL { ?n :r ?d } } }",
+            [
+                {"s": f"<{E}x1>", "n": f"<{E}n1>", "d": '"v"'},
+                {"s": f"<{E}x2>", "n": f"<{E}n2>", "d": None},
+            ],
+        )
+
+    def test_optional_filter_inner_var_only(self, spark):
+        # dawg-optional-filter-002 shape: the filter mentions only
+        # right-side vars — equivalent to filtering the right side
+        check(
+            spark,
+            ':x1 :p "4"^^xsd:integer ; :q "10"^^xsd:integer .\n'
+            ':x2 :p "1"^^xsd:integer ; :q "2"^^xsd:integer .',
+            "SELECT ?s ?w WHERE { ?s :p ?v OPTIONAL { ?s :q ?w FILTER(?w > 5) } }",
+            [
+                {"s": f"<{E}x1>", "w": '"10"^^<http://www.w3.org/2001/XMLSchema#integer>'},
+                {"s": f"<{E}x2>", "w": None},
+            ],
+        )
+
+    def test_negation_by_bound_after_optional(self, spark):
+        # dawg-bound-query-001 / negation-by-failure idiom
+        check(
+            spark,
+            ":x1 :p :a .\n:x2 :p :b .\n:x1 :q :c .",
+            "SELECT ?s WHERE { ?s :p ?v OPTIONAL { ?s :q ?w } FILTER(!BOUND(?w)) }",
+            [{"s": f"<{E}x2>"}],
+        )
+
+    def test_optional_shared_var_constrains(self, spark):
+        # ?v appears on BOTH sides: the optional only extends rows
+        # whose ?v matches (join on the shared var, not a free extend)
+        check(
+            spark,
+            ":x1 :p :k .\n:x2 :p :j .\n:y :q :k .",
+            "SELECT ?s ?y WHERE { ?s :p ?v OPTIONAL { ?y :q ?v } }",
+            [
+                {"s": f"<{E}x1>", "y": f"<{E}y>"},
+                {"s": f"<{E}x2>", "y": None},
+            ],
+        )
+
+    def test_union_inside_optional(self, spark):
+        check(
+            spark,
+            ":x1 :p :m .\n:x1 :q1 \"a\" .\n:x1 :q2 \"b\" .",
+            "SELECT ?s ?w WHERE { ?s :p ?v"
+            "  OPTIONAL { { ?s :q1 ?w } UNION { ?s :q2 ?w } } }",
+            [
+                {"s": f"<{E}x1>", "w": '"a"'},
+                {"s": f"<{E}x1>", "w": '"b"'},
+            ],
+        )
+
+    def test_optional_preserves_bag_multiplicity(self, spark):
+        # two :p bindings for x1 → the optional extension applies per
+        # solution, keeping both rows
+        check(
+            spark,
+            ":x1 :p :m1 , :m2 .\n:x1 :q \"w\" .",
+            "SELECT ?s ?v ?w WHERE { ?s :p ?v OPTIONAL { ?s :q ?w } }",
+            [
+                {"s": f"<{E}x1>", "v": f"<{E}m1>", "w": '"w"'},
+                {"s": f"<{E}x1>", "v": f"<{E}m2>", "w": '"w"'},
+            ],
+        )
+
+
+class TestMinusScoping:
+    """negation/ (full-minuend, subtraction scoping, MINUS≠NOT EXISTS)."""
+
+    def test_minus_partial_overlap(self, spark):
+        # only the compatible solution is subtracted
+        check(
+            spark,
+            ":a :p :x .\n:b :p :y .\n:a :q :x .",
+            "SELECT ?s WHERE { ?s :p ?o MINUS { ?s :q ?o } }",
+            [{"s": f"<{E}b>"}],
+        )
+
+    def test_minus_with_filter_inside(self, spark):
+        # the FILTER applies WITHIN the minus group before subtraction
+        check(
+            spark,
+            ':a :p "1"^^xsd:integer .\n:b :p "5"^^xsd:integer .\n'
+            ':a :q "1"^^xsd:integer .\n:b :q "5"^^xsd:integer .',
+            "SELECT ?s WHERE { ?s :p ?o MINUS { ?s :q ?o FILTER(?o > 3) } }",
+            [{"s": f"<{E}a>"}],
+        )
+
+    def test_minus_vs_not_exists_disjoint(self, spark):
+        # sparql11-query §8.3.3: with no shared variables MINUS removes
+        # NOTHING while NOT EXISTS removes EVERYTHING
+        data = ":s :p :o ."
+        check(
+            spark,
+            data,
+            "SELECT ?s WHERE { ?s :p ?o MINUS { ?x :y ?z FILTER(?x != ?x) } }",
+            [{"s": f"<{E}s>"}],
+        )
+        check(
+            spark,
+            data,
+            "SELECT ?s WHERE { ?s :p ?o FILTER NOT EXISTS { ?x :p ?z } }",
+            [],
+        )
+
+    def test_minus_two_pattern_group(self, spark):
+        check(
+            spark,
+            ":a :p :x .\n:b :p :y .\n:a :q :m .\n:m :r :x .",
+            "SELECT ?s WHERE { ?s :p ?o MINUS { ?s :q ?m . ?m :r ?o } }",
+            [{"s": f"<{E}b>"}],
+        )
+
+    def test_minus_maybe_unbound_shared_var(self, spark):
+        # ?w is bound only via OPTIONAL: an unbound ?w is compatible
+        # with ANY right binding (SPARQL compat), so x2 is subtracted
+        # only if some right solution exists with matching ?s
+        check(
+            spark,
+            ":x1 :p :a .\n:x2 :p :b .\n:x1 :q :w1 .\n:x1 :r :w1 .",
+            "SELECT ?s WHERE { ?s :p ?v OPTIONAL { ?s :q ?w }"
+            "  MINUS { ?s :r ?w } }",
+            [{"s": f"<{E}x2>"}],
+        )
+
+
+class TestPathEval:
+    """property-path/ evaluation families beyond the syntax matrix."""
+
+    def test_pp_zero_or_one(self, spark):
+        check(
+            spark,
+            ":a :p :b . :b :p :c .",
+            "SELECT ?y WHERE { :a :p? ?y }",
+            [{"y": f"<{E}a>"}, {"y": f"<{E}b>"}],
+        )
+
+    def test_pp_seq_under_plus(self, spark):
+        # (:p/:q)+ — composite step iterated
+        check(
+            spark,
+            ":a :p :m1 . :m1 :q :b .\n:b :p :m2 . :m2 :q :c .",
+            "SELECT ?y WHERE { :a (:p/:q)+ ?y }",
+            [{"y": f"<{E}b>"}, {"y": f"<{E}c>"}],
+        )
+
+    def test_pp_plus_both_vars_distinct_pairs(self, spark):
+        # ?x :p+ ?y enumerates DISTINCT reachable pairs
+        check(
+            spark,
+            ":a :p :b . :b :p :a .",
+            "SELECT ?x ?y WHERE { ?x :p+ ?y }",
+            [
+                {"x": f"<{E}a>", "y": f"<{E}a>"},
+                {"x": f"<{E}a>", "y": f"<{E}b>"},
+                {"x": f"<{E}b>", "y": f"<{E}a>"},
+                {"x": f"<{E}b>", "y": f"<{E}b>"},
+            ],
+        )
+
+    def test_pp_inside_optional(self, spark):
+        check(
+            spark,
+            ":x1 :p :m .\n:m :r :n . :n :r :o .\n:x2 :p :z .",
+            "SELECT ?s ?e WHERE { ?s :p ?v OPTIONAL { ?v :r+ ?e } }",
+            [
+                {"s": f"<{E}x1>", "e": f"<{E}n>"},
+                {"s": f"<{E}x1>", "e": f"<{E}o>"},
+                {"s": f"<{E}x2>", "e": None},
+            ],
+        )
+
+    def test_pp_inverse_of_sequence(self, spark):
+        # ^(:p/:q) ≡ ^:q/^:p
+        check(
+            spark,
+            ":a :p :m . :m :q :b .",
+            "SELECT ?x WHERE { :b ^(:p/:q) ?x }",
+            [{"x": f"<{E}a>"}],
+        )
+
+    def test_pp_nps_multiple_excluded(self, spark):
+        check(
+            spark,
+            ":a :p1 :b . :a :p2 :c . :a :p3 :d .",
+            "SELECT ?y WHERE { :a !(:p1|:p2) ?y }",
+            [{"y": f"<{E}d>"}],
+        )
+
+    def test_pp_star_ground_membership_ask(self, spark):
+        check(spark, ":a :p :b . :b :p :c .", "ASK { :a :p* :c }", True)
+        check(spark, ":a :p :b . :b :p :c .", "ASK { :c :p* :a }", False)
+
+
+class TestAggregateEdges:
+    """aggregates/ edge cases past the basic battery."""
+
+    def test_count_distinct_star(self, spark):
+        check(
+            spark,
+            ":s1 :p :a . :s1 :p :a . :s1 :q :a .",
+            "SELECT (COUNT(DISTINCT *) AS ?n) WHERE { ?s ?p ?o }",
+            [{"n": '"2"^^<http://www.w3.org/2001/XMLSchema#integer>'}],
+        )
+
+    def test_group_concat_distinct_separator(self, spark):
+        check(
+            spark,
+            ':s :p "a" , "b" , "a" .',
+            'SELECT (GROUP_CONCAT(DISTINCT ?o ; separator="|") AS ?c)'
+            " WHERE { ?s :p ?o } GROUP BY ?s",
+            [{"c": '"a|b"'}],
+        )
+
+    def test_having_without_group_by(self, spark):
+        check(
+            spark,
+            ':s1 :p "1"^^xsd:integer . :s2 :p "2"^^xsd:integer .',
+            "SELECT (SUM(?o) AS ?t) WHERE { ?s :p ?o } HAVING(SUM(?o) > 2)",
+            [{"t": '"3"^^<http://www.w3.org/2001/XMLSchema#integer>'}],
+        )
+        check(
+            spark,
+            ':s1 :p "1"^^xsd:integer .',
+            "SELECT (SUM(?o) AS ?t) WHERE { ?s :p ?o } HAVING(SUM(?o) > 2)",
+            [],
+        )
+
+    def test_sample_singleton_deterministic(self, spark):
+        check(
+            spark,
+            ':s1 :p "only" .',
+            "SELECT ?s (SAMPLE(?o) AS ?v) WHERE { ?s :p ?o } GROUP BY ?s",
+            [{"s": f"<{E}s1>", "v": '"only"'}],
+        )
+
+    def test_avg_empty_no_group_is_zero(self, spark):
+        check(
+            spark,
+            ":s :p :o .",
+            "SELECT (AVG(?x) AS ?a) WHERE { ?s :q ?x }",
+            [{"a": '"0.0"^^<http://www.w3.org/2001/XMLSchema#decimal>'}],
+        )
+
+    def test_max_string_value_order(self, spark):
+        check(
+            spark,
+            ':s :p "apple" , "pear" , "banana" .',
+            "SELECT (MAX(?o) AS ?m) WHERE { ?s :p ?o }",
+            [{"m": '"pear"'}],
+        )
+
+    def test_subquery_aggregate_scoping(self, spark):
+        # inner SELECT projects only its own aggregate; ?o is not
+        # visible to the outer group
+        check(
+            spark,
+            ":s1 :p :a . :s1 :p :b . :s2 :p :c .",
+            "SELECT ?s ?n WHERE { { SELECT ?s (COUNT(?o) AS ?n)"
+            "  WHERE { ?s :p ?o } GROUP BY ?s } FILTER(?n > 1) }",
+            [{"s": f"<{E}s1>", "n": '"2"^^<http://www.w3.org/2001/XMLSchema#integer>'}],
+        )
