@@ -211,43 +211,69 @@ def exists_filter(
     right: DataFrame,
     negated: bool = False,
     nullable: Sequence[str] = (),
+    right_nullable: Sequence[str] = (),
 ) -> DataFrame:
     """FILTER (NOT) EXISTS (`sparql/src/expression.rs:60`) — correlated
     subquery as a left-semi/anti join on shared variables.
 
-    ``nullable`` shared vars may be UNBOUND on the left (bound only in
+    ``nullable`` shared vars may be UNBOUND on the LEFT (bound only in
     a prior OPTIONAL, UNDEF, …): §18.6 substitution only substitutes
     BOUND variables, so an unbound outer var leaves the subpattern
     variable free — those join with compatibility semantics
     (``l IS NULL OR r IS NULL OR l = r``) instead of plain equality,
-    which would read EXISTS as false for every NULL row.  Guaranteed-
-    bound shared vars stay plain equi-keys (hash-joinable)."""
+    which would read EXISTS as false for every NULL row.
+    ``right_nullable`` marks vars the SUBPATTERN may leave unbound (its
+    own OPTIONAL): a NULL right value is a wildcard too.
+
+    Scale shape: guaranteed-bound shared vars stay plain equi-keys.
+    When only the left side can be NULL, rows whose compat vars are all
+    bound take the equi hash join and only the NULL-carrying minority
+    pays the non-equi compatibility join — without the split the whole
+    left side would degrade to a nested-loop against the distinct
+    subpattern solutions."""
     shared = [c for c in left.columns if c in right.columns]
     how = "left_anti" if negated else "left_semi"
     if not shared:
         n = right.limit(1).count()
         keep = (n == 0) if negated else (n > 0)
         return left if keep else left.limit(0)
-    compat = [c for c in shared if c in set(nullable)]
+    lnull, rnull = set(nullable), set(right_nullable)
+    compat = [c for c in shared if c in lnull or c in rnull]
     rsel = right.select(*shared).distinct()
     if not compat:
         return left.join(rsel, shared, how)
-    la, ra = left.alias("l"), rsel.alias("r")
-    cond = reduce(
-        lambda a, b: a & b,
-        [
-            F.col(f"l.{c}").isNull()
-            | F.col(f"r.{c}").isNull()
-            | (F.col(f"l.{c}") == F.col(f"r.{c}"))
-            for c in compat
-        ],
-        reduce(
+
+    def _compat_join(lf):
+        la, ra = lf.alias("l"), rsel.alias("r")
+        cond = reduce(
             lambda a, b: a & b,
-            [F.col(f"l.{c}") == F.col(f"r.{c}") for c in shared if c not in set(compat)],
-            F.lit(True),
-        ),
+            [
+                F.col(f"l.{c}").isNull()
+                | F.col(f"r.{c}").isNull()
+                | (F.col(f"l.{c}") == F.col(f"r.{c}"))
+                for c in compat
+            ],
+            reduce(
+                lambda a, b: a & b,
+                [
+                    F.col(f"l.{c}") == F.col(f"r.{c}")
+                    for c in shared
+                    if c not in set(compat)
+                ],
+                F.lit(True),
+            ),
+        )
+        return la.join(ra, cond, how)
+
+    if any(c in rnull for c in compat):
+        # the subpattern itself may bind NULL (wildcard) — a plain
+        # equi join would drop those matches even for bound left rows
+        return _compat_join(left)
+    all_bound = reduce(
+        lambda a, b: a & b, [F.col(c).isNotNull() for c in compat]
     )
-    return la.join(ra, cond, how)
+    eq_part = left.filter(all_bound).join(rsel, shared, how)
+    return eq_part.unionByName(_compat_join(left.filter(~all_bound)))
 
 
 # --- solution modifiers -----------------------------------------------------

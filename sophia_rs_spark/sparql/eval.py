@@ -1608,7 +1608,7 @@ def _rewrite_exists(
         sub, _sm = _eval_group(ctx, e.args[0])
         name = f"#ex{next(_MARKER_SEQ)}"
         shared = [c for c in df.columns if c in sub.columns]
-        compat = [c for c in shared if c in set(nullable)]
+        compat = [c for c in shared if c in set(nullable) or c in _sm]
         if compat:
             # §18.6: only BOUND outer vars substitute — a NULL shared
             # var is a wildcard, so the marker joins with compatibility
@@ -1616,8 +1616,12 @@ def _rewrite_exists(
             # (a NULL matches every distinct sub value), so the marker
             # is attached as a semi/anti SPLIT instead, which keeps bag
             # multiplicities exact.
-            pos = B.exists_filter(df, sub, negated=False, nullable=compat)
-            neg = B.exists_filter(df, sub, negated=True, nullable=compat)
+            pos = B.exists_filter(
+                df, sub, negated=False, nullable=nullable, right_nullable=_sm
+            )
+            neg = B.exists_filter(
+                df, sub, negated=True, nullable=nullable, right_nullable=_sm
+            )
             df = pos.withColumn(name, F.lit(True)).unionByName(
                 neg.withColumn(name, F.lit(None).cast("boolean"))
             )
@@ -1872,7 +1876,11 @@ def _apply_filters(ctx: _Ctx, df: DataFrame, filters, nullable=()) -> DataFrame:
             # bare (NOT) EXISTS: semi/anti join, no marker column
             sub, _sm = _eval_group(ctx, fe.args[0])
             df = B.exists_filter(
-                df, sub, negated=(fe.op == "not_exists"), nullable=nullable
+                df,
+                sub,
+                negated=(fe.op == "not_exists"),
+                nullable=nullable,
+                right_nullable=_sm,
             )
             continue
         marks: List[str] = []

@@ -1140,6 +1140,24 @@ class TestExistsScoping:
         )
         assert rows_of(got) == [("<x:s1>", TRUE), ("<x:s2>", TRUE)]
 
+    def test_exists_sub_side_unbound_is_wildcard(self, optgraph):
+        # the SUBPATTERN may leave the shared var unbound (its own
+        # OPTIONAL miss): a NULL sub binding is compatible with every
+        # outer value, so EXISTS is true for all rows — a plain equi
+        # join on ?o would drop the NULL sub row and read false
+        got = query(
+            optgraph,
+            "SELECT ?s { ?s <x:p> ?o"
+            "  FILTER EXISTS { ?z <x:q> ?c OPTIONAL { ?z <x:none> ?o } } }",
+        )
+        assert rows_of(got) == [("<x:s1>",), ("<x:s2>",)]
+        got = query(
+            optgraph,
+            "SELECT ?s { ?s <x:p> ?o"
+            "  FILTER NOT EXISTS { ?z <x:q> ?c OPTIONAL { ?z <x:none> ?o } } }",
+        )
+        assert rows_of(got) == []
+
     def test_not_exists_as_select_expression(self, graph):
         got = query(
             graph,
