@@ -143,6 +143,26 @@ class TestDistributedLines:
         assembled = "\n".join(r["line"] for r in rows) + "\n"
         assert assembled == bindings_to_tsv(res)
 
+    def test_lines_sinks_build_without_driver_jobs(self, spark, res):
+        # the distributed sinks are PLANS — building them must launch
+        # zero driver jobs (no collect/count in the plan path)
+        from sophia_rs_spark.sparql.results import (
+            csv_lines_df,
+            json_lines_df,
+            tsv_lines_df,
+            xml_lines_df,
+        )
+
+        sc = spark.sparkContext
+        sc.setJobGroup("results-plan-probe", "no-job probe")
+        try:
+            for sink in (csv_lines_df, json_lines_df, xml_lines_df, tsv_lines_df):
+                sink(res, ["s"]).schema  # force analysis, no execution
+        finally:
+            sc.setJobGroup("", "")
+        jobs = sc.statusTracker().getJobIdsForGroup("results-plan-probe")
+        assert len(jobs) == 0, f"plan building launched {len(jobs)} driver jobs"
+
     def test_delegation_is_equivalent(self, res, monkeypatch):
         # force the large-result branch and compare against the
         # driver-side render
