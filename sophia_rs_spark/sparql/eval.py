@@ -231,9 +231,48 @@ class _TmpBinder:
     _counter = 0
 
     def __init__(self, df: DataFrame):
-        self.df = df
+        self._base = df
+        self._pending: List = []  # (name, col, referenced-temp set)
+        self._pending_names: set = set()
         self.names: List[str] = []
         self._memo: dict = {}
+
+    @property
+    def df(self) -> DataFrame:
+        """The DataFrame with all bound temps materialized.  Binds are
+        BATCHED: temps accumulate unmaterialized and flush in dependency
+        LAYERS (one ``select`` per layer, several temps each) when the
+        frame is read — r5: the previous one-``withColumn``-per-bind
+        shape cost two py4j round trips per temp at plan build and one
+        Project operator per temp at execution (row re-materialization
+        under the per-operator codegen fallback)."""
+        self._flush()
+        return self._base
+
+    def _flush(self) -> None:
+        if not self._pending:
+            return
+        layer: List = []
+        layer_names: set = set()
+
+        def emit():
+            nonlocal layer, layer_names
+            if layer:
+                self._base = self._base.select(
+                    "*", *[_opaque(c).alias(n) for n, c in layer]
+                )
+                layer, layer_names = [], set()
+
+        for name, col, refs in self._pending:
+            if refs is None or (refs & layer_names):
+                # references a temp of the CURRENT layer (or unknown):
+                # materialize the layer first so resolution succeeds
+                emit()
+            layer.append((name, col))
+            layer_names.add(name)
+        emit()
+        self._pending = []
+        self._pending_names = set()
 
     def bind(self, col: Column) -> Column:
         # memoize on the unresolved expression string: IN / repeated
@@ -248,7 +287,15 @@ class _TmpBinder:
             return F.col(self._memo[key])
         _TmpBinder._counter += 1
         name = f"#tmp{_TmpBinder._counter}"
-        self.df = self.df.withColumn(name, _opaque(col))
+        # temp references inside the expression (they can only point at
+        # EARLIER binds); None = unknown → conservative flush
+        refs = (
+            {m for m in re.findall(r"#tmp\d+", key) if m in self._pending_names}
+            if key is not None
+            else None
+        )
+        self._pending.append((name, col, refs))
+        self._pending_names.add(name)
         self.names.append(name)
         if key is not None:
             self._memo[key] = name
