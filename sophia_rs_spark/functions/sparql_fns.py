@@ -540,7 +540,7 @@ _LIMB_W = 18
 _SUM_DIGITS = SUM_LIMBS * _LIMB_W  # 126 digits, scaled by 10^10
 
 
-def sum_limb_parts(lexv: Column, rank: Column):
+def sum_limb_parts(lexv: Column, rank: Column, parts=None):
     """Exact-SUM decomposition of a rank≤1 numeric lexical (the
     aggregate twin of the scalar BigInt/BigDecimal plane,
     `value/_number.rs`): the value ×10^10 as a 126-digit string
@@ -554,12 +554,7 @@ def sum_limb_parts(lexv: Column, rank: Column):
     # regex-free decomposition: this runs per ROW on the SUM hot path,
     # and under the rank<=1 gate the lexical is a valid integer/decimal
     # (optional sign, digits, at most one '.') — substring ops suffice
-    neg = lexv.startswith("-")
-    signed = neg | lexv.startswith("+")
-    mag = F.when(signed, F.substring(lexv, 2, 2_000_000)).otherwise(lexv)
-    has_dot = mag.contains(".")
-    ip = F.when(has_dot, F.substring_index(mag, ".", 1)).otherwise(mag)
-    fr = F.when(has_dot, F.substring_index(mag, ".", -1)).otherwise(F.lit(""))
+    neg, ip, fr = parts if parts is not None else num_lex_parts(lexv)
     digits = F.concat(ip, F.rpad(fr, 10, "0"))
     in_range = (
         (rank <= 1)
@@ -575,7 +570,23 @@ def sum_limb_parts(lexv: Column, rank: Column):
     )
 
 
-def sum_fast_part(lexv: Column, rank: Column) -> Column:
+def num_lex_parts(lexv: Column):
+    """``(neg, ip, fr)`` split of a numeric lexical (sign flag, integer
+    digits, fraction digits) — shared by the SUM decompositions.
+    ``substring_index(…, -1)`` showed up as the TOP hot frame when this
+    split was re-inlined at every use site (UTF8String.rfind scans per
+    evaluation); callers pin ``ip``/``fr`` once per row and pass them
+    back via ``parts``."""
+    neg = lexv.startswith("-")
+    signed = neg | lexv.startswith("+")
+    mag = F.when(signed, F.substring(lexv, 2, 2_000_000)).otherwise(lexv)
+    has_dot = mag.contains(".")
+    ip = F.when(has_dot, F.substring_index(mag, ".", 1)).otherwise(mag)
+    fr = F.when(has_dot, F.substring_index(mag, ".", -1)).otherwise(F.lit(""))
+    return neg, ip, fr
+
+
+def sum_fast_part(lexv: Column, rank: Column, parts=None) -> Column:
     """Single-limb fast plane of the exact-SUM decomposition (r5: the
     limb machinery was 60% of the headline bench).  For rank≤1 values
     with ≤10 fraction digits and |v| < 10^8 — the overwhelmingly common
@@ -584,15 +595,35 @@ def sum_fast_part(lexv: Column, rank: Column) -> Column:
     the row to the full 126-digit limb decomposition instead.  Summing
     this column is value-identical to summing the low limb (the higher
     limbs of such values are provably zero), but skips the per-row
-    126-digit string build entirely.  Every step is loss-free:
-    try_cast to (18,10) refuses wider values, the ≤10-fraction guard
-    stops the cast's silent rounding, and (18,10)×(11,0) →
-    decimal(30,10) holds the integral product exactly."""
-    fr = F.substring_index(lexv, ".", -1)
-    fr_ok = ~lexv.contains(".") | (F.length(fr) <= 10)
-    small = F.when((rank <= 1) & fr_ok, lexv.try_cast("decimal(18,10)"))
-    return (
-        small * F.lit(str(10**10)).cast("decimal(11,0)")
+    126-digit string build entirely.  The scaled value is assembled
+    with NATIVE LONG arithmetic (integer part ×10^10 + right-padded
+    fraction) — exact by construction under the ≤8-integer-digit /
+    ≤10-fraction-digit gates, and several times cheaper per row than a
+    BigDecimal parse + multiply (jstack showed MutableBigInteger in
+    the hot loop)."""
+    neg, ip, fr = parts if parts is not None else num_lex_parts(lexv)
+    # pure LONG arithmetic (native, no BigDecimal parse/multiply — this
+    # runs per row on the SUM hot path): |v| < 10^8 with ≤10 fraction
+    # digits keeps ip*10^10 + frac < 10^18, far from long overflow
+    ok = (
+        (rank <= 1)
+        & (F.length(ip) <= 8)
+        & (F.length(fr) <= 10)
+    )
+    ipl = ip.try_cast("long")
+    frl = F.rpad(fr, 10, "0").try_cast("long")
+    # a rank≤1 lexical is a valid integer/decimal, but stay defensive:
+    # each part must parse or be empty ("12.", ".5"), not both empty
+    good = (
+        (ipl.isNotNull() | (ip == ""))
+        & (frl.isNotNull() | (fr == ""))
+        & ((ip != "") | (fr != ""))
+    )
+    val = F.coalesce(ipl, F.lit(0).cast("long")) * F.lit(10**10).cast(
+        "long"
+    ) + F.coalesce(frl, F.lit(0).cast("long"))
+    return F.when(
+        ok & good, F.when(neg, -val).otherwise(val)
     ).cast("decimal(38,0)")
 
 

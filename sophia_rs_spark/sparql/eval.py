@@ -2427,21 +2427,33 @@ def _select_df(ctx: _Ctx, q: A.Query):
                 # ≤10 fraction digits) sum as ONE decimal(38,0) column;
                 # the 126-digit string build and the 7 limb substrings
                 # are when()-masked to the rare wide rows, so codegen
-                # skips them per fast row entirely
+                # skips them per fast row entirely.
+                # The (ip, fr) lexical split is pinned ONCE and shared
+                # by the fast plane and the limb decomposition —
+                # substring_index(-1)'s reverse scan was the TOP hot
+                # frame when re-inlined at every use site
+                _neg, _ip, _fr = FN.num_lex_parts(lx)
+                df = df.select(
+                    "*",
+                    _opaque(_ip).alias(cn + "ip"),
+                    _opaque(_fr).alias(cn + "fr"),
+                )
+                parts = (lx.startswith("-"), F.col(cn + "ip"), F.col(cn + "fr"))
                 # _opaque-pinned: fv is consumed three times (the SUM
                 # input + the dg/mon masks) — deterministic it would be
                 # CollapseProject-re-inlined into each consumer
                 df = df.withColumn(
-                    cn + "fv", _opaque(FN.sum_fast_part(lx, F.col(cn + "r")))
+                    cn + "fv",
+                    _opaque(FN.sum_fast_part(lx, F.col(cn + "r"), parts)),
                 )
                 fvnull = F.col(cn + "fv").isNull()
-                dg, sg, mon = FN.sum_limb_parts(lx, F.col(cn + "r"))
+                dg, sg, mon = FN.sum_limb_parts(lx, F.col(cn + "r"), parts)
                 df = (
                     df.withColumn(cn + "dg", _opaque(F.when(fvnull, dg)))
                     .withColumn(cn + "sg", sg)
                     .withColumn(cn + "m", F.when(fvnull, mon))
                 )
-                df = df.drop(cn + "dt", cn + "lx")
+                df = df.drop(cn + "dt", cn + "lx", cn + "ip", cn + "fr")
             argcol[i] = cn
         aggs = []
         post_emit: List = []  # (alias, raw-struct → term renderer)
