@@ -97,15 +97,29 @@ class SparqlClient:
     # -- query --------------------------------------------------------------
 
     def query(
-        self, spark: SparkSession, query: str, *, graph_ok: bool = True
-    ) -> Union[bool, DataFrame]:
+        self,
+        spark: SparkSession,
+        query: str,
+        *,
+        graph_ok: bool = True,
+        return_nullable: bool = False,
+    ) -> Union[bool, DataFrame, tuple]:
         """Execute ``query`` against the endpoint.  Returns an ASK
         boolean, a SELECT bindings DataFrame (canonical term-encoding
         columns, one per variable), or a triples DataFrame
         (s, p, o) for graph-shaped responses.  With ``graph_ok=False``
         a graph-shaped response errors instead (a SELECT caller must
         not misread a mislabeled graph body as bindings — SERVICE
-        evaluation sets this)."""
+        evaluation sets this).
+
+        With ``return_nullable=True`` the result is a ``(result,
+        nullable)`` pair where ``nullable`` is the set of variables the
+        response actually left UNBOUND in some solution — known for
+        free at parse time (the rows pass through the driver here
+        anyway, by the protocol's small-document nature).  SERVICE
+        evaluation uses it to keep fully-bound remote columns as plain
+        equi-join keys instead of pessimistic compatibility conditions
+        (which degrade to a nested-loop join)."""
         url, headers, body = self.build_request(query)
         try:
             ctype, payload = self._transport(url, headers, body)
@@ -129,18 +143,28 @@ class SparqlClient:
                 "application/n-triples": "nt",
                 "application/rdf+xml": "rdfxml",
             }[ctype]
-            return self._triples_df(spark, payload, fmt)
+            out = self._triples_df(spark, payload, fmt)
+            return (out, set()) if return_nullable else out
         else:
             raise SparqlClientError(
                 f"unsupported content-type: {ctype}"
             )
         if isinstance(doc, bool):
-            return doc
+            return (doc, set()) if return_nullable else doc
         variables, rows = doc
         schema = ", ".join(f"`{v}` string" for v in variables) or "dummy string"
         if not variables:
-            return spark.createDataFrame([], "dummy string").drop("dummy")
-        return spark.createDataFrame(rows, schema)
+            out = spark.createDataFrame([], "dummy string").drop("dummy")
+            return (out, set()) if return_nullable else out
+        out = spark.createDataFrame(rows, schema)
+        if not return_nullable:
+            return out
+        nullable = {
+            v
+            for i, v in enumerate(variables)
+            if any(r[i] is None for r in rows)
+        }
+        return out, nullable
 
     def _triples_df(
         self, spark: SparkSession, payload: bytes, fmt: str

@@ -2172,8 +2172,9 @@ def _eval_service(ctx: _Ctx, el: "A.ServiceClause"):
     query's own prologue and POSTed through
     :class:`~sophia_rs_spark.sparql.client.SparqlClient`; the remote
     bindings come back as a DataFrame of canonical terms and join the
-    local solutions with full compatibility semantics (every remote
-    column is maybe-unbound — the remote query may contain OPTIONAL).
+    local solutions; columns the response actually left unbound in some
+    solution (the remote query may contain OPTIONAL) join with
+    compatibility semantics, fully-bound ones as plain equi-keys.
     Per §2.2, SILENT turns any failure (transport, content-type, a
     non-bindings response) into the unit solution.  The transport is
     injectable via :func:`~sophia_rs_spark.sparql.client.
@@ -2201,7 +2202,9 @@ def _eval_service(ctx: _Ctx, el: "A.ServiceClause"):
             "application/sparql-results+json,"
             "application/sparql-results+xml;q=0.8"
         )
-        res = cli.query(spark, q, graph_ok=False)
+        res, rnull = cli.query(
+            spark, q, graph_ok=False, return_nullable=True
+        )
         if not isinstance(res, DataFrame):
             raise SparqlClientError(
                 f"SERVICE returned a non-bindings result: {res!r}"
@@ -2210,7 +2213,11 @@ def _eval_service(ctx: _Ctx, el: "A.ServiceClause"):
         if el.silent:
             return _unit(spark), set()
         raise A.SparqlError(f"SERVICE {el.endpoint} failed: {ex}") from ex
-    return res, set(res.columns)
+    # only the columns the response ACTUALLY left unbound somewhere are
+    # maybe-unbound — fully-bound remote vars stay plain equi-join keys
+    # (the pessimistic all-columns set forced a nested-loop compat join
+    # on every SERVICE)
+    return res, set(rnull)
 
 
 def _tune_codegen_limits(spark) -> None:
