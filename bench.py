@@ -579,7 +579,10 @@ def main():
         scaling_mode()
         return
 
-    repeat = int(os.environ.get("SPARK_GRAFT_REPEAT", "2"))
+    # 3 repeats: repeat 1 pays one-time janino compilation (~15s across
+    # the suite) and the host steals in waves — min-of-3 is the first
+    # configuration whose MIN reliably reflects steady-state
+    repeat = int(os.environ.get("SPARK_GRAFT_REPEAT", "3"))
     if len(sys.argv) > 2 and sys.argv[1] == "--repeat":
         repeat = int(sys.argv[2])
 
