@@ -558,8 +558,8 @@ def sum_limb_parts(lexv: Column, rank: Column, parts=None):
     digits = F.concat(ip, F.rpad(fr, 10, "0"))
     in_range = (
         (rank <= 1)
-        & (F.length(fr) <= 10)
-        & (F.length(digits) <= _SUM_DIGITS)
+        & (F.octet_length(fr) <= 10)
+        & (F.octet_length(digits) <= _SUM_DIGITS)
     )
     sign = F.when(neg, F.lit(-1)).otherwise(F.lit(1))
     monster = F.when((rank <= 1) & ~in_range, lexv)
@@ -607,8 +607,8 @@ def sum_fast_part(lexv: Column, rank: Column, parts=None) -> Column:
     # digits keeps ip*10^10 + frac < 10^18, far from long overflow
     ok = (
         (rank <= 1)
-        & (F.length(ip) <= 8)
-        & (F.length(fr) <= 10)
+        & (F.octet_length(ip) <= 8)
+        & (F.octet_length(fr) <= 10)
     )
     ipl = ip.try_cast("long")
     frl = F.rpad(fr, 10, "0").try_cast("long")
@@ -898,7 +898,7 @@ def int_order_keys(dt: Column, lx: Column) -> list:
     sign = F.when(is_int, F.when(neg, F.lit(0)).otherwise(F.lit(1)))
     # negative: longer magnitude sorts FIRST (more negative) → negate
     # the length; digit-complement flips lexicographic order
-    dlen = F.when(neg, -F.length(digits)).otherwise(F.length(digits))
+    dlen = F.when(neg, -F.octet_length(digits)).otherwise(F.octet_length(digits))
     dcmp = F.when(neg, F.translate(digits, "0123456789", "9876543210")).otherwise(
         digits
     )

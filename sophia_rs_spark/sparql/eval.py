@@ -442,7 +442,7 @@ def _typed_view(c: Column, binder: Optional[_TmpBinder] = None):
     # big engages for integers beyond decimal(38) AND for decimals the
     # (38,10) plane cannot hold exactly (overflow, or >10 fraction
     # digits — try_cast silently rounds those)
-    frac_len = F.length(F.regexp_extract(lexv, r"\.(\d+)", 1))
+    frac_len = F.octet_length(F.regexp_extract(lexv, r"\.(\d+)", 1))
     big = F.when(
         (rank == 0) & dec.isNull(), FN.canon_int_lex(lexv)
     ).when(
@@ -852,7 +852,11 @@ def _bool(
         if may("num"):
             l_int = ldt_.isin(FN._INT_RANK_DTS) & llex.rlike(FN._INT_LEX_RE)
             r_int = rdt_.isin(FN._INT_RANK_DTS) & rlex.rlike(FN._INT_LEX_RE)
-            int_long = (F.length(llex) > 15) | (F.length(rlex) > 15)
+            # octet_length: O(1) vs getNumChars's per-row UTF-8 scan (JFR:
+            # 12.5% of exec samples); numeric lexicals are ASCII, and a
+            # multi-byte string tripping the gate only computes keys
+            # that come out NULL (is_int false) — semantics unchanged
+            int_long = (F.octet_length(llex) > 15) | (F.octet_length(rlex) > 15)
             # int_long FIRST: And short-circuits in codegen, so the
             # datatype/lexical regexes behind l_int/r_int never run for
             # the (overwhelmingly common) short-lexical rows
@@ -1894,7 +1898,7 @@ def _order_keys_shared(c: Column, binder: _TmpBinder) -> list:
         cs.startswith('"'),
         F.when(dt.isin(FN._NUMERIC_DTS), lx.try_cast("double")),
     ).otherwise(cs.try_cast("double"))
-    long_int = F.length(lx) > 15
+    long_int = F.octet_length(lx) > 15  # ASCII-safe gate, O(1) vs getNumChars
     ikeys = [F.when(long_int, k) for k in FN.int_order_keys(dt, lx)]
     return [
         c.isNotNull(),
