@@ -534,6 +534,20 @@ def _q_emb_ivf_knn2(spark, sf):
     return ivf_knn(_read(spark, sf, "embeddings"), k=5, n_centroids=8, n_probe=2)
 
 
+def _q_emb_near_dup(spark, sf):
+    """Embedding-cosine near-duplicate pairs (the LLM-pipeline dedup
+    closer): LSH-bucketed candidate generation (oversized buckets
+    skipped) + cosine >= 0.35 (the synthetic embeddings are near-
+    orthogonal: max pairwise cosine ~0.51, so a production 0.9
+    threshold would trivially match zero rows), integer-permille
+    output so the DuckDB compare is float-free."""
+    from sophia_rs_spark.operators.similarity import cosine_near_duplicates
+
+    return cosine_near_duplicates(
+        _read(spark, sf, "embeddings"), threshold_permille=350, n_planes=6
+    )
+
+
 def _q_sparql_update(spark, sf):
     """SPARQL 1.1 Update front-end (beyond the reference — sophia_rs
     has no update evaluator): DELETE/INSERT WHERE rewrites every
@@ -988,6 +1002,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fn_hash2": _q_fn_hash2,
         "fn_datetime_tz": _q_fn_datetime_tz,
         "emb_ivf_knn2": _q_emb_ivf_knn2,
+        "emb_near_dup": _q_emb_near_dup,
         "sparql_agg_distinct": _q_sparql_agg_distinct,
     }
 
@@ -997,6 +1012,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 
 _DOC_TRIPLES = doc_triples_oracle_sql()
+
+# deterministic hyperplane-signature twin of similarity.lsh_buckets
+# (n_planes=6, dim=64, KNN_MAX_BUCKET guard) — shared by the bucketed
+# kNN and near-duplicate oracles
+_BUCKETED_CTE = """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+hx AS (
+  SELECT plane, d, md5(CAST(plane AS VARCHAR) || ':' || CAST(d AS VARCHAR)) AS h
+  FROM (SELECT unnest(generate_series(0, 5)) AS plane),
+       (SELECT unnest(generate_series(0, 63)) AS d)
+),
+pw AS (
+  SELECT plane, d,
+         (SUM((instr('0123456789abcdef', substr(h, CAST(i AS INT), 1)) - 1)
+              * power(16, 8 - i)) / 4294967296.0) * 2 - 1 AS w
+  FROM hx, (SELECT unnest(generate_series(1, 8)) AS i)
+  GROUP BY plane, d, h
+),
+pv AS (SELECT plane, list(w ORDER BY d) AS pvec FROM pw GROUP BY plane),
+signs AS (
+  SELECT n.vec_id, p.plane,
+         CASE WHEN list_dot_product(n.v, p.pvec) >= 0 THEN 1 ELSE 0 END AS s
+  FROM n, pv p
+),
+bkt AS (
+  SELECT vec_id, SUM(s * (CAST(1 AS BIGINT) << plane)) AS bucket
+  FROM signs GROUP BY vec_id
+),
+eb AS (
+  SELECT n.vec_id, n.v, n.nrm, b.bucket,
+         count(*) OVER (PARTITION BY b.bucket) AS bn
+  FROM n JOIN bkt b USING (vec_id)
+)"""
 
 _MINHASH_SQL = """
 WITH toks AS (
@@ -1401,36 +1449,7 @@ FROM ranked WHERE rank <= 5
 
     # deterministic hyperplane-signature twin of similarity.lsh_buckets /
     # bucketed_knn (n_planes=6, dim=64, KNN_MAX_BUCKET guard)
-    qs["emb_knn_bucketed"] = """
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
-hx AS (
-  SELECT plane, d, md5(CAST(plane AS VARCHAR) || ':' || CAST(d AS VARCHAR)) AS h
-  FROM (SELECT unnest(generate_series(0, 5)) AS plane),
-       (SELECT unnest(generate_series(0, 63)) AS d)
-),
-pw AS (
-  SELECT plane, d,
-         (SUM((instr('0123456789abcdef', substr(h, CAST(i AS INT), 1)) - 1)
-              * power(16, 8 - i)) / 4294967296.0) * 2 - 1 AS w
-  FROM hx, (SELECT unnest(generate_series(1, 8)) AS i)
-  GROUP BY plane, d, h
-),
-pv AS (SELECT plane, list(w ORDER BY d) AS pvec FROM pw GROUP BY plane),
-signs AS (
-  SELECT n.vec_id, p.plane,
-         CASE WHEN list_dot_product(n.v, p.pvec) >= 0 THEN 1 ELSE 0 END AS s
-  FROM n, pv p
-),
-bkt AS (
-  SELECT vec_id, SUM(s * (CAST(1 AS BIGINT) << plane)) AS bucket
-  FROM signs GROUP BY vec_id
-),
-eb AS (
-  SELECT n.vec_id, n.v, n.nrm, b.bucket,
-         count(*) OVER (PARTITION BY b.bucket) AS bn
-  FROM n JOIN bkt b USING (vec_id)
-),
+    qs["emb_knn_bucketed"] = _BUCKETED_CTE + """,
 sims AS (
   SELECT a.vec_id AS query_id, c.vec_id AS neighbor_id,
          list_dot_product(a.v, c.v) / (a.nrm * c.nrm) AS sim
@@ -1444,6 +1463,15 @@ ranked AS (
   FROM sims)
 SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank
 FROM ranked WHERE rank <= 5
+""".strip()
+
+    qs["emb_near_dup"] = _BUCKETED_CTE + """
+SELECT a.vec_id AS doc_a, c.vec_id AS doc_b,
+       CAST(floor(1000 * list_dot_product(a.v, c.v) / (a.nrm * c.nrm)) AS BIGINT)
+         AS cos_permille
+FROM eb a JOIN eb c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+WHERE a.bn <= 10000 AND c.bn <= 10000
+  AND floor(1000 * list_dot_product(a.v, c.v) / (a.nrm * c.nrm)) >= 350
 """.strip()
 
     qs["sparql_select"] = f"""

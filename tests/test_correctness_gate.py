@@ -97,6 +97,7 @@ DRIVER_INVISIBLE = [
     "fn_hash2",
     "fn_datetime_tz",
     "emb_ivf_knn2",
+    "emb_near_dup",     # reuses emb_knn_bucketed's LSH machinery
     "sparql_agg_distinct",
 ]
 
