@@ -1299,3 +1299,88 @@ class TestAggregateEdges:
             "  WHERE { ?s :p ?o } GROUP BY ?s } FILTER(?n > 1) }",
             [{"s": f"<{E}s1>", "n": '"2"^^<http://www.w3.org/2001/XMLSchema#integer>'}],
         )
+
+
+class TestDatasetClause:
+    """dataset/ — FROM / FROM NAMED construct the active dataset
+    (sparql11-query §13.2): FROM graphs MERGE into the default graph,
+    FROM NAMED restricts what GRAPH can see, and each keeps the other's
+    graphs invisible."""
+
+    DATA = (
+        ":s :p :d0 .\n"
+        ":g1 { :s :p :one . :s :q :x1 . }\n"
+        ":g2 { :s :p :two . }\n"
+        ":g3 { :s :p :three . }"
+    )
+
+    def test_from_single_graph_replaces_default(self, spark):
+        check(
+            spark,
+            self.DATA,
+            "SELECT ?o FROM :g1 WHERE { ?s :p ?o }",
+            [{"o": f"<{E}one>"}],
+            quads=True,
+        )
+
+    def test_from_merges_multiple_graphs(self, spark):
+        check(
+            spark,
+            self.DATA,
+            "SELECT ?o FROM :g1 FROM :g2 WHERE { ?s :p ?o }",
+            [{"o": f"<{E}one>"}, {"o": f"<{E}two>"}],
+            quads=True,
+        )
+
+    def test_from_hides_named_graphs(self, spark):
+        # with only FROM, there are no named graphs: GRAPH matches none
+        check(
+            spark,
+            self.DATA,
+            "SELECT ?g ?o FROM :g1 WHERE { GRAPH ?g { ?s :p ?o } }",
+            [],
+            quads=True,
+        )
+
+    def test_from_named_restricts_graph_enumeration(self, spark):
+        check(
+            spark,
+            self.DATA,
+            "SELECT ?g ?o FROM NAMED :g1 FROM NAMED :g2"
+            "  WHERE { GRAPH ?g { ?s :p ?o } }",
+            [
+                {"g": f"<{E}g1>", "o": f"<{E}one>"},
+                {"g": f"<{E}g2>", "o": f"<{E}two>"},
+            ],
+            quads=True,
+        )
+
+    def test_from_named_leaves_default_empty(self, spark):
+        # only FROM NAMED: the default graph of the active dataset is
+        # EMPTY — a non-GRAPH pattern matches nothing
+        check(
+            spark,
+            self.DATA,
+            "SELECT ?o FROM NAMED :g1 WHERE { ?s :p ?o }",
+            [],
+            quads=True,
+        )
+
+    def test_from_and_from_named_compose(self, spark):
+        check(
+            spark,
+            self.DATA,
+            "SELECT ?o ?n FROM :g3 FROM NAMED :g1"
+            "  WHERE { ?s :p ?o GRAPH :g1 { ?s :q ?n } }",
+            [{"o": f"<{E}three>", "n": f"<{E}x1>"}],
+            quads=True,
+        )
+
+    def test_graph_iri_outside_from_named_is_empty(self, spark):
+        check(
+            spark,
+            self.DATA,
+            "SELECT ?o FROM NAMED :g1 WHERE { GRAPH :g2 { ?s :p ?o } }",
+            [],
+            quads=True,
+        )
