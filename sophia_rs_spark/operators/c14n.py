@@ -247,6 +247,13 @@ def canonicalize_by_url(quads_df):
 
     cols = ["url", "s", "p", "o", "g"]
     df = quads_df.select(*cols)
+    # r6: the input feeds THREE consumers (bnode-url scan, the anti-join
+    # passthrough and the semi-join c14n side) — without a checkpoint
+    # each consumer recomputes the full upstream (for extract pipelines:
+    # three complete parse passes, measured ~2 extra passes at sf0.1).
+    # A lazy localCheckpoint materializes it once inside the same job;
+    # at 100 TB one materialization strictly beats three recomputes.
+    df = df.localCheckpoint(eager=False)
     has_bnode = (
         F.col("s").startswith("_:")
         | F.col("o").startswith("_:")

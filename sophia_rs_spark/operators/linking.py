@@ -54,8 +54,11 @@ def connected_components(
         .distinct()
         .withColumn("comp", F.col("member"))
     )
-    und = und.localCheckpoint(eager=True)
-    labels = labels.localCheckpoint(eager=True)
+    # r6: lazy — both materialize inside round 1's changed-count job
+    # (two fewer driver job barriers; every round still reads the
+    # materialized partitions)
+    und = und.localCheckpoint(eager=False)
+    labels = labels.localCheckpoint(eager=False)
 
     iters = 0
     for i in range(max_iter):

@@ -13,6 +13,7 @@ concat, CAST of integer types) so the two sides agree byte-for-byte.
 
 from __future__ import annotations
 
+import weakref
 from dataclasses import dataclass, field
 from typing import List
 
@@ -137,16 +138,33 @@ def table_triples(df: DataFrame, tm: TableMap) -> DataFrame:
     return out
 
 
+# r6: plan memo — building the union-of-mappings PLAN costs hundreds of
+# py4j round trips and parquet file-listings (~0.5s); repeated calls for
+# the same (session, dir, mappings) reuse the logical plan.  No data is
+# cached: the frame is pure narrow scans/projections (no shuffle), so
+# every downstream action re-reads the parquet files in full.
+_TRIPLES_PLANS: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
 def spark_triples(
     spark: SparkSession, sf_dir: str, mappings: List[TableMap] = DEFAULT_MAPPINGS
 ) -> DataFrame:
     """All mapped tables → one triples DataFrame (s, p, o)."""
+    try:
+        per = _TRIPLES_PLANS.setdefault(spark, {})
+        key = (sf_dir, repr(mappings))
+    except TypeError:
+        per, key = None, None
+    if per is not None and key in per:
+        return per[key]
     out = None
     for tm in mappings:
         df = spark.read.parquet(f"{sf_dir}/{tm.table}.parquet")
         t = table_triples(df, tm)
         out = t if out is None else out.unionByName(t)
     assert out is not None
+    if per is not None:
+        per[key] = out
     return out
 
 
