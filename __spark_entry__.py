@@ -695,17 +695,24 @@ def _q_sparql_service(spark, sf):
             to_json_str(bindings_to_json(res)).encode(),
         )
 
+    # the SERVICE clause executes at plan-build time, so the fake
+    # transport can be uninstalled as soon as the query is built —
+    # without the restore any later SERVICE evaluation in the session
+    # would silently hit this gate's in-process 'remote' graph
     set_service_transport(transport)
-    return sparql_query(
-        local,
-        f"""
-        PREFIX voc: <{VOC}>
-        SELECT ?c ?nname WHERE {{
-          ?c voc:inNation ?n .
-          SERVICE <http://remote.example/sparql> {{ ?n voc:name ?nname }}
-        }}
-        """,
-    )
+    try:
+        return sparql_query(
+            local,
+            f"""
+            PREFIX voc: <{VOC}>
+            SELECT ?c ?nname WHERE {{
+              ?c voc:inNation ?n .
+              SERVICE <http://remote.example/sparql> {{ ?n voc:name ?nname }}
+            }}
+            """,
+        )
+    finally:
+        set_service_transport(None)
 
 
 def _q_sparql_results_json(spark, sf):

@@ -981,6 +981,22 @@ def order_key(term: Column):
     ]
 
 
+def int_order_keys_probe(k: Column, lx: Column) -> list:
+    """:func:`int_order_keys` over a :func:`num_term_probe` class and
+    probe lexical — ``k == 0`` is exactly ``dt.isin(_INT_RANK_DTS)``
+    and :func:`int_lex_valid` exactly the ``_INT_LEX_RE`` rlike."""
+    is_int = (k == 0) & int_lex_valid(lx)
+    canon = canon_int_lex(lx)
+    neg = canon.startswith("-")
+    digits = F.regexp_replace(canon, r"^-", "")
+    sign = F.when(is_int, F.when(neg, F.lit(0)).otherwise(F.lit(1)))
+    dlen = F.when(neg, -F.octet_length(digits)).otherwise(F.octet_length(digits))
+    dcmp = F.when(neg, F.translate(digits, "0123456789", "9876543210")).otherwise(
+        digits
+    )
+    return [sign, F.when(is_int, dlen), F.when(is_int, dcmp)]
+
+
 def int_order_keys(dt: Column, lx: Column) -> list:
     """Exact integer ordering components — the classic bignum sort key
     (sign, signed digit-count, digit-complemented magnitude), pure

@@ -355,6 +355,21 @@ def _ebv_any(c: Column) -> Column:
     return F.when(cs.rlike('^["<_]'), FN.ebv(cs)).otherwise(F.length(cs) > 0)
 
 
+def _const_num_probe(term):
+    """Python-side fold of the numeric-datatype suffix probe for a
+    CONSTANT term operand: ``(rank-class, raw lexical)`` or
+    ``(None, None)``.  Char-based slicing instead of the column form's
+    octet arithmetic — identical for the ASCII lexicals that can ever
+    be valid; a multi-byte lexical differs only in the (invalid)
+    extracted text, which every consumer rejects the same way."""
+    if not isinstance(term, str) or not term.startswith('"'):
+        return None, None
+    for sfx, k in FN._NUM_DT_DISPATCH:
+        if term.endswith(sfx):
+            return k, term[1 : len(term) - len(sfx)]
+    return None, None
+
+
 def _term_col(e: A.Expr, df: DataFrame, binder: Optional[_TmpBinder] = None) -> Column:
     """Compile an expression to a canonical-term / plain-value Column.
 
@@ -412,15 +427,20 @@ def _typed_view(c: Column, binder: Optional[_TmpBinder] = None):
     # as a number, where raw ≡ decoded (see FN.lex_num)
     lexv = F.when(is_term, FN.lex_num(cs)).otherwise(cs)
     if binder is not None:
-        # bind datatype + lexical ONCE and build the planes from parts:
-        # num_rank alone references its datatype tree 4-6× and the
-        # suffix decomposition ~5× inside that — unbound, the
-        # duplication pushes arithmetic-over-aggregate stages past
-        # janino's 64 KB method budget
-        dt = binder.bind(FN.datatype(cs))
-        lexv = binder.bind(lexv)
-        rank = F.when(is_term, FN.num_rank_parts(dt, lexv)).otherwise(
-            F.when(cs.rlike(r"^[+-]?\d+$"), F.lit(0))
+        # r6: suffix-dispatch probe replaces datatype()+lex_num()+
+        # num_rank_parts() (regex-free; equivalence pinned by
+        # test_num_probe) — bound as hidden columns, which also keeps
+        # the derived planes from re-inlining the trees (binder-less
+        # callers keep the regex forms below: the probe chain is too
+        # big to leave unbound).  Non-numeric literals now carry a NULL
+        # lexical; every consumer is rank-gated, and a non-numeric
+        # operand NULLs the rank (expression error) either way.
+        nv = binder.bind(F.when(cs.startswith('"'), FN.num_term_probe(cs)))
+        lexv = binder.bind(
+            F.when(cs.startswith('"'), FN.num_lex_at(cs, nv["w"])).otherwise(cs)
+        )
+        rank = F.when(is_term, FN.num_rank_probe(nv["k"], lexv)).otherwise(
+            F.when(FN.int_lex_valid(cs), F.lit(0))
             .when(cs.try_cast("double").isNotNull(), F.lit(3))
             .otherwise(F.lit(None).cast("int"))
         )
@@ -802,45 +822,97 @@ def _bool(
             return lfam in (None, fam) and rfam in (None, fam)
 
         lt, rt = bind_l(termify(ls)), bind_r(termify(rs))
-        if sym not in ("=", "!=") and not may("str"):
-            # ORDER comparison whose string-family branch is pruned: the
-            # explicit ^^<dt> suffix is all the surviving branches
-            # (numeric / dateTime / boolean isin-tests) consult — the
-            # full datatype()'s langString/xsd:string defaulting (two
-            # extra rlikes per row) only matters to the str branch
-            _dt = lambda t: F.regexp_extract(t, r"\^\^<([^>]*)>$", 1)
-        else:
-            _dt = FN.datatype
-        ldt_, rdt_ = bind_l(_dt(lt)), bind_r(_dt(rt))
-        # RAW lexical (single regexp, escapes NOT decoded): equivalent
-        # for every view below — numeric/dateTime/boolean/integer
-        # lexicals never contain escapes (a backslash just fails the
-        # try_cast/regex exactly like the decoded form would), and
-        # VALUE equality of strings is covered by term identity because
-        # the canonical encoding is injective.  The full ~20-step
-        # escape decode (FN.lex) is emitted ONLY for the string-family
-        # ORDER compare further down — keeping each comparison's
-        # generated code well under janino's 64 KB method limit.
-        _rawlex = lambda t: F.regexp_extract(t, r'^"((?:[^"\\]|\\.)*)"', 1)
-        llex, rlex = bind_l(_rawlex(lt)), bind_r(_rawlex(rt))
+        # r6: the numeric plane runs on the datatype-SUFFIX probe
+        # (endswith dispatch, no regex) — the datatype/raw-lexical
+        # regex decomposition is only built when a surviving branch
+        # actually consults it (equality's unrecognized-datatype
+        # probe, or a live dateTime/boolean/string family).  A pure
+        # numeric ORDER comparison — the FILTER hot path — emits no
+        # regex at all.
+        # Without a binder the probe pieces cannot be pinned as columns
+        # and would be re-inlined at every reference (the probe is a
+        # 16-branch tree, far bigger than the single-regex leaves it
+        # replaces — unbound it OOMed the driver at plan build), so the
+        # binder-less path keeps the regex decomposition.
+        use_probe = may("num") and binder is not None
+        need_dtlex = (
+            sym in ("=", "!=")
+            or may("dt")
+            or may("bool")
+            or may("str")
+            or (may("num") and not use_probe)
+        )
+        ldt_ = rdt_ = llex = rlex = None
+        if need_dtlex:
+            if sym not in ("=", "!=") and not may("str"):
+                # ORDER comparison whose string-family branch is pruned:
+                # the explicit ^^<dt> suffix is all the surviving
+                # branches (dateTime / boolean isin-tests) consult — the
+                # full datatype()'s langString/xsd:string defaulting
+                # (two extra rlikes per row) only matters to str
+                _dt = lambda t: F.regexp_extract(t, r"\^\^<([^>]*)>$", 1)
+            else:
+                _dt = FN.datatype
+            ldt_, rdt_ = bind_l(_dt(lt)), bind_r(_dt(rt))
+            # RAW lexical (single regexp, escapes NOT decoded):
+            # equivalent for every view below — numeric/dateTime/
+            # boolean/integer lexicals never contain escapes, and VALUE
+            # equality of strings is covered by term identity (the
+            # canonical encoding is injective).  The full ~20-step
+            # escape decode (FN.lex) is emitted ONLY for the
+            # string-family ORDER compare further down.
+            _rawlex = lambda t: F.regexp_extract(t, r'^"((?:[^"\\]|\\.)*)"', 1)
+            llex, rlex = bind_l(_rawlex(lt)), bind_r(_rawlex(rt))
 
-        def num_view(raw, dt, lx):
-            # literals via the SPARQL numeric layer; plain computed
-            # values (raw without quotes) via try_cast.  Used by the
-            # EQUALITY branch, where Spark's NaN semantics (NaN = NaN
-            # true, NaN = x false) happen to MATCH the reference's
-            # sparql_eq exactly (value.rs:124 `n1 == n2 || n1.is_nan()
-            # && n2.is_nan()`); the ORDER branches use a NaN-excluding
-            # variant instead (partial_cmp → None)
-            return F.when(
-                F.substring(raw, 1, 1).isin('"', "<", "_"),
-                F.when(dt.isin(FN._NUMERIC_DTS), lx.try_cast("double")),
-            ).otherwise(raw.try_cast("double"))
+        if use_probe:
+            # probe guarded to LITERALS: an IRI/bnode whose text happens
+            # to end in '"^^<xsd:int…>' must not rank numeric (the old
+            # datatype() path returned NULL for non-literals).
+            # CONSTANT operands are folded in PYTHON (_const_num_probe):
+            # the probe chain is a ~16-branch tree, and an unbound
+            # constant instance gets re-inlined at every derived
+            # reference — Spark 4's ColumnNode→Expression conversion
+            # walks shared subtrees without memoization, so the raw
+            # constant tree multiplied out and OOMed the driver.
+            def _side(e, t_col, bindf):
+                if e.op == "term":
+                    k, lex = _const_num_probe(e.args[0])
+                    pv = (
+                        F.lit(None).cast("struct<k:int,w:int>")
+                        if k is None
+                        else F.struct(
+                            F.lit(k).alias("k"), F.lit(0).alias("w")
+                        )
+                    )
+                    return pv, F.lit(lex).cast("string")
+                pv = bindf(F.when(t_col.startswith('"'), FN.num_term_probe(t_col)))
+                return pv, bindf(FN.num_lex_at(t_col, pv["w"]))
 
+            lpv, lplex = _side(l, lt, bind_l)
+            rpv, rplex = _side(r, rt, bind_r)
+            l_is_num, r_is_num = lpv.isNotNull(), rpv.isNotNull()
+        elif may("num"):
+            lplex, rplex = llex, rlex
+            l_is_num = ldt_.isin(FN._NUMERIC_DTS)
+            r_is_num = rdt_.isin(FN._NUMERIC_DTS)
         if may("num"):
-            ln = bind_l(num_view(ls, ldt_, llex))
-            rn = bind_r(num_view(rs, rdt_, rlex))
+
+            def num_view(raw, is_num, plex):
+                # literals via the SPARQL numeric layer; plain computed
+                # values (raw without quotes) via try_cast.  Used by the
+                # EQUALITY branch, where Spark's NaN semantics match the
+                # reference's sparql_eq exactly; the ORDER branches use
+                # a NaN-excluding variant instead (partial_cmp → None)
+                return F.when(
+                    F.substring(raw, 1, 1).isin('"', "<", "_"),
+                    F.when(is_num, plex.try_cast("double")),
+                ).otherwise(raw.try_cast("double"))
+
+            ln = bind_l(num_view(ls, l_is_num, lplex))
+            rn = bind_r(num_view(rs, r_is_num, rplex))
         else:
+            lplex = rplex = F.lit(None).cast("string")
+            l_is_num = r_is_num = F.lit(False)
             ln = rn = F.lit(None).cast("double")
         numeric = ln.isNotNull() & rn.isNotNull()
         # exact integer refinement: two INTEGER-datatyped literals
@@ -852,27 +924,34 @@ def _bool(
         # double plane are already exact — the length gate keeps the
         # digit-complement machinery off the per-row hot path.
         if may("num"):
-            l_int = ldt_.isin(FN._INT_RANK_DTS) & llex.rlike(FN._INT_LEX_RE)
-            r_int = rdt_.isin(FN._INT_RANK_DTS) & rlex.rlike(FN._INT_LEX_RE)
+            if use_probe:
+                l_int = (lpv["k"] == 0) & FN.int_lex_valid(lplex)
+                r_int = (rpv["k"] == 0) & FN.int_lex_valid(rplex)
+                l_keys = FN.int_order_keys_probe(lpv["k"], lplex)
+                r_keys = FN.int_order_keys_probe(rpv["k"], rplex)
+            else:
+                l_int = ldt_.isin(FN._INT_RANK_DTS) & llex.rlike(FN._INT_LEX_RE)
+                r_int = rdt_.isin(FN._INT_RANK_DTS) & rlex.rlike(FN._INT_LEX_RE)
+                l_keys = FN.int_order_keys(ldt_, llex)
+                r_keys = FN.int_order_keys(rdt_, rlex)
             # octet_length: O(1) vs getNumChars's per-row UTF-8 scan (JFR:
             # 12.5% of exec samples); numeric lexicals are ASCII, and a
             # multi-byte string tripping the gate only computes keys
-            # that come out NULL (is_int false) — semantics unchanged
-            int_long = (F.octet_length(llex) > 15) | (F.octet_length(rlex) > 15)
+            # that come out NULL (is_int false) — semantics unchanged.
+            # The probe lexical is NULL for non-numeric literals, which
+            # NULLs int_long — the when() below then skips the branch
+            # exactly like the old always-false l_int did.
+            int_long = (F.octet_length(lplex) > 15) | (F.octet_length(rplex) > 15)
             # int_long FIRST: And short-circuits in codegen, so the
-            # datatype/lexical regexes behind l_int/r_int never run for
-            # the (overwhelmingly common) short-lexical rows
+            # validity checks behind l_int/r_int never run for the
+            # (overwhelmingly common) short-lexical rows
             both_int = (
                 int_long
                 & ls.startswith('"') & rs.startswith('"')
                 & l_int & r_int
             )
-            l_ikey = F.when(
-                int_long, F.struct(*FN.int_order_keys(ldt_, llex))
-            )
-            r_ikey = F.when(
-                int_long, F.struct(*FN.int_order_keys(rdt_, rlex))
-            )
+            l_ikey = F.when(int_long, F.struct(*l_keys))
+            r_ikey = F.when(int_long, F.struct(*r_keys))
             if binder is not None:
                 l_ikey, r_ikey = bind_l(l_ikey), bind_r(r_ikey)
         else:
@@ -974,15 +1053,15 @@ def _bool(
             num_l = F.when(
                 ls.startswith('"'),
                 F.when(
-                    ldt_.isin(FN._NUMERIC_DTS) & (llex != "NaN"),
-                    llex.try_cast("double"),
+                    l_is_num & (lplex != "NaN"),
+                    lplex.try_cast("double"),
                 ),
             )
             num_r = F.when(
                 rs.startswith('"'),
                 F.when(
-                    rdt_.isin(FN._NUMERIC_DTS) & (rlex != "NaN"),
-                    rlex.try_cast("double"),
+                    r_is_num & (rplex != "NaN"),
+                    rplex.try_cast("double"),
                 ),
             )
             num_l, num_r = bind_l(num_l), bind_r(num_r)

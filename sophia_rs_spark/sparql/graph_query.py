@@ -68,7 +68,7 @@ class _Builder:
             self._seen(t[1:])
             return A.Var(t[1:])
         if t.startswith("_:"):
-            return A.Var(f"__{t[2:]}")
+            return A.Var(f"#bn{t[2:]}")
         if t.startswith("<<("):
             return t  # ground triple term: matches by identity
         return t
@@ -83,7 +83,7 @@ class _Builder:
                 self._seen(t[1:])
                 return A.Var(t[1:])
             if t.startswith("_:"):
-                return A.Var(f"__{t[2:]}")
+                return A.Var(f"#bn{t[2:]}")
             if t.startswith("<") and not t.startswith("<<("):
                 return t
         # literal or triple term in predicate position: minted var +
@@ -148,7 +148,7 @@ class _Builder:
                 self._seen(t[1:])
                 return A.Expr("var", (t[1:],))
             if t.startswith("_:"):
-                return A.Expr("var", (f"__{t[2:]}",))
+                return A.Expr("var", (f"#bn{t[2:]}",))
             return A.Expr("term", (t,))
         raise SparqlError(f"not a term: {t!r}")
 
@@ -171,7 +171,13 @@ def _algebra(triples: Iterable[Tuple[TermIn, TermIn, TermIn]]) -> Tuple[A.Group,
 def select_from_triples(triples: Iterable[Tuple[TermIn, TermIn, TermIn]]) -> A.Query:
     """SELECT query over the pattern graph — projects the user-named
     variables (minted/bnode-derived ones stay hidden, matching the
-    reference's SELECT-* over a BGP whose bnodes are not variables)."""
+    reference's SELECT-* over a BGP whose bnodes are not variables).
+
+    Bnode placeholders are minted as '#bn…' (a '#' name is impossible
+    in a SPARQL VARNAME), so even the all-ground/bnode-only case —
+    where ``user_vars`` is empty and the query evaluates as SELECT * —
+    keeps them hidden: the SELECT * projection drops '#'-prefixed
+    existential columns."""
     group, b = _algebra(triples)
     return A.Query("select", list(b.user_vars), [], group)
 

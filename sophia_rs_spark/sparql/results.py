@@ -110,6 +110,26 @@ def _closing_quote(enc: str) -> int:
 _DELEGATE_ROWS = 10_000
 
 
+class _Probed:
+    """Delegation-tier probe WITHOUT running the plan twice (ADVICE r5):
+    the frame is persisted around the probe, so when the large path then
+    renders the full result, the partitions the probe already computed
+    are served from storage instead of the whole (possibly UDF-heavy)
+    plan re-executing from scratch.  Always unpersisted on exit; no
+    state survives the call."""
+
+    def __init__(self, df):
+        self.df = df.persist()
+
+    def __enter__(self):
+        return self.df, self.df.limit(_DELEGATE_ROWS + 1).collect()
+
+    def __exit__(self, *exc):
+        self.df.unpersist()
+        return False
+
+
+
 def bindings_to_json(
     df: DataFrame, variables: Optional[List[str]] = None
 ) -> Dict[str, Any]:
@@ -120,21 +140,21 @@ def bindings_to_json(
     (:func:`_json_line_col`) and the driver performs a single C-level
     ``json.loads`` over the prerendered binding objects."""
     cols = list(variables or df.columns)
-    probe = df.limit(_DELEGATE_ROWS + 1).collect()
-    if len(probe) <= _DELEGATE_ROWS:
-        bindings = []
-        for row in probe:
-            b = {}
-            for c in cols:
-                t = term_to_json(row[c])
-                if t is not None:
-                    b[c] = t
-            bindings.append(b)
-        return {"head": {"vars": cols}, "results": {"bindings": bindings}}
-    lines = [
-        r["line"]
-        for r in df.select(_json_line_col(cols).alias("line")).toLocalIterator()
-    ]
+    with _Probed(df) as (df, probe):
+        if len(probe) <= _DELEGATE_ROWS:
+            bindings = []
+            for row in probe:
+                b = {}
+                for c in cols:
+                    t = term_to_json(row[c])
+                    if t is not None:
+                        b[c] = t
+                bindings.append(b)
+            return {"head": {"vars": cols}, "results": {"bindings": bindings}}
+        lines = [
+            r["line"]
+            for r in df.select(_json_line_col(cols).alias("line")).toLocalIterator()
+        ]
     arr = json.loads("[" + ",".join(lines) + "]")
     return {"head": {"vars": cols}, "results": {"bindings": arr}}
 
@@ -194,20 +214,20 @@ def bindings_to_xml(df: DataFrame, variables: Optional[List[str]] = None) -> str
         "<head>" + "".join(f'<variable name="{_x(c)}"/>' for c in cols) + "</head>"
     )
     out.append("<results>")
-    probe = df.limit(_DELEGATE_ROWS + 1).collect()
-    if len(probe) <= _DELEGATE_ROWS:
-        for row in probe:
-            cells = []
-            for c in cols:
-                t = term_to_json(row[c])
-                if t is not None:
-                    cells.append(
-                        f'<binding name="{_x(c)}">{_term_xml(t)}</binding>'
-                    )
-            out.append("<result>" + "".join(cells) + "</result>")
-    else:
-        for r in df.select(_xml_line_col(cols).alias("line")).toLocalIterator():
-            out.append(r["line"])
+    with _Probed(df) as (df, probe):
+        if len(probe) <= _DELEGATE_ROWS:
+            for row in probe:
+                cells = []
+                for c in cols:
+                    t = term_to_json(row[c])
+                    if t is not None:
+                        cells.append(
+                            f'<binding name="{_x(c)}">{_term_xml(t)}</binding>'
+                        )
+                out.append("<result>" + "".join(cells) + "</result>")
+        else:
+            for r in df.select(_xml_line_col(cols).alias("line")).toLocalIterator():
+                out.append(r["line"])
     out.append("</results></sparql>")
     return "".join(out)
 
@@ -297,15 +317,15 @@ def _tsv_cell(row_val: Optional[str]) -> str:
 def bindings_to_tsv(df: DataFrame, variables: Optional[List[str]] = None) -> str:
     cols = list(variables or df.columns)
     lines = ["\t".join("?" + c for c in cols)]
-    probe = df.limit(_DELEGATE_ROWS + 1).collect()
-    if len(probe) <= _DELEGATE_ROWS:
-        for row in probe:
-            lines.append("\t".join(_tsv_cell(row[c]) for c in cols))
-    else:
-        lines.extend(
-            r["line"]
-            for r in df.select(_tsv_line_col(cols).alias("line")).toLocalIterator()
-        )
+    with _Probed(df) as (df, probe):
+        if len(probe) <= _DELEGATE_ROWS:
+            for row in probe:
+                lines.append("\t".join(_tsv_cell(row[c]) for c in cols))
+        else:
+            lines.extend(
+                r["line"]
+                for r in df.select(_tsv_line_col(cols).alias("line")).toLocalIterator()
+            )
     return "\n".join(lines) + "\n"
 
 

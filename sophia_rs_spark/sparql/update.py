@@ -484,10 +484,14 @@ def _instantiate(
         )
         if isinstance(gv, A.Var):
             # variable graph name: an unbound ?g (or one bound to a
-            # literal — not a valid graph name) contributes nothing;
-            # NULL here would silently mean "default graph"
+            # literal or triple term — not valid graph names)
+            # contributes nothing; NULL here would silently mean
+            # "default graph".  Only IRIs and bnodes qualify.
             part = part.filter(
-                F.col("g").isNotNull() & ~F.col("g").startswith('"')
+                F.col("g").isNotNull()
+                & (F.col("g").startswith("_:")
+                   | (F.col("g").startswith("<")
+                      & ~F.col("g").startswith("<<(")))
             )
         parts.append(part)
     if not parts:

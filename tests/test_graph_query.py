@@ -162,3 +162,20 @@ class TestConvenience:
             select_from_triples([(1, "<x:p>", "?o")])
         with pytest.raises(SparqlError, match="3 components"):
             select_from_triples([(("?a", "?b"), "<x:p>", "?o")])
+
+
+def test_select_all_ground_bnode_projects_nothing(spark):
+    """ADVICE r5: a pattern of only ground terms and blank nodes has no
+    user variables — the result must not leak the minted bnode
+    placeholder columns (reference: s/o bnode patterns are
+    non-projectable)."""
+    from sophia_rs_spark.sparql.graph_query import query_from_graph
+
+    rows = [
+        ("_:x", "<http://e/p>", '"1"'),
+        ("_:y", "<http://e/p>", '"2"'),
+    ]
+    df = spark.createDataFrame(rows, "s string, p string, o string")
+    out = query_from_graph(df, [("_:a", "<http://e/p>", '"1"')])
+    assert out.columns == [], out.columns
+    assert out.count() == 1

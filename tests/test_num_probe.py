@@ -136,3 +136,55 @@ def test_lex_valid_equivalence(spark):
     for r in rows:
         assert bool(r["iv"]) == bool(r["ir"]), f"int validity mismatch for {r['l']!r}"
         assert bool(r["dv"]) == bool(r["dr"]), f"dec validity mismatch for {r['l']!r}"
+
+
+def test_cmp_probe_iri_lookalike(spark):
+    """An IRI/bnode whose text ends in '"^^<xsd:integer>' must not rank
+    numeric in FILTER comparisons (the probe is guarded to literals)."""
+    from sophia_rs_spark.sparql import query
+
+    rows = [
+        ("<http://e/a>", "<http://e/p>", '"5"^^<%sinteger>' % XSD),
+        ("<http://e/b>", "<http://e/p>", '<http://e/x5"^^<%sinteger>' % XSD),
+        ("<http://e/c>", "<http://e/p>", '_:b5"^^<%sinteger>' % XSD),
+        ("<http://e/d>", "<http://e/p>", '"12"'),
+    ]
+    df = spark.createDataFrame(rows, "s string, p string, o string")
+    out = query(df, "SELECT ?s WHERE { ?s <http://e/p> ?o FILTER(?o > 3) }")
+    got = sorted(r["s"] for r in out.collect())
+    # only the real numeric literal survives: the IRI/bnode lookalikes
+    # and the plain string are cross-family type errors
+    assert got == ["<http://e/a>"], got
+
+
+def test_cmp_probe_matrix(spark):
+    """Comparison results over mixed numeric operand shapes are
+    unchanged by the probe fast path (spot matrix)."""
+    from sophia_rs_spark.sparql import query
+
+    vals = [
+        '"5"^^<%sinteger>' % XSD,
+        '"5.0"^^<%sdecimal>' % XSD,
+        '"5e0"^^<%sdouble>' % XSD,
+        '"NaN"^^<%sdouble>' % XSD,
+        '"INF"^^<%sfloat>' % XSD,
+        '"99999999999999999999999999999999"^^<%sinteger>' % XSD,
+        '"-99999999999999999999999999999998"^^<%sinteger>' % XSD,
+        '"abc"^^<%sinteger>' % XSD,
+        '"5"',
+        "<http://e/i>",
+    ]
+    rows = [(f"<http://e/s{i}>", "<http://e/p>", v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "s string, p string, o string")
+    gt = query(df, 'SELECT ?s WHERE { ?s <http://e/p> ?o FILTER(?o > "4.5"^^<http://www.w3.org/2001/XMLSchema#decimal>) }')
+    got = sorted(r["s"] for r in gt.collect())
+    assert got == [
+        "<http://e/s0>", "<http://e/s1>", "<http://e/s2>",
+        "<http://e/s4>", "<http://e/s5>",
+    ], got
+    lt = query(df, 'SELECT ?s WHERE { ?s <http://e/p> ?o FILTER(?o < "4.5"^^<http://www.w3.org/2001/XMLSchema#decimal>) }')
+    got = sorted(r["s"] for r in lt.collect())
+    assert got == ["<http://e/s6>"], got
+    eq = query(df, "SELECT ?s WHERE { ?s <http://e/p> ?o FILTER(?o = 5) }")
+    got = sorted(r["s"] for r in eq.collect())
+    assert got == ["<http://e/s0>", "<http://e/s1>", "<http://e/s2>"], got

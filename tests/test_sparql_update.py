@@ -372,3 +372,26 @@ class TestTriplesOnlyDataset:
         got = update(ds3, 'INSERT DATA { <x:b> <x:p> "2" }')
         assert got.columns == ["s", "p", "o", "g"]
         assert got.count() == 2
+
+
+def test_insert_graph_var_bound_to_triple_term_is_dropped(ds):
+    """ADVICE r5: a ?g bound to a triple term (or any non-IRI/bnode) is
+    not a valid graph name — the instantiated quad must be dropped, not
+    inserted with a malformed graph label."""
+    got = update(
+        ds,
+        "INSERT { GRAPH ?g { <x:n> <x:p> ?o } } WHERE {"
+        "  <x:a> <x:p> ?o ."
+        "  BIND(TRIPLE(<x:a>, <x:p>, ?o) AS ?g) }",
+    )
+    assert rows(got) == rows(ds)
+
+
+def test_insert_graph_var_bound_to_bnode_kept(ds):
+    got = update(
+        ds,
+        "INSERT { GRAPH ?g { <x:n> <x:p> ?o } } WHERE {"
+        "  <x:a> <x:p> ?o . BIND(BNODE() AS ?g) }",
+    )
+    new = [r for r in rows(got) if r not in rows(ds)]
+    assert len(new) == 1 and new[0][3].startswith("_:")
