@@ -105,7 +105,7 @@ def sparql_breakdown():
         sc.setJobDescription("full query")
         timed("full query collect", lambda: query(t, SPARQL_TEXT).collect())
         with open(os.path.join(REPO, "plans", "r06", "sparql_full.txt"), "w") as f:
-            f.write(out._jdf.queryExecution().explainString("formatted"))
+            f.write(out._jdf.queryExecution().explainString(spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
         t.unpersist()
     finally:
         spark.stop()
@@ -133,7 +133,7 @@ def main():
 
             df = e.queries()[name](spark, SF_DIR)
             with open(out_path, "w") as f:
-                f.write(df._jdf.queryExecution().explainString("formatted"))
+                f.write(df._jdf.queryExecution().explainString(spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
         finally:
             spark.stop()
 
