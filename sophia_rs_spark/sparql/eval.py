@@ -833,8 +833,12 @@ def _bool(
         # and would be re-inlined at every reference (the probe is a
         # 16-branch tree, far bigger than the single-regex leaves it
         # replaces — unbound it OOMed the driver at plan build), so the
-        # binder-less path keeps the regex decomposition.
-        use_probe = may("num") and binder is not None
+        # binder-less path keeps the regex decomposition.  _JoinBinder
+        # counts as binder-less here: views over a maybe-unbound SHARED
+        # var straddle both join sides and stay inline, and the inlined
+        # probe chains pushed a BroadcastHashJoin consume method past
+        # janino's 64 KB limit (test_comparison_codegen_no_fallback).
+        use_probe = may("num") and isinstance(binder, _TmpBinder)
         need_dtlex = (
             sym in ("=", "!=")
             or may("dt")
