@@ -771,9 +771,12 @@ def bigsum_emit(avg: bool, limbs: Column, monsters: Column,
     fold of the limb sums plus any monster elements; AVG divides at 50
     significant digits (the BigDecimal division contract).  Inputs are
     NULL-masked by the caller so the common path transfers empty Arrow
-    columns.  Returns the result lexical (integer style at rank 0 for
-    SUM, decimal style otherwise); NULL = poison (a limb sum overflowed
-    decimal(38), needing >10^20 rows — reported as unbound)."""
+    columns.  ``monsters`` is an array of ``struct(l, n)`` — the monster
+    lexical and its multiplicity (1 on the per-row path; the distinct
+    count under the two-level weighted aggregation).  Returns the result
+    lexical (integer style at rank 0 for SUM, decimal style otherwise);
+    NULL = poison (a limb sum overflowed decimal(38), needing >10^20
+    rows — reported as unbound)."""
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
@@ -797,8 +800,9 @@ def bigsum_emit(avg: bool, limbs: Column, monsters: Column,
                 if xv is not None:
                     m_tot += int(xv)
                 s_tot = 10
-                for mlex in (ms if ms is not None else []):
-                    mm, ss = _bignum_parse(mlex)
+                for mrec in (ms if ms is not None else []):
+                    mm, ss = _bignum_parse(mrec["l"])
+                    mm *= int(mrec["n"])
                     s2 = max(s_tot, ss)
                     m_tot = m_tot * 10 ** (s2 - s_tot) + mm * 10 ** (s2 - ss)
                     s_tot = s2

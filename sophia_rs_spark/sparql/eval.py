@@ -547,6 +547,11 @@ def _const_typed_view(term: str):
 
 _TYPED_NUM_FNS = ("ABS", "CEIL", "FLOOR", "ROUND")
 
+# kill switch for the two-level weighted aggregation (see _select_df);
+# tests flip it to differential-check the weighted plane against the
+# per-row plane
+_TWO_LEVEL_AGG = True
+
 
 def _typed_expr(e: A.Expr, df: DataFrame, binder: Optional[_TmpBinder] = None):
     """Compile a numeric expression to (rank, dec, dbl) — arith/neg and
@@ -2489,6 +2494,42 @@ def _select_df(ctx: _Ctx, q: A.Query):
             b = _TmpBinder(df)
             argval = _term_col(a.arg, b.df, b)
             df = b.df.withColumn(cn, argval)
+            argcol[i] = cn
+
+        # r6: two-level WEIGHTED aggregation (guide §2.3 "aggregate
+        # before you shuffle").  When every aggregate is a plain
+        # (non-DISTINCT) COUNT/SUM/AVG/MIN/MAX/SAMPLE, first collapse
+        # the rows to DISTINCT (group keys, argument values) with a
+        # multiplicity count — a cheap codegen hash aggregate with
+        # map-side partials — and run the per-value typed-numeric
+        # decomposition towers plus the final aggregate over the
+        # distinct values only (13.9M → a few hundred tower rows on
+        # the headline bench).  Exactness is unchanged: SUM becomes
+        # Σ value×n with the products exact by construction (limb and
+        # fast-plane magnitudes < 10^18, multiplicities < 10^19 ⇒
+        # products < 10^37 < decimal(38)), and the weighted sums have
+        # the SAME TOTAL as the per-row sums, so decimal-overflow
+        # poisoning engages in exactly the same cases.  GROUP_CONCAT
+        # (element multiplicity in the output) and DISTINCT aggregates
+        # fall back to the per-row path.
+        wn = None
+        if (
+            _TWO_LEVEL_AGG
+            and q.aggregates
+            and all(
+                a.fn in ("count", "sum", "avg", "min", "max", "sample")
+                and not a.distinct
+                for a in q.aggregates
+            )
+        ):
+            keyset = list(dict.fromkeys(group_by + list(argcol.values())))
+            df = df.groupBy(*keyset).agg(F.count(F.lit(1)).alias("#wn"))
+            wn = F.col("#wn")
+
+        for i, a in enumerate(q.aggregates):
+            if a.arg is None:
+                continue
+            cn = argcol[i]
             if a.fn in ("sum", "avg"):
                 # shared per-row decomposition, each piece materialized
                 # ONCE as an _opaque-pinned column: plain deterministic
@@ -2560,7 +2601,6 @@ def _select_df(ctx: _Ctx, q: A.Query):
                     .withColumn(cn + "m", F.when(fvnull, mon))
                 )
                 df = df.drop(cn + "nv", cn + "lx", cn + "ip", cn + "fr")
-            argcol[i] = cn
         aggs = []
         post_emit: List = []  # (alias, raw-struct → term renderer)
         for i, a in enumerate(q.aggregates):
@@ -2570,6 +2610,12 @@ def _select_df(ctx: _Ctx, q: A.Query):
                         FN.int_term(F.count_distinct(*solution_cols)).alias(
                             a.alias
                         )
+                    )
+                elif wn is not None:
+                    aggs.append(
+                        FN.int_term(
+                            F.coalesce(F.sum(wn), F.lit(0)).cast("long")
+                        ).alias(a.alias)
                     )
                 else:
                     aggs.append(FN.int_term(F.count(F.lit(1))).alias(a.alias))
@@ -2586,11 +2632,15 @@ def _select_df(ctx: _Ctx, q: A.Query):
 
             if a.fn == "count":
                 # COUNT yields an xsd:integer term (SparqlNumber::from)
-                aggs.append(
-                    FN.int_term(
-                        F.count_distinct(c) if a.distinct else F.count(c)
-                    ).alias(a.alias)
-                )
+                if a.distinct:
+                    cnt = F.count_distinct(c)
+                elif wn is not None:
+                    cnt = F.coalesce(
+                        F.sum(F.when(c.isNotNull(), wn)), F.lit(0)
+                    ).cast("long")
+                else:
+                    cnt = F.count(c)
+                aggs.append(FN.int_term(cnt).alias(a.alias))
             elif a.fn in ("sum", "avg"):
                 # TYPED accumulation (value/_number.rs promotion):
                 # integer inputs sum to integer, any decimal promotes to
@@ -2619,7 +2669,9 @@ def _select_df(ctx: _Ctx, q: A.Query):
                             *[zero_limb for _ in range(FN.SUM_LIMBS)]
                         ).alias("limbs"),
                         F.lit(0.0).alias("dbl"),
-                        F.array().cast("array<string>").alias("m"),
+                        F.array()
+                        .cast("array<struct<l:string,n:bigint>>")
+                        .alias("m"),
                     )
 
                     def _merge(acc, x):
@@ -2643,7 +2695,13 @@ def _select_df(ctx: _Ctx, q: A.Query):
                             (acc["dbl"] + xdbl).alias("dbl"),
                             F.when(
                                 mon.isNotNull(),
-                                F.array_append(acc["m"], mon),
+                                F.array_append(
+                                    acc["m"],
+                                    F.struct(
+                                        mon.alias("l"),
+                                        F.lit(1).cast("long").alias("n"),
+                                    ),
+                                ),
                             ).otherwise(acc["m"]).alias("m"),
                         )
 
@@ -2657,16 +2715,63 @@ def _select_df(ctx: _Ctx, q: A.Query):
                     rank_out = F.max(rin)
                     dg = F.col(argcol[i] + "dg")
                     sg = F.col(argcol[i] + "sg")
-                    limb_sums = F.array(*[
-                        F.coalesce(F.sum(FN.sum_limb(dg, sg, j)), zero_limb)
-                        for j in range(FN.SUM_LIMBS)
-                    ])
-                    monsters = F.collect_list(F.col(argcol[i] + "m"))
-                    # single-limb fast plane: plain decimal SUM with
-                    # map-side partials (NULL when no fast rows)
-                    fast_sum = F.sum(F.col(argcol[i] + "fv"))
-                    sdbl = F.sum(dblin)
-                    n = F.count(c)
+                    mcol = F.col(argcol[i] + "m")
+                    if wn is not None:
+                        # weighted (two-level) plane: value × multiplicity.
+                        # Products are exact (magnitudes < 10^18,
+                        # multiplicity < 10^19 ⇒ < 10^37 < decimal(38));
+                        # the weighted sums equal the per-row sums in
+                        # VALUE, so overflow→NULL→poison engages
+                        # identically.
+                        wnd = wn.cast("decimal(19,0)")
+                        limb_sums = F.array(*[
+                            F.coalesce(
+                                F.sum(
+                                    F.try_multiply(
+                                        FN.sum_limb(dg, sg, j), wnd
+                                    )
+                                ),
+                                zero_limb,
+                            )
+                            for j in range(FN.SUM_LIMBS)
+                        ])
+                        monsters = F.collect_list(
+                            F.when(
+                                mcol.isNotNull(),
+                                F.struct(
+                                    mcol.alias("l"),
+                                    wn.cast("long").alias("n"),
+                                ),
+                            )
+                        )
+                        fast_sum = F.sum(
+                            F.try_multiply(F.col(argcol[i] + "fv"), wnd)
+                        )
+                        sdbl = F.sum(dblin * wn)
+                        n = F.coalesce(
+                            F.sum(F.when(c.isNotNull(), wn)), F.lit(0)
+                        ).cast("long")
+                    else:
+                        limb_sums = F.array(*[
+                            F.coalesce(
+                                F.sum(FN.sum_limb(dg, sg, j)), zero_limb
+                            )
+                            for j in range(FN.SUM_LIMBS)
+                        ])
+                        monsters = F.collect_list(
+                            F.when(
+                                mcol.isNotNull(),
+                                F.struct(
+                                    mcol.alias("l"),
+                                    F.lit(1).cast("long").alias("n"),
+                                ),
+                            )
+                        )
+                        # single-limb fast plane: plain decimal SUM with
+                        # map-side partials (NULL when no fast rows)
+                        fast_sum = F.sum(F.col(argcol[i] + "fv"))
+                        sdbl = F.sum(dblin)
+                        n = F.count(c)
                 # two-phase: aggregate the RAW typed state (a small
                 # struct), render the lexical AFTER the groupBy in a
                 # projection over plain struct-field references — the
